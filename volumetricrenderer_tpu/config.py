@@ -1,0 +1,89 @@
+"""Render configuration (static, hashable — baked into jit).
+
+The reference's config surface is Unity-serialized inspector fields with [Range]
+constraints (VolumetricRenderer.cs:18-21, 127-128, 205-206) plus compile-time grid
+constants (cs:33-38). Here it is one frozen dataclass; shader-variant selection
+(the reference's FindKernel(...)+1 trick, cs:437/573/599) becomes plain Python
+branching before jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Froxel grid (reference: 160x88x64, VolumetricRenderer.cs:33-35).
+    volume_width: int = 160
+    volume_height: int = 88
+    volume_depth: int = 64
+
+    # Camera->volume mapping (cs:20-21, 127-128).
+    volume_distance: float = 100.0
+    depth_distribution: float = 0.5
+
+    # Temporal filtering (cs:205-206; demo scene overrides alpha to 0.84).
+    temporal_blend_alpha: float = 1.0 / 7.0
+    # The reference dispatches material/scatter history blends whose bodies are
+    # commented out (VolumetricCompute.compute:228, 243) — default off.
+    temporal_blend_material: bool = False
+    temporal_blend_scatter: bool = False
+    temporal_blend_shadow: bool = True
+    temporal_blend_accumulation: bool = True
+    # Reference quirk (cs:100): the "previous" matrix is overwritten with the
+    # current frame's before use, making reprojection an identity warp. Default
+    # is the fixed behavior (true previous-frame matrix).
+    use_current_matrix_for_reproj: bool = False
+
+    # Reference quirk: the directional scatter kernel does not jitter its froxel
+    # position, unlike every other froxel-space kernel (compute:67).
+    jitter_dir_scatter: bool = False
+
+    # Shadowing.
+    shadow_map_size: int = 512           # per-cascade / per-face resolution
+    num_cascades: int = 4
+    shadow_distance: float = 100.0       # QualitySettings.asset:155-156 (100m)
+    cascade_splits: Tuple[float, ...] = (0.067, 0.2, 0.467, 1.0)
+    shadow_mode: str = "map"             # "map" (PCF taps, parity) | "raycast" (analytic fast path)
+
+    # Output image.
+    image_width: int = 1280
+    image_height: int = 720
+
+    # Compute dtype for the froxel volumes ("float32" or "bfloat16" storage).
+    volume_dtype: str = "float32"
+
+    # Composite implementation: "xla" (gather) or "pallas" (fused tile kernel).
+    composite_impl: str = "xla"
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        """(W, H, D) in reference order."""
+        return (self.volume_width, self.volume_height, self.volume_depth)
+
+    @property
+    def grid_dhw(self) -> Tuple[int, int, int]:
+        """Array-layout order [D, H, W]."""
+        return (self.volume_depth, self.volume_height, self.volume_width)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.volume_dtype == "bfloat16" else jnp.float32
+
+
+# Demo preset mirroring the reference scene (Assets/Scenes/VolumetricRenderer.unity:620-621).
+DEMO_CONFIG = RenderConfig(temporal_blend_alpha=0.84)
+
+# BASELINE.json config 5: 240x135x128 froxels at 1080p.
+FULL_CONFIG = RenderConfig(
+    volume_width=240,
+    volume_height=135,
+    volume_depth=128,
+    image_width=1920,
+    image_height=1080,
+    temporal_blend_alpha=0.84,
+)

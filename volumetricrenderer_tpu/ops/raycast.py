@@ -1,0 +1,147 @@
+"""Analytic ray casting over scene primitives.
+
+Supplies what Unity's rasterizer supplies to the reference: the camera depth
+buffer + scene color consumed by the composite pass (VolumetricRenderer.shader:73-85)
+and the occluder depth rendered into shadow maps (Unity's shadow pass). Closed-form
+ray/plane, ray/sphere, ray/AABB intersections, folded sequentially over the
+(small, static) primitive count so nothing of size [pixels, prims] is ever
+materialized — pure elementwise VPU math.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from volumetricrenderer_tpu.models.geometry import Geometry
+
+BIG = 1e9
+EPS = 1e-4
+
+
+def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest hit along each ray.
+
+    origins/dirs: [..., 3] (dirs need not be unit — t is in units of |dir|).
+    Returns (t [...], albedo [..., 3], normal [..., 3]); t == BIG where no hit.
+    """
+    shape = origins.shape[:-1]
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_albedo = jnp.zeros(shape + (3,), jnp.float32)
+    best_normal = jnp.zeros(shape + (3,), jnp.float32)
+
+    def closer(t, albedo, normal, state):
+        bt, ba, bn = state
+        hit = t < bt
+        return (jnp.where(hit, t, bt),
+                jnp.where(hit[..., None], albedo, ba),
+                jnp.where(hit[..., None], normal, bn))
+
+    state = (best_t, best_albedo, best_normal)
+
+    # Planes: dot(n, o + t*d) + pd = 0.
+    for i in range(geom.plane_normal.shape[0]):
+        n = geom.plane_normal[i]
+        denom = dirs @ n
+        t = -(origins @ n + geom.plane_d[i]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t = jnp.where((t > EPS) & (jnp.abs(denom) > 1e-9), t, BIG)
+        normal = jnp.broadcast_to(n, origins.shape)
+        state = closer(t, jnp.broadcast_to(geom.plane_albedo[i], origins.shape), normal, state)
+
+    # Spheres.
+    for i in range(geom.sphere_center.shape[0]):
+        c = geom.sphere_center[i]
+        r = geom.sphere_radius[i]
+        oc = origins - c
+        a = jnp.sum(dirs * dirs, axis=-1)
+        b = jnp.sum(oc * dirs, axis=-1)
+        cq = jnp.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - a * cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-b - sq) / a
+        t1 = (-b + sq) / a
+        t = jnp.where(t0 > EPS, t0, t1)
+        t = jnp.where((disc > 0.0) & (t > EPS), t, BIG)
+        hitp = origins + t[..., None] * dirs
+        normal = (hitp - c) / r
+        state = closer(t, jnp.broadcast_to(geom.sphere_albedo[i], origins.shape), normal, state)
+
+    # Axis-aligned boxes (slab method).
+    for i in range(geom.box_min.shape[0]):
+        bmin = geom.box_min[i]
+        bmax = geom.box_max[i]
+        inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
+        t0s = (bmin - origins) * inv
+        t1s = (bmax - origins) * inv
+        tsm = jnp.minimum(t0s, t1s)
+        tbg = jnp.maximum(t0s, t1s)
+        tmin = jnp.max(tsm, axis=-1)
+        tmax = jnp.min(tbg, axis=-1)
+        t = jnp.where(tmin > EPS, tmin, tmax)
+        t = jnp.where((tmax >= tmin) & (t > EPS), t, BIG)
+        # Entry-face normal: the axis achieving tmin, signed against the ray.
+        axis_hit = (tsm == tmin[..., None]).astype(jnp.float32)
+        normal = -jnp.sign(dirs) * axis_hit
+        nl = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        normal = normal / jnp.maximum(nl, 1e-9)
+        state = closer(t, jnp.broadcast_to(geom.box_albedo[i], origins.shape), normal, state)
+
+    return state
+
+
+def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
+             max_dist: jax.Array) -> jax.Array:
+    """1.0 where the segment point -> point + to_light*max_dist hits geometry.
+
+    to_light unit [..., 3] (or broadcastable); max_dist [...]. Used by the
+    gather-free `shadow_mode="raycast"` froxel visibility path."""
+    t, _, _ = intersect(geom, points, to_light)
+    return (t < max_dist).astype(jnp.float32)
+
+
+def camera_rays(width: int, height: int, fov_y, aspect, view_to_world
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel world-space ray dirs with unit view-space z, plus screen uv.
+
+    Matches the reference composite's frustum-corner interpolation
+    (VolumetricRenderer.cs:660-672, shader:42, 71-76): worldPos =
+    camPos + dir * viewDepth. uv origin bottom-left, pixel centers.
+    Returns (dirs [H, W, 3], uv [H, W, 2])."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")  # both [H, W]
+    tan_y = jnp.tan(fov_y / 2.0)
+    tan_x = tan_y * aspect
+    vx = (2.0 * uu - 1.0) * tan_x
+    vy = (2.0 * vv - 1.0) * tan_y
+    view_dirs = jnp.stack([vx, vy, jnp.ones_like(vx)], axis=-1)
+    world_dirs = view_dirs @ view_to_world[:3, :3].T
+    uv = jnp.stack([uu, vv], axis=-1)
+    return world_dirs, uv
+
+
+def render_scene(geom: Geometry, camera_pos: jax.Array, ray_dirs: jax.Array,
+                 sun_dir: jax.Array, sun_color: jax.Array, ambient: jax.Array,
+                 far: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Minimal Lambert shading pass producing (color [H, W, 3], view_depth [H, W]).
+
+    view_depth is linear view-space z (ray_dirs have unit view z, so the hit t
+    IS the view depth). Pixels with no hit get depth = far and sky color."""
+    origins = jnp.broadcast_to(camera_pos, ray_dirs.shape)
+    t, albedo, normal = intersect(geom, origins, ray_dirs)
+    hit = t < BIG
+    depth = jnp.where(hit, t, far)
+
+    hitp = origins + jnp.minimum(t, far)[..., None] * ray_dirs
+    ndl = jnp.maximum(jnp.sum(normal * (-sun_dir), axis=-1), 0.0)
+    shadow_t, _, _ = intersect(geom, hitp + normal * 1e-3, -sun_dir)
+    lit = (shadow_t >= BIG).astype(jnp.float32)
+    color = albedo * (ambient + sun_color * (ndl * lit)[..., None])
+
+    sky = jnp.asarray([0.35, 0.45, 0.65], jnp.float32) * jnp.clip(
+        ray_dirs[..., 1:2] * 0.5 + 0.7, 0.3, 1.0)
+    color = jnp.where(hit[..., None], color, sky)
+    return color, depth

@@ -1,0 +1,90 @@
+"""Front-to-back transmittance integration as an associative scan.
+
+The reference integrates each XY ray with a sequential loop over the 64 Z slices
+(Accumulation kernel, VolumetricCompute.compute:172-200), applying per slice
+(ScatterStep, VolumetricHelper.hlsl:265-273):
+
+    T_slice = exp(-sigma_t * dz)
+    L      += inScatter * (1 - T_slice) / sigma_t * T_total
+    T_total *= T_slice
+
+The recurrence is linear in (L, T) with the associative composition
+
+    (L1, T1) (+) (L2, T2) = (L1 + T1*L2, T1*T2)
+
+so on TPU it becomes `jax.lax.associative_scan` along Z — O(log D) depth instead
+of O(D), with every step a fused elementwise VPU op over the full [H, W] tile.
+
+Deviations from the reference (SPEC.md): slices 0..D-1 are all integrated (the
+reference's loop skips slice 0 and drops the z=D write, compute:179), and the
+1/sigma division is Taylor-guarded at sigma -> 0 (the reference produces NaN for
+local-light-only scenes where extinction is written as 0, compute:118/159).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def slice_integral(in_scatter: jax.Array, extinction: jax.Array,
+                   step_length: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-slice analytic integral (Frostbite): returns (S, T) where
+    T = exp(-sigma*dz) and S = inScatter * (1-T)/sigma, with the sigma->0 limit
+    S -> inScatter * dz * (1 - sigma*dz/2).
+
+    in_scatter [..., 3] (or broadcastable), extinction [...], step_length [...].
+    """
+    od = extinction * step_length
+    t = jnp.exp(-od)
+    small = od < 1e-5
+    # Safe denominator for the generic branch; Taylor for the singular one.
+    safe_sigma = jnp.where(small, 1.0, extinction)
+    generic = (1.0 - t) / safe_sigma
+    taylor = step_length * (1.0 - 0.5 * od)
+    factor = jnp.where(small, taylor, generic)
+    return in_scatter * factor[..., None], t
+
+
+def accumulate_scan(in_scatter: jax.Array, extinction: jax.Array,
+                    step_lengths: jax.Array, axis: int = 0) -> jax.Array:
+    """Inclusive front-to-back integration along `axis` (the Z axis).
+
+    in_scatter: [D, ..., 3], extinction: [D, ...], step_lengths: [D] (broadcast
+    over the remaining dims). Returns accumulation [D, ..., 4] with RGB =
+    accumulated light after slice i and A = total transmittance after slice i
+    (the reference's accumulation volume semantics, helper:21).
+    """
+    bshape = (-1,) + (1,) * (extinction.ndim - 1)
+    steps = step_lengths.reshape(bshape)
+    s, t = slice_integral(in_scatter, extinction, steps)
+
+    def combine(a, b):
+        l1, t1 = a
+        l2, t2 = b
+        return (l1 + t1[..., None] * l2, t1 * t2)
+
+    l_acc, t_acc = jax.lax.associative_scan(combine, (s, t), axis=axis)
+    return jnp.concatenate([l_acc, t_acc[..., None]], axis=-1)
+
+
+def accumulate_sequential(in_scatter: jax.Array, extinction: jax.Array,
+                          step_lengths: jax.Array) -> jax.Array:
+    """Reference-shaped sequential loop (lax.scan over Z) — used by tests to
+    prove scan == loop, and as a fallback."""
+    bshape = (-1,) + (1,) * (extinction.ndim - 1)
+    steps = step_lengths.reshape(bshape)
+    s, t = slice_integral(in_scatter, extinction, steps)
+
+    def step(carry, xs):
+        l, tt = carry
+        s_i, t_i = xs
+        l = l + s_i * tt[..., None]
+        tt = tt * t_i
+        return (l, tt), (l, tt)
+
+    init = (jnp.zeros_like(s[0]), jnp.ones_like(t[0]))
+    _, (l_seq, t_seq) = jax.lax.scan(step, init, (s, t))
+    return jnp.concatenate([l_seq, t_seq[..., None]], axis=-1)

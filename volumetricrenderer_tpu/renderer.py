@@ -1,0 +1,170 @@
+"""Frame orchestrator.
+
+Replaces the reference's CommandBuffer frame graph (VolumetricRenderer.cs
+OnPreRender/OnRenderImage, cs:85-121) with one jittable pure function:
+`render_frame(state, scene, ...) -> (image, aux, new_state)`. The per-frame pass
+order mirrors the reference exactly (SURVEY §3.2-3.3):
+
+  matrices -> material volumes -> shadow maps -> shadow volume ->
+  temporal shadow blend -> scatter (dir + point + spot) -> accumulate ->
+  temporal accumulation blend -> composite -> save history.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from volumetricrenderer_tpu import froxel, pipeline, shadow as shadow_lib
+from volumetricrenderer_tpu.config import RenderConfig
+from volumetricrenderer_tpu.jitter import JITTER_SEQUENCE
+from volumetricrenderer_tpu.models.scene import Scene
+from volumetricrenderer_tpu.ops import raycast
+from volumetricrenderer_tpu.state import FrameState
+
+
+class VolumetricRenderer:
+    """Owns the static config; all methods are pure and jit-friendly."""
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+
+    def init_state(self, num_dir_lights: int = 1) -> FrameState:
+        return FrameState.create(self.config.grid_dhw, num_dir_lights,
+                                 self.config.dtype)
+
+    # ------------------------------------------------------------------ #
+
+    def bake_shadow_data(self, scene: Scene):
+        """Per-frame shadow-map bake (the reference relies on Unity's shadow
+        pass; SPEC 'Shadow pipeline')."""
+        cfg = self.config
+        cam = scene.camera
+        dir_shadow = cube_shadow = spot_shadow = None
+        if scene.dir_lights.count and cfg.shadow_mode == "map":
+            dir_shadow = shadow_lib.bake_dir_shadows(
+                scene.geometry, scene.dir_lights.direction,
+                scene.dir_lights.shadow_strength, cam.position, cam.forward,
+                cam.fov_y, cam.aspect, cam.near, cfg.shadow_distance,
+                cfg.cascade_splits, cfg.shadow_map_size)
+        if scene.point_lights.count:
+            cube_shadow = shadow_lib.bake_cube_shadows(
+                scene.geometry, scene.point_lights.position,
+                scene.point_lights.range, scene.point_lights.shadow_strength,
+                cfg.shadow_map_size)
+        if scene.spot_lights.count:
+            spot_shadow = shadow_lib.bake_spot_shadows(
+                scene.geometry, scene.spot_lights.position,
+                scene.spot_lights.direction, scene.spot_lights.spot_angle,
+                scene.spot_lights.range, scene.spot_lights.shadow_strength,
+                cfg.shadow_map_size)
+        return dir_shadow, cube_shadow, spot_shadow
+
+    def render_scene_inputs(self, scene: Scene) -> Tuple[jax.Array, jax.Array]:
+        """Demo scene color + linear view depth via the analytic ray caster
+        (stands in for Unity's G-buffer / _CameraDepthTexture)."""
+        cfg = self.config
+        cam = scene.camera
+        dirs, _ = raycast.camera_rays(cfg.image_width, cfg.image_height,
+                                      cam.fov_y, cam.aspect, cam.view_to_world())
+        sun_dir = scene.dir_lights.direction[0] if scene.dir_lights.count \
+            else jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
+        sun_color = scene.dir_lights.packed_color[0] if scene.dir_lights.count \
+            else jnp.zeros((3,), jnp.float32)
+        return raycast.render_scene(scene.geometry, cam.position, dirs, sun_dir,
+                                    sun_color, scene.ambient, cam.far)
+
+    # ------------------------------------------------------------------ #
+
+    def render_frame(self, state: FrameState, scene: Scene, time_x=0.0,
+                     scene_color: Optional[jax.Array] = None,
+                     view_depth: Optional[jax.Array] = None,
+                     ) -> Tuple[jax.Array, dict, FrameState]:
+        """One full frame. Returns (image [H, W, 4], aux volumes, new state)."""
+        cfg = self.config
+        cam = scene.camera
+
+        # --- CalculateMatrices (cs:176-187) ---
+        view_to_world = cam.view_to_world()
+        world_to_view = froxel.invert_rigid(view_to_world)
+        params = froxel.make_froxel_params(cam.fov_y, cam.aspect, cam.near,
+                                           cfg.volume_distance,
+                                           cfg.depth_distribution, cfg.grid)
+        jitter = JITTER_SEQUENCE[state.frame_count % 7]
+        # History is invalid on frame 0 (SPEC fix for the unused
+        # _IsTemporalHistoryValid, helper:67).
+        history_valid = (state.frame_count > 0).astype(jnp.float32)
+        alpha = cfg.temporal_blend_alpha * history_valid
+        prev_w2v = world_to_view if cfg.use_current_matrix_for_reproj \
+            else state.prev_world_to_view
+
+        # --- Scene inputs (G-buffer stand-in) ---
+        if scene_color is None or view_depth is None:
+            scene_color, view_depth = self.render_scene_inputs(scene)
+
+        # --- Shadow maps (engine shadow pass stand-in) ---
+        dir_shadow, cube_shadow, spot_shadow = self.bake_shadow_data(scene)
+
+        # --- Material volumes (OnPreRender, cs:94) ---
+        mat_a, mat_b = pipeline.write_material_volumes(
+            cfg, params, view_to_world, jitter, time_x, scene.media)
+        if cfg.temporal_blend_material:
+            mat_a = pipeline.temporal_blend_material(
+                cfg, params, view_to_world, prev_w2v, mat_a,
+                state.prev_material_a.astype(jnp.float32), alpha)
+
+        # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
+        shadow_vol = pipeline.write_shadow_volume_dir(
+            cfg, params, view_to_world, jitter, scene.dir_lights, dir_shadow,
+            scene.geometry)
+        if cfg.temporal_blend_shadow:
+            shadow_vol = pipeline.temporal_blend_shadow(
+                cfg, params, view_to_world, prev_w2v, jitter, shadow_vol,
+                state.prev_shadow.astype(jnp.float32), alpha)
+
+        # --- Scatter (cs:530-622) + optional blend ---
+        scatter = pipeline.write_scatter_volume(
+            cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
+            shadow_vol, scene.dir_lights, scene.point_lights, scene.spot_lights,
+            cube_shadow, spot_shadow)
+        if cfg.temporal_blend_scatter:
+            scatter = pipeline.temporal_blend_scatter(
+                cfg, params, view_to_world, prev_w2v, scatter,
+                state.prev_scatter.astype(jnp.float32), alpha)
+
+        # --- Accumulate (cs:641-647) + blend (cs:276) ---
+        accumulation = pipeline.accumulate(cfg, params, jitter, scatter)
+        if cfg.temporal_blend_accumulation:
+            accumulation = pipeline.temporal_blend_accumulation(
+                cfg, params, view_to_world, prev_w2v, accumulation,
+                state.prev_accumulation.astype(jnp.float32), alpha)
+
+        # --- Composite (cs:118, shader:69-93) ---
+        image = pipeline.composite(cfg, params, accumulation, scene_color,
+                                   view_depth)
+
+        # --- SaveHistory (cs:285-299) — free: new state carries the volumes ---
+        dt = cfg.dtype
+        new_state = FrameState(
+            prev_shadow=shadow_vol.astype(dt),
+            prev_material_a=mat_a.astype(dt),
+            prev_scatter=scatter.astype(dt),
+            prev_accumulation=accumulation.astype(dt),
+            prev_world_to_view=world_to_view,
+            frame_count=state.frame_count + 1,
+        )
+        aux = dict(material_a=mat_a, material_b=mat_b, shadow=shadow_vol,
+                   scatter=scatter, accumulation=accumulation,
+                   scene_color=scene_color, view_depth=view_depth)
+        return image, aux, new_state
+
+    # ------------------------------------------------------------------ #
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def render_frame_jit(self, state: FrameState, scene: Scene, time_x):
+        image, _, new_state = self.render_frame(state, scene, time_x)
+        return image, new_state

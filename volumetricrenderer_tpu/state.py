@@ -1,0 +1,48 @@
+"""Cross-frame state.
+
+The reference's only cross-frame state is the four `prev*` history volumes
+written by SaveHistory (VolumetricCompute.compute:23-30) plus the previous view
+matrix (VolumetricRenderer.cs:100, 208) and the frame counter driving jitter
+selection (cs:241). FrameState carries exactly that as a pytree; SaveHistory is
+free — the previous frame's outputs simply become next frame's history fields.
+This also makes checkpoint/resume trivial: serialize the pytree.
+
+Volumes are stored [D, H, W] (+channel axis where multi-channel): Z leading for
+the scan, W minor for TPU lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameState:
+    prev_shadow: jax.Array            # [Nd, D, H, W] per-dir-light visibility history
+    prev_material_a: jax.Array        # [D, H, W, 4] (sigma_s rgb, sigma_a)
+    prev_scatter: jax.Array           # [D, H, W, 4] (L rgb, sigma_t)
+    prev_accumulation: jax.Array      # [D, H, W, 4] (L rgb, T)
+    prev_world_to_view: jax.Array     # [4, 4]
+    frame_count: jax.Array            # int32 scalar
+
+    @staticmethod
+    def create(grid_dhw: Tuple[int, int, int], num_dir_lights: int = 1,
+               dtype=jnp.float32) -> "FrameState":
+        d, h, w = grid_dhw
+        nd = max(num_dir_lights, 1)
+        return FrameState(
+            prev_shadow=jnp.ones((nd, d, h, w), dtype),
+            prev_material_a=jnp.zeros((d, h, w, 4), dtype),
+            prev_scatter=jnp.zeros((d, h, w, 4), dtype),
+            # InitAllVolumes seeds accumulation to (0,0,0,1) (compute:39); alpha=0
+            # here marks "no history" for the first-frame reprojection test
+            # (compute:257 uses prev.a != 0 as reprojection success).
+            prev_accumulation=jnp.zeros((d, h, w, 4), dtype),
+            prev_world_to_view=jnp.eye(4, dtype=jnp.float32),
+            frame_count=jnp.zeros((), jnp.int32),
+        )
