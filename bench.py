@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: BASELINE config 5 on one TPU chip.
+
+240x135x128 froxels, 1080p composite, cascaded dir light + 16 local lights
+(8 point + 8 spot, all with PCF shadow-map taps), animated-noise + height-falloff
+fog plus a box fog volume, full temporal path, composite + post stack.
+
+Measured scope matches BASELINE.json's metric ("inject + scatter + integrate +
+composite"): the scene G-buffer and the shadow-map bake are precomputed (Unity
+owns those passes in the reference) and the steady-state per-frame time of the
+jitted froxel pipeline + composite + post is reported.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer, benchmark_scene
+from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
+from volumetricrenderer_tpu.post import PostConfig, apply_post
+
+TARGET_MS = 2.0
+
+
+def main():
+    import dataclasses
+    cfg = FULL_CONFIG
+    if "--small" in sys.argv:  # quick sanity on CPU
+        cfg = dataclasses.replace(cfg, volume_width=40, volume_height=24,
+                                  volume_depth=16, image_width=160,
+                                  image_height=90, shadow_map_size=64)
+    renderer = VolumetricRenderer(cfg)
+    noise = perlin_texture_3d(32)
+    scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
+                            num_local_lights=16, noise_tex=noise)
+    post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
+
+    state = renderer.init_state(scene.dir_lights.count)
+
+    # Precompute the parts the engine owns in the reference.
+    bake = jax.jit(lambda sc: renderer.bake_shadow_data(sc))
+    shadow_data = jax.block_until_ready(bake(scene))
+    gbuf = jax.jit(lambda sc: renderer.render_scene_inputs(sc))
+    scene_color, view_depth = jax.block_until_ready(gbuf(scene))
+
+    @jax.jit
+    def frame(state, scene, time_x, scene_color, view_depth, shadow_data):
+        image, _, new_state = renderer.render_frame(
+            state, scene, time_x, scene_color, view_depth, shadow_data)
+        return apply_post(image, post_cfg), new_state
+
+    # Warm up / compile.
+    t0 = time.perf_counter()
+    img, state = frame(state, scene, jnp.float32(0.0), scene_color, view_depth,
+                       shadow_data)
+    jax.block_until_ready(img)
+    compile_s = time.perf_counter() - t0
+
+    # Steady state.
+    n_warm, n_meas = 3, 20
+    for i in range(n_warm):
+        img, state = frame(state, scene, jnp.float32(0.01 * i), scene_color,
+                           view_depth, shadow_data)
+    jax.block_until_ready(img)
+
+    times = []
+    for i in range(n_meas):
+        t0 = time.perf_counter()
+        img, state = frame(state, scene, jnp.float32(0.1 + 0.01 * i),
+                           scene_color, view_depth, shadow_data)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    median_ms = times[len(times) // 2] * 1e3
+    best_ms = times[0] * 1e3
+
+    print(json.dumps({
+        "metric": "ms/frame (inject+scatter+integrate+composite) at "
+                  f"{cfg.image_width}x{cfg.image_height}, "
+                  f"{cfg.volume_width}x{cfg.volume_height}x{cfg.volume_depth} froxels, 16 lights",
+        "value": round(median_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / median_ms, 3),
+    }))
+    print(f"# best={best_ms:.3f}ms compile={compile_s:.1f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

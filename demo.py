@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Render the demo scene (the reference's VolumetricRenderer.unity) to PNGs.
+
+Usage: python demo.py [--frames N] [--out DIR] [--small] [--debug-slice Z]
+"""
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from volumetricrenderer_tpu import DEMO_CONFIG, VolumetricRenderer, demo_scene
+from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
+from volumetricrenderer_tpu.post import PostConfig, apply_post
+from volumetricrenderer_tpu.utils.debug import save_png, volume_slice
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--noise", action="store_true")
+    ap.add_argument("--debug-slice", type=int, default=-1)
+    args = ap.parse_args()
+
+    cfg = DEMO_CONFIG
+    if args.small:
+        cfg = dataclasses.replace(cfg, volume_width=80, volume_height=44,
+                                  volume_depth=32, image_width=480,
+                                  image_height=270, shadow_map_size=128)
+    renderer = VolumetricRenderer(cfg)
+    noise = perlin_texture_3d(32) if args.noise else None
+    scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
+                       with_noise=args.noise, noise_tex=noise)
+    post = PostConfig(exposure=1.0, vignette=0.15)
+    state = renderer.init_state(scene.dir_lights.count)
+
+    @jax.jit
+    def frame(state, scene, t):
+        image, aux, new_state = renderer.render_frame(state, scene, t)
+        return apply_post(image, post), aux["accumulation"], new_state
+
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        rgb, acc, state = frame(state, scene, jnp.float32(i / 20.0))
+        jax.block_until_ready(rgb)
+        dt = (time.perf_counter() - t0) * 1e3
+        path = os.path.join(args.out, f"frame_{i:03d}.png")
+        save_png(path, rgb)
+        print(f"{path}  {dt:.1f} ms")
+        if args.debug_slice >= 0:
+            sl = volume_slice(acc, args.debug_slice)
+            save_png(os.path.join(args.out, f"slice_{i:03d}.png"),
+                     jnp.clip(sl[..., :3] * 3.0, 0, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -211,7 +211,7 @@ def scatter_step(acc_l, acc_t, in_scatter, extinction, step_len):
     small = od < 1e-5
     factor = np.where(small,
                       step_len * (1.0 - 0.5 * od),
-                      (1.0 - t_slice) / np.where(small, 1.0, extinction))
+                      -np.expm1(-od) / np.where(small, 1.0, extinction))
     acc_l = acc_l + in_scatter * factor[..., None] * acc_t[..., None]
     acc_t = acc_t * t_slice
     return acc_l, acc_t

@@ -1,5 +1,7 @@
 """Test environment: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware. Must run before jax is imported anywhere."""
+without TPU hardware. Must run before jax is imported anywhere. Also enables the
+persistent compilation cache — this box has a single CPU core, so recompiling
+the pipeline every pytest run would dominate test time."""
 
 import os
 
@@ -7,3 +9,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

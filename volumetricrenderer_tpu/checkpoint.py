@@ -1,0 +1,35 @@
+"""Checkpoint / resume.
+
+The reference has none (SURVEY §5); its only cross-frame state is the prev*
+volumes + matrix, which FrameState already isolates — so checkpointing is just
+(de)serializing one pytree. Plain .npz keeps it dependency-free; orbax works on
+the same pytree if an async/distributed checkpointer is wanted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu.state import FrameState
+
+
+def save_state(path: str, state: FrameState) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(leaf)
+                      for i, leaf in enumerate(leaves)})
+
+
+def load_state(path: str, like: FrameState) -> FrameState:
+    """Restore into the structure of `like` (shapes/dtypes must match)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    restored = [jnp.asarray(data[f"leaf_{i}"], leaves[i].dtype)
+                for i in range(len(leaves))]
+    for a, b in zip(restored, leaves):
+        if a.shape != b.shape:
+            raise ValueError(f"checkpoint shape {a.shape} != state {b.shape}")
+    return jax.tree_util.tree_unflatten(treedef, restored)

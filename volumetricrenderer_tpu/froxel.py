@@ -80,11 +80,32 @@ def froxel_z_to_view_z(p: FroxelParams, fz: jax.Array) -> jax.Array:
     return (jnp.power(p.z, fz / d) - 1.0) * p.w + p.near
 
 
+def dot3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise 3-vector dot. Written as explicit FMAs so it stays on the
+    VPU at full f32 — tiny `@` contractions would be routed to the MXU where
+    the default precision truncates to bf16 (0.5%-level error, measured)."""
+    return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+
+
 def transform_points(mat: jax.Array, pos: jax.Array) -> jax.Array:
-    """Apply a 4x4 (column-vector convention) to [..., 3] points, w-divide."""
-    out = pos @ mat[:3, :3].T + mat[:3, 3]
-    w = pos @ mat[3, :3] + mat[3, 3]
+    """Apply a 4x4 (column-vector convention) to [..., 3] points, w-divide.
+    Explicit FMAs, not a matmul — see dot3."""
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    out = jnp.stack(
+        [mat[0, 0] * x + mat[0, 1] * y + mat[0, 2] * z + mat[0, 3],
+         mat[1, 0] * x + mat[1, 1] * y + mat[1, 2] * z + mat[1, 3],
+         mat[2, 0] * x + mat[2, 1] * y + mat[2, 2] * z + mat[2, 3]], axis=-1)
+    w = mat[3, 0] * x + mat[3, 1] * y + mat[3, 2] * z + mat[3, 3]
     return out / w[..., None]
+
+
+def transform_dirs(mat: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Rotate [..., 3] directions by the upper-left 3x3 (explicit FMAs)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    return jnp.stack(
+        [mat[0, 0] * x + mat[0, 1] * y + mat[0, 2] * z,
+         mat[1, 0] * x + mat[1, 1] * y + mat[1, 2] * z,
+         mat[2, 0] * x + mat[2, 1] * y + mat[2, 2] * z], axis=-1)
 
 
 def froxel_to_world(p: FroxelParams, view_to_world_mat: jax.Array,

@@ -15,6 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.froxel import dot3, transform_dirs
 from volumetricrenderer_tpu.models.geometry import Geometry
 
 BIG = 1e9
@@ -45,8 +46,8 @@ def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
     # Planes: dot(n, o + t*d) + pd = 0.
     for i in range(geom.plane_normal.shape[0]):
         n = geom.plane_normal[i]
-        denom = dirs @ n
-        t = -(origins @ n + geom.plane_d[i]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        denom = dot3(dirs, n)
+        t = -(dot3(origins, n) + geom.plane_d[i]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
         t = jnp.where((t > EPS) & (jnp.abs(denom) > 1e-9), t, BIG)
         normal = jnp.broadcast_to(n, origins.shape)
         state = closer(t, jnp.broadcast_to(geom.plane_albedo[i], origins.shape), normal, state)
@@ -118,7 +119,7 @@ def camera_rays(width: int, height: int, fov_y, aspect, view_to_world
     vx = (2.0 * uu - 1.0) * tan_x
     vy = (2.0 * vv - 1.0) * tan_y
     view_dirs = jnp.stack([vx, vy, jnp.ones_like(vx)], axis=-1)
-    world_dirs = view_dirs @ view_to_world[:3, :3].T
+    world_dirs = transform_dirs(view_to_world, view_dirs)
     uv = jnp.stack([uu, vv], axis=-1)
     return world_dirs, uv
 

@@ -39,10 +39,11 @@ def slice_integral(in_scatter: jax.Array, extinction: jax.Array,
     """
     od = extinction * step_length
     t = jnp.exp(-od)
+    # -expm1(-od) instead of (1 - exp(-od)): the naive form loses up to
+    # ~6e-8/od relative accuracy in f32 (catastrophic cancellation near od=0).
     small = od < 1e-5
-    # Safe denominator for the generic branch; Taylor for the singular one.
     safe_sigma = jnp.where(small, 1.0, extinction)
-    generic = (1.0 - t) / safe_sigma
+    generic = -jnp.expm1(-od) / safe_sigma
     taylor = step_length * (1.0 - 0.5 * od)
     factor = jnp.where(small, taylor, generic)
     return in_scatter * factor[..., None], t

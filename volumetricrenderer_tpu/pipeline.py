@@ -192,7 +192,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     for i in range(dir_lights.count):
         view_dir = wp_dir - camera_pos
         view_dir = view_dir / jnp.linalg.norm(view_dir, axis=-1, keepdims=True)
-        cos_theta = view_dir @ (-dir_lights.direction[i])
+        cos_theta = froxel.dot3(view_dir, -dir_lights.direction[i])
         vis = shadow_volume[i]
         hg = henyey_greenstein(phase_g, cos_theta)
         light_rgb = light_rgb + (vis * hg)[..., None] * dir_colors[i] * sigma_s
@@ -225,7 +225,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         to_pos = world_j - spot_lights.position[i]
         dist = jnp.linalg.norm(to_pos, axis=-1)
         ldir = to_pos / jnp.maximum(dist, 1e-9)[..., None]
-        cos_angle = ldir @ spot_lights.direction[i]
+        cos_angle = froxel.dot3(ldir, spot_lights.direction[i])
         keep = (dist <= spot_lights.range[i]) & (cos_angle >= spot_lights.cos_outer_cone[i])
         cos_theta = jnp.sum(view_dir_j * (-ldir), axis=-1)
         falloff = spot_light_falloff(dist, cos_angle, spot_lights.range[i],

@@ -83,6 +83,7 @@ class VolumetricRenderer:
     def render_frame(self, state: FrameState, scene: Scene, time_x=0.0,
                      scene_color: Optional[jax.Array] = None,
                      view_depth: Optional[jax.Array] = None,
+                     shadow_data=None,
                      ) -> Tuple[jax.Array, dict, FrameState]:
         """One full frame. Returns (image [H, W, 4], aux volumes, new state)."""
         cfg = self.config
@@ -104,48 +105,60 @@ class VolumetricRenderer:
 
         # --- Scene inputs (G-buffer stand-in) ---
         if scene_color is None or view_depth is None:
-            scene_color, view_depth = self.render_scene_inputs(scene)
+            with jax.named_scope("gbuffer"):
+                scene_color, view_depth = self.render_scene_inputs(scene)
 
-        # --- Shadow maps (engine shadow pass stand-in) ---
-        dir_shadow, cube_shadow, spot_shadow = self.bake_shadow_data(scene)
+        # --- Shadow maps (engine shadow pass stand-in; pass prebaked data to
+        # scope a frame like the reference, where Unity owns the shadow pass) ---
+        if shadow_data is None:
+            with jax.named_scope("shadow_maps"):
+                shadow_data = self.bake_shadow_data(scene)
+        dir_shadow, cube_shadow, spot_shadow = shadow_data
 
         # --- Material volumes (OnPreRender, cs:94) ---
-        mat_a, mat_b = pipeline.write_material_volumes(
-            cfg, params, view_to_world, jitter, time_x, scene.media)
+        with jax.named_scope("write_material_volume"):
+            mat_a, mat_b = pipeline.write_material_volumes(
+                cfg, params, view_to_world, jitter, time_x, scene.media)
         if cfg.temporal_blend_material:
             mat_a = pipeline.temporal_blend_material(
                 cfg, params, view_to_world, prev_w2v, mat_a,
                 state.prev_material_a.astype(jnp.float32), alpha)
 
         # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
-        shadow_vol = pipeline.write_shadow_volume_dir(
-            cfg, params, view_to_world, jitter, scene.dir_lights, dir_shadow,
-            scene.geometry)
+        with jax.named_scope("write_shadow_volume"):
+            shadow_vol = pipeline.write_shadow_volume_dir(
+                cfg, params, view_to_world, jitter, scene.dir_lights, dir_shadow,
+                scene.geometry)
         if cfg.temporal_blend_shadow:
-            shadow_vol = pipeline.temporal_blend_shadow(
-                cfg, params, view_to_world, prev_w2v, jitter, shadow_vol,
-                state.prev_shadow.astype(jnp.float32), alpha)
+            with jax.named_scope("temporal_blend_shadow"):
+                shadow_vol = pipeline.temporal_blend_shadow(
+                    cfg, params, view_to_world, prev_w2v, jitter, shadow_vol,
+                    state.prev_shadow.astype(jnp.float32), alpha)
 
         # --- Scatter (cs:530-622) + optional blend ---
-        scatter = pipeline.write_scatter_volume(
-            cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
-            shadow_vol, scene.dir_lights, scene.point_lights, scene.spot_lights,
-            cube_shadow, spot_shadow)
+        with jax.named_scope("write_scatter_volume"):
+            scatter = pipeline.write_scatter_volume(
+                cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
+                shadow_vol, scene.dir_lights, scene.point_lights,
+                scene.spot_lights, cube_shadow, spot_shadow)
         if cfg.temporal_blend_scatter:
             scatter = pipeline.temporal_blend_scatter(
                 cfg, params, view_to_world, prev_w2v, scatter,
                 state.prev_scatter.astype(jnp.float32), alpha)
 
         # --- Accumulate (cs:641-647) + blend (cs:276) ---
-        accumulation = pipeline.accumulate(cfg, params, jitter, scatter)
+        with jax.named_scope("accumulate"):
+            accumulation = pipeline.accumulate(cfg, params, jitter, scatter)
         if cfg.temporal_blend_accumulation:
-            accumulation = pipeline.temporal_blend_accumulation(
-                cfg, params, view_to_world, prev_w2v, accumulation,
-                state.prev_accumulation.astype(jnp.float32), alpha)
+            with jax.named_scope("temporal_blend_accumulation"):
+                accumulation = pipeline.temporal_blend_accumulation(
+                    cfg, params, view_to_world, prev_w2v, accumulation,
+                    state.prev_accumulation.astype(jnp.float32), alpha)
 
         # --- Composite (cs:118, shader:69-93) ---
-        image = pipeline.composite(cfg, params, accumulation, scene_color,
-                                   view_depth)
+        with jax.named_scope("composite"):
+            image = pipeline.composite(cfg, params, accumulation, scene_color,
+                                       view_depth)
 
         # --- SaveHistory (cs:285-299) — free: new state carries the volumes ---
         dt = cfg.dtype

@@ -26,6 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.froxel import dot3
 from volumetricrenderer_tpu.models.geometry import Geometry
 from volumetricrenderer_tpu.ops import raycast
 
@@ -132,9 +133,9 @@ def bake_dir_shadows(geom: Geometry, directions, strengths,
             r = radii[ci]
             # Texel snap the sphere center in light space for stability.
             texel = 2.0 * r / s
-            cx = jnp.floor((centers[ci] @ lx) / texel) * texel
-            cy = jnp.floor((centers[ci] @ ly) / texel) * texel
-            cz = centers[ci] @ lz
+            cx = jnp.floor(dot3(centers[ci], lx) / texel) * texel
+            cy = jnp.floor(dot3(centers[ci], ly) / texel) * texel
+            cz = dot3(centers[ci], lz)
             center = lx * cx + ly * cy + lz * cz
 
             backup = 2.0 * r + 10.0        # pull the shadow camera back past occluders
@@ -153,11 +154,11 @@ def bake_dir_shadows(geom: Geometry, directions, strengths,
 
             # world -> (u, v, z) in this cascade's quadrant of the 2x2 atlas.
             qx, qy = ci % 2, ci // 2
-            row_u = jnp.concatenate([lx / (4.0 * r), ((-(origin @ lx)) / (4.0 * r)
+            row_u = jnp.concatenate([lx / (4.0 * r), ((-dot3(origin, lx)) / (4.0 * r)
                                                       + 0.25 + 0.5 * qx)[None]])
-            row_v = jnp.concatenate([ly / (4.0 * r), ((-(origin @ ly)) / (4.0 * r)
+            row_v = jnp.concatenate([ly / (4.0 * r), ((-dot3(origin, ly)) / (4.0 * r)
                                                       + 0.25 + 0.5 * qy)[None]])
-            row_z = jnp.concatenate([lz / zfar, ((-(origin @ lz)) / zfar)[None]])
+            row_z = jnp.concatenate([lz / zfar, ((-dot3(origin, lz)) / zfar)[None]])
             lmats.append(jnp.stack([row_u, row_v, row_z]))
 
         top = jnp.concatenate(quads[0:2], axis=1)
@@ -300,9 +301,16 @@ def sample_dir_shadow(data: DirShadowData, light_idx: int,
     weights = cascade_weights_split_spheres(world_pos, spheres, sqr)
 
     mats = data.world_to_uv[light_idx]          # [C, 3, 4]
-    wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
-    coords = jnp.einsum("...j,cij->...ci", wp1, mats)   # [..., C, 3]
-    coord = jnp.sum(coords * weights[..., None], axis=-2)
+    # Blend the per-cascade coords with one-hot weights (helper:212-218).
+    # Explicit FMAs (see froxel.dot3): an einsum here would hit the MXU at
+    # truncated precision, and shadow-compare depths cannot afford that.
+    coord = 0.0
+    for ci in range(mats.shape[0]):
+        m = mats[ci]
+        c = jnp.stack([dot3(world_pos, m[0, :3]) + m[0, 3],
+                       dot3(world_pos, m[1, :3]) + m[1, 3],
+                       dot3(world_pos, m[2, :3]) + m[2, 3]], axis=-1)
+        coord = coord + c * weights[..., ci, None]
 
     # Outside all cascades the blended coord is 0; force fully lit (the
     # reference's reversed-Z noCascadeWeights trick, helper:219-222).
@@ -371,11 +379,11 @@ def sample_spot_shadow(data: SpotShadowData, light_idx: int,
     rel = world_pos - data.light_pos[light_idx]
     lx, ly, lz = (data.axes[light_idx, 0], data.axes[light_idx, 1],
                   data.axes[light_idx, 2])
-    axial = rel @ lz
+    axial = dot3(rel, lz)
     safe_axial = jnp.maximum(axial, 1e-5)
     tan = data.tan_half_angle[light_idx]
-    u = 0.5 * ((rel @ lx) / (safe_axial * tan) + 1.0)
-    v = 0.5 * ((rel @ ly) / (safe_axial * tan) + 1.0)
+    u = 0.5 * (dot3(rel, lx) / (safe_axial * tan) + 1.0)
+    v = 0.5 * (dot3(rel, ly) / (safe_axial * tan) + 1.0)
     ref = axial / data.range[light_idx] - data.bias[light_idx]
     cmp = _pcf_compare_2d(data.maps[light_idx], u, v, ref)
     cmp = jnp.where(axial > 0.0, cmp, 1.0)
