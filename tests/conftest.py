@@ -1,17 +1,18 @@
 """Test environment: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware. Must run before jax is imported anywhere. Also enables the
-persistent compilation cache — this box has a single CPU core, so recompiling
-the pipeline every pytest run would dominate test time."""
+without TPU hardware.
+
+Note: this box preloads an accelerator PJRT plugin via sitecustomize, which
+imports jax at interpreter startup — env vars like JAX_PLATFORMS set here are
+too late, so the override must go through jax.config. Also enables the
+persistent compilation cache: the box has one CPU core, and recompiling the
+pipeline every pytest run would dominate test time."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -21,10 +21,11 @@ import jax.numpy as jnp
 
 def _hash3(ix, iy, iz, seed, xp):
     """Integer lattice hash -> uint32 (xp is np or jnp)."""
+    seed_mix = xp.uint32((int(seed) * 0x9E3779B9) & 0xFFFFFFFF)
     h = (ix.astype(xp.uint32) * xp.uint32(0x8da6b343)
          + iy.astype(xp.uint32) * xp.uint32(0xd8163841)
          + iz.astype(xp.uint32) * xp.uint32(0xcb1ab31f)
-         + xp.uint32(seed) * xp.uint32(0x9e3779b9))
+         + seed_mix)
     h = h ^ (h >> xp.uint32(13))
     h = h * xp.uint32(0x85ebca6b)
     h = h ^ (h >> xp.uint32(16))

@@ -41,6 +41,10 @@ def _downsample2(img: jax.Array) -> jax.Array:
 
 def _upsample2(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+    pad_h = max(0, out_h - up.shape[0])
+    pad_w = max(0, out_w - up.shape[1])
+    if pad_h or pad_w:
+        up = jnp.pad(up, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     return up[:out_h, :out_w]
 
 
