@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target).
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -29,16 +30,21 @@ TARGET_MS = 2.0
 
 
 def main():
-    import dataclasses
     cfg = FULL_CONFIG
     if "--small" in sys.argv:  # quick sanity on CPU
         cfg = dataclasses.replace(cfg, volume_width=40, volume_height=24,
                                   volume_depth=16, image_width=160,
                                   image_height=90, shadow_map_size=64)
+    if "--map-shadows" not in sys.argv:
+        # TPU-native default: analytic raycast visibility + procedural noise
+        # (gather-free). --map-shadows switches to the PCF shadow-map path.
+        cfg = dataclasses.replace(cfg, shadow_mode="raycast")
+        scene_kw = dict(noise_mode="procedural")
+    else:
+        scene_kw = dict(noise_tex=perlin_texture_3d(32))
     renderer = VolumetricRenderer(cfg)
-    noise = perlin_texture_3d(32)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
-                            num_local_lights=16, noise_tex=noise)
+                            num_local_lights=16, **scene_kw)
     post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
 
     state = renderer.init_state(scene.dir_lights.count)

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import numpy as np
 
+import functools
+
 from oracle.oracle import OracleFrameInput
+from volumetricrenderer_tpu.ops.noise import perlin_3d
 from volumetricrenderer_tpu.config import RenderConfig
 from volumetricrenderer_tpu.models.scene import Scene
 from volumetricrenderer_tpu.state import FrameState
@@ -43,6 +46,10 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
             box_min=_np(m.box_min),
             box_max=_np(m.box_max),
             box_softness=float(m.box_softness),
+            noise_fn=(functools.partial(perlin_3d, octaves=m.noise_octaves,
+                                        period=m.noise_period, seed=m.noise_seed,
+                                        xp=np)
+                      if m.noise_mode == "procedural" else None),
         ))
 
     dir_lights = []
@@ -112,6 +119,8 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
         temporal_blend_material=cfg.temporal_blend_material,
         jitter_dir_scatter=cfg.jitter_dir_scatter,
         use_current_matrix_for_reproj=cfg.use_current_matrix_for_reproj,
+        reproj_impl=cfg.reproj_impl,
+        reproj_window=cfg.reproj_window,
         time_x=float(time_x),
         media=media,
         dir_lights=dir_lights,

@@ -165,6 +165,40 @@ def trilinear(vol: np.ndarray, texel: np.ndarray, wrap: bool = False) -> np.ndar
     return out[..., 0] if squeeze else out
 
 
+def windowed_warp(vol: np.ndarray, texel: np.ndarray, k: int) -> np.ndarray:
+    """Separable windowed warp resample (SPEC "Reprojection sampling"): three
+    sequential 1D passes (z, y, x), each a (2k+2)-tap tent stencil with the
+    per-element offset clamped to [-k, k]. Mirrors ops/warp.py exactly."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
+    d, h, w, c = vol.shape
+    tx = np.clip(texel[..., 0], 0.0, w - 1.0)
+    ty = np.clip(texel[..., 1], 0.0, h - 1.0)
+    tz = np.clip(texel[..., 2], 0.0, d - 1.0)
+
+    def axis_pass(v, target, axis, n):
+        base_shape = [1, 1, 1]
+        base_shape[axis] = n
+        base = np.arange(n, dtype=np.float64).reshape(base_shape)
+        off = np.clip(target - base, -k, k)
+        pad = [(0, 0)] * 4
+        pad[axis] = (k + 1, k + 1)
+        pv = np.pad(v, pad, mode="edge")
+        out = np.zeros_like(v)
+        for dd in range(-k, k + 2):
+            wgt = np.maximum(0.0, 1.0 - np.abs(off - dd))
+            sl = [slice(None)] * 4
+            sl[axis] = slice(k + 1 + dd, k + 1 + dd + n)
+            out = out + pv[tuple(sl)] * wgt[..., None]
+        return out
+
+    out = axis_pass(vol, tz, 0, d)
+    out = axis_pass(out, ty, 1, h)
+    out = axis_pass(out, tx, 2, w)
+    return out[..., 0] if squeeze else out
+
+
 def bilinear_compare(tex: np.ndarray, u, v, ref) -> np.ndarray:
     """4 point compares (lit = ref <= stored), bilinearly weighted."""
     h, w = tex.shape
@@ -316,6 +350,8 @@ class OracleFrameInput:
     temporal_blend_material: bool = False
     jitter_dir_scatter: bool = False
     use_current_matrix_for_reproj: bool = False
+    reproj_impl: str = "windowed"
+    reproj_window: int = 4
     time_x: float = 0.0
 
     # media: list of dicts with keys scattering_coef[3], absorption_coef, phase_g,
@@ -359,7 +395,13 @@ def _material_volumes(inp: OracleFrameInput, p: OracleParams, v2w, jitter):
         b[..., 0] = m["phase_g"]
 
         factor = np.ones((d, h, w))
-        if m.get("noise_tex") is not None:
+        if m.get("noise_fn") is not None:
+            # Procedural mode: the adapter supplies the (numpy) noise evaluator;
+            # its jax/numpy equivalence has its own test (tests/test_noise.py).
+            uvw = world_j * np.asarray(m["noise_tiling"]) \
+                + np.asarray(m["noise_scroll"]) * inp.time_x
+            factor = factor * m["noise_fn"](uvw)
+        elif m.get("noise_tex") is not None:
             tex = m["noise_tex"]
             uvw = world_j * np.asarray(m["noise_tiling"]) \
                 + np.asarray(m["noise_scroll"]) * inp.time_x
@@ -529,29 +571,34 @@ def render_frame_oracle(inp: OracleFrameInput) -> dict:
     prev_w2v = w2v if inp.use_current_matrix_for_reproj else (
         inp.prev_world_to_view if inp.prev_world_to_view is not None else np.eye(4))
 
+    def sample_prev(vol, texel):
+        if inp.reproj_impl == "gather":
+            return trilinear(vol, texel)
+        return windowed_warp(vol, texel, inp.reproj_window)
+
     mat_a, mat_b = _material_volumes(inp, p, v2w, jitter)
     if inp.temporal_blend_material and inp.prev_material_a is not None:
         texel, ok = _reproject(inp, p, v2w, prev_w2v, None, 0.0)
-        prev = trilinear(inp.prev_material_a, texel)
+        prev = sample_prev(inp.prev_material_a, texel)
         mat_a = mat_a + (prev - mat_a) * (alpha * ok)[..., None]
 
     shadow_vol = _shadow_volume(inp, p, v2w, jitter)
     if inp.temporal_blend_shadow and inp.prev_shadow is not None:
         texel, ok = _reproject(inp, p, v2w, prev_w2v, jitter, 1e-4)
         for i in range(shadow_vol.shape[0]):
-            prev = trilinear(inp.prev_shadow[i], texel)
+            prev = sample_prev(inp.prev_shadow[i], texel)
             shadow_vol[i] = shadow_vol[i] + (prev - shadow_vol[i]) * (alpha * ok)
 
     scatter = _scatter_volume(inp, p, v2w, jitter, mat_a, mat_b, shadow_vol)
     if inp.temporal_blend_scatter and inp.prev_scatter is not None:
         texel, ok = _reproject(inp, p, v2w, prev_w2v, None, 0.0)
-        prev = trilinear(inp.prev_scatter, texel)
+        prev = sample_prev(inp.prev_scatter, texel)
         scatter = scatter + (prev - scatter) * (alpha * ok)[..., None]
 
     acc = _accumulate(inp, p, jitter, scatter)
     if inp.temporal_blend_accumulation and inp.prev_accumulation is not None:
         texel, _ = _reproject(inp, p, v2w, prev_w2v, None, 0.0)
-        prev = trilinear(inp.prev_accumulation, texel)
+        prev = sample_prev(inp.prev_accumulation, texel)
         ok = (prev[..., 3] != 0.0).astype(np.float64)
         acc = acc + (prev - acc) * (alpha * ok)[..., None]
 

@@ -43,6 +43,13 @@ class RenderConfig:
     # position, unlike every other froxel-space kernel (compute:67).
     jitter_dir_scatter: bool = False
 
+    # Temporal reprojection resampling: "windowed" = gather-free separable
+    # windowed warp (TPU-native; SPEC "Reprojection sampling"); "gather" =
+    # joint trilinear via per-element gathers (exact reference semantics;
+    # ~1000x slower on TPU, fine on CPU).
+    reproj_impl: str = "windowed"
+    reproj_window: int = 4
+
     # Shadowing.
     shadow_map_size: int = 512           # per-cascade / per-face resolution
     num_cascades: int = 4

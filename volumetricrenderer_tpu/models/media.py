@@ -56,6 +56,13 @@ class Medium:
 
     volume_type: str = dataclasses.field(default=CONSTANT, metadata=dict(static=True))
     blend_type: str = dataclasses.field(default=ALPHA_BLEND, metadata=dict(static=True))
+    # "texture": wrap-sample noise_tex (gather — reference parity, compute:51-58).
+    # "procedural": evaluate the same tileable Perlin fBm directly per froxel —
+    # pure elementwise math, the TPU-native path (no gather).
+    noise_mode: str = dataclasses.field(default="texture", metadata=dict(static=True))
+    noise_octaves: int = dataclasses.field(default=3, metadata=dict(static=True))
+    noise_period: int = dataclasses.field(default=4, metadata=dict(static=True))
+    noise_seed: int = dataclasses.field(default=7, metadata=dict(static=True))
 
     @property
     def scattering_coef(self) -> jax.Array:
@@ -72,7 +79,8 @@ class Medium:
                noise_tex=None, noise_tiling=(0.0, 0.0, 0.0), noise_scroll=(0.0, 0.0, 0.0),
                volume_type=CONSTANT, blend_type=ALPHA_BLEND,
                box_min=(0.0, 0.0, 0.0), box_max=(0.0, 0.0, 0.0), box_softness=0.0,
-               height_falloff=0.0, height_base=0.0) -> "Medium":
+               height_falloff=0.0, height_base=0.0, noise_mode="texture",
+               noise_octaves=3, noise_period=4, noise_seed=7) -> "Medium":
         return Medium(
             scattering_color=_f32(scattering_color),
             absorption=_f32(absorption),
@@ -87,4 +95,8 @@ class Medium:
             height_base=_f32(height_base),
             volume_type=volume_type,
             blend_type=blend_type,
+            noise_mode=noise_mode,
+            noise_octaves=noise_octaves,
+            noise_period=noise_period,
+            noise_seed=noise_seed,
         )

@@ -99,7 +99,7 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
 
 
 def benchmark_scene(aspect: float = 16.0 / 9.0, num_local_lights: int = 16,
-                    noise_tex=None) -> Scene:
+                    noise_tex=None, noise_mode: str = "texture") -> Scene:
     """BASELINE config 5: cascaded dir light + 16 local lights + fog volumes."""
     camera = Camera.create(
         position=(-0.4, 1.9, -15.8), forward=(0.0, 0.0, 1.0),
@@ -136,7 +136,7 @@ def benchmark_scene(aspect: float = 16.0 / 9.0, num_local_lights: int = 16,
 
     fog = Medium.create(
         scattering_color=(1.0, 1.0, 1.0), absorption=0.19, phase_g=0.3,
-        noise_tex=noise_tex,
+        noise_tex=noise_tex, noise_mode=noise_mode,
         noise_scroll=(10.0, 0.0, 0.0), noise_tiling=(0.01, 0.01, 0.01),
         height_falloff=0.05, height_base=0.0)
 

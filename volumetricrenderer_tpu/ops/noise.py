@@ -32,11 +32,14 @@ def _hash3(ix, iy, iz, seed, xp):
     return h
 
 
-_GRADS = np.array(
-    [[1, 1, 0], [-1, 1, 0], [1, -1, 0], [-1, -1, 0],
-     [1, 0, 1], [-1, 0, 1], [1, 0, -1], [-1, 0, -1],
-     [0, 1, 1], [0, -1, 1], [0, 1, -1], [0, -1, -1],
-     [1, 1, 0], [-1, 1, 0], [0, -1, 1], [0, -1, -1]], dtype=np.float32)
+def _grad_dot(h, dx, dy, dz, xp):
+    """Ken Perlin's branchless gradient-dot: pick g from the 12-edge set by
+    hash bits and dot with d — pure elementwise selects, no table gather
+    (a 16-entry table lookup would cost a serial gather per corner on TPU)."""
+    h = h.astype(xp.int32)
+    u = xp.where(h < 8, dx, dy)
+    v = xp.where(h < 4, dy, xp.where((h == 12) | (h == 14), dx, dz))
+    return xp.where(h & 1 == 0, u, -u) + xp.where(h & 2 == 0, v, -v)
 
 
 def _fade(t):
@@ -49,16 +52,13 @@ def _perlin_single(pos, period, seed, xp):
     f = pos - p0
     p0 = p0.astype(xp.int32)
     u = _fade(f)
-    grads = xp.asarray(_GRADS)
 
     def corner(dx, dy, dz):
         cx = xp.mod(p0[..., 0] + dx, period[0])
         cy = xp.mod(p0[..., 1] + dy, period[1])
         cz = xp.mod(p0[..., 2] + dz, period[2])
         h = _hash3(cx, cy, cz, seed, xp) & xp.uint32(15)
-        g = grads[h.astype(xp.int32)]
-        d = xp.stack([f[..., 0] - dx, f[..., 1] - dy, f[..., 2] - dz], axis=-1)
-        return xp.sum(g * d, axis=-1)
+        return _grad_dot(h, f[..., 0] - dx, f[..., 1] - dy, f[..., 2] - dz, xp)
 
     n000 = corner(0, 0, 0)
     n100 = corner(1, 0, 0)

@@ -1,0 +1,65 @@
+"""Gather-free composite via tent-weight matmuls, pure XLA.
+
+Same algorithm as ops/pallas/composite.py (per-pixel z-lerp expressed as a
+tent-weight matrix contracted on the MXU; XY taps are static shifts because the
+screen maps to the froxel grid at an integer ratio), but expressed as a
+`lax.scan` over froxel rows so XLA's native batched dot_general does the work.
+~20x faster than the per-pixel gather path on TPU (gathers are serial on the
+scalar core); the Pallas version fuses the tent construction into VMEM and is
+faster still where Mosaic cooperates.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu.ops.pallas.composite import _cell_weights
+
+
+def composite_tentmm(accumulation: jax.Array, scene_color: jax.Array,
+                     fz_texel: jax.Array, grid_whd: Tuple[int, int, int]
+                     ) -> jax.Array:
+    """accumulation [D,H,W,4]; scene_color [IH,IW,3]; fz_texel [IH,IW].
+    Returns [IH,IW,4]. Requires IH % H == 0 and IW % W == 0."""
+    w, h, d = grid_whd
+    ih, iw = fz_texel.shape
+    py, px = ih // h, iw // w
+    cellpx = py * px
+
+    fz = jnp.clip(fz_texel, 0.0, d - 1.0)
+    fz_c = fz.reshape(h, py, w, px).transpose(0, 2, 1, 3).reshape(h, w, cellpx)
+
+    # [H, W, D, C] with one-column x-padding (edge clamp).
+    acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))
+    acc_t = jnp.concatenate([acc_t[:, :1], acc_t, acc_t[:, -1:]], axis=1)
+
+    weights = jnp.asarray(_cell_weights(py, px))          # [9, cellpx]
+    zi = jnp.arange(d, dtype=jnp.float32)
+
+    def row(y):
+        # 3 y-rows with edge clamp; 3 x-shifts each -> rhs [W, D, 9C].
+        ys = [jnp.clip(y + dy, 0, h - 1) for dy in (-1, 0, 1)]
+        rows3 = [jax.lax.dynamic_index_in_dim(acc_t, yy, 0, keepdims=False)
+                 for yy in ys]                            # [W+2, D, C]
+        rhs = jnp.concatenate(
+            [r[dx:dx + w] for r in rows3 for dx in range(3)], axis=-1)
+
+        fzr = jax.lax.dynamic_index_in_dim(fz_c, y, 0, keepdims=False)
+        t = jnp.maximum(0.0, 1.0 - jnp.abs(fzr[..., None] - zi))  # [W, cp, D]
+        out = jax.lax.dot_general(
+            t, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [W, cp, 9C]
+        out = out.reshape(w, cellpx, 9, 4)
+        return jnp.sum(out * weights.T[None, :, :, None], axis=2)
+
+    out_rows = jax.lax.map(row, jnp.arange(h))            # [H, W, cp, 4]
+
+    out = out_rows.reshape(h, w, py, px, 4)
+    out = jnp.moveaxis(out, 2, 1).reshape(ih, iw, 4)
+    trans = out[..., 3:4]
+    rgb = scene_color * trans + out[..., :3]
+    return jnp.concatenate([rgb, trans], axis=-1)

@@ -32,6 +32,7 @@ from volumetricrenderer_tpu.ops.falloff import point_light_falloff, spot_light_f
 from volumetricrenderer_tpu.ops.phase import henyey_greenstein, rgb_to_gray, smoothstep
 from volumetricrenderer_tpu.ops.sampling import (shift_sample_3d,
                                                  trilinear_sample_3d)
+from volumetricrenderer_tpu.ops.warp import windowed_warp_sample_3d
 from volumetricrenderer_tpu.ops.scatter_scan import accumulate_scan
 
 
@@ -66,9 +67,15 @@ def step_lengths(cfg: RenderConfig, params: FroxelParams) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def _sample_noise(medium: Medium, world_pos: jax.Array, time_x) -> jax.Array:
-    """Noise factor at jittered world pos: uvw = worldPos*tiling + scroll*time_x,
-    wrap-sampled (compute:51-58)."""
+    """Noise factor at jittered world pos: uvw = worldPos*tiling + scroll*time_x
+    (compute:51-58). Texture mode wrap-samples noise_tex (gather); procedural
+    mode evaluates the same tileable Perlin directly (elementwise, no gather —
+    the TPU fast path)."""
     uvw = world_pos * medium.noise_tiling + medium.noise_scroll * time_x
+    if medium.noise_mode == "procedural":
+        from volumetricrenderer_tpu.ops.noise import perlin_3d
+        return perlin_3d(uvw, octaves=medium.noise_octaves,
+                         period=medium.noise_period, seed=medium.noise_seed)
     nz, ny, nx = medium.noise_tex.shape
     texel = jnp.stack([uvw[..., 0] * nx - 0.5, uvw[..., 1] * ny - 0.5,
                        uvw[..., 2] * nz - 0.5], axis=-1)
@@ -98,7 +105,7 @@ def write_material_volumes(cfg: RenderConfig, params: FroxelParams,
                              jnp.zeros((3,), jnp.float32)]), (d, h, w, 4))
 
         factor = jnp.ones((d, h, w), jnp.float32)
-        if medium.noise_tex is not None:
+        if medium.noise_tex is not None or medium.noise_mode == "procedural":
             factor = factor * _sample_noise(medium, world_j, time_x)
         # Exponential height falloff (extension, BASELINE config 2).
         factor = factor * jnp.exp(-jnp.maximum(medium.height_falloff, 0.0)
@@ -169,8 +176,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                          dir_lights: DirectionalLights,
                          point_lights: PointLights, spot_lights: SpotLights,
                          cube_shadow: Optional[shadow_lib.CubeShadowData],
-                         spot_shadow: Optional[shadow_lib.SpotShadowData]
-                         ) -> jax.Array:
+                         spot_shadow: Optional[shadow_lib.SpotShadowData],
+                         geometry: Optional[Geometry] = None) -> jax.Array:
     """Sum of all light contributions -> [D, H, W, 4] (L rgb, sigma_t).
 
     The reference's one-dispatch-per-light `+=` (compute:64-167) becomes a
@@ -213,7 +220,11 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         cos_theta = jnp.sum(view_dir_j * (-ldir), axis=-1)
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * point_colors[i] * sigma_s
-        if cube_shadow is not None:
+        if cfg.shadow_mode == "raycast" and geometry is not None:
+            occ = raycast.occluded(geometry, world_j, -ldir, dist - 0.05)
+            s = jnp.where(point_lights.has_shadow[i], 1.0 - occ, 1.0)
+            contrib = contrib * s[..., None]
+        elif cube_shadow is not None:
             s = shadow_lib.sample_cube_shadow(cube_shadow, i, to_pos)
             s = jnp.where(point_lights.has_shadow[i], s, jnp.ones_like(s))
             contrib = contrib * s[..., None]
@@ -234,7 +245,11 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                                      spot_lights.intensity_multiplier[i])
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * spot_colors[i] * sigma_s
-        if spot_shadow is not None:
+        if cfg.shadow_mode == "raycast" and geometry is not None:
+            occ = raycast.occluded(geometry, world_j, -ldir, dist - 0.05)
+            s = jnp.where(spot_lights.has_shadow[i], 1.0 - occ, 1.0)
+            contrib = contrib * s[..., None]
+        elif spot_shadow is not None:
             s = shadow_lib.sample_spot_shadow(spot_shadow, i, world_j)
             s = jnp.where(spot_lights.has_shadow[i], s, jnp.ones_like(s))
             contrib = contrib * s[..., None]
@@ -286,6 +301,23 @@ def _reproject_texel(cfg: RenderConfig, params: FroxelParams,
     return texel, in01.astype(jnp.float32)
 
 
+def _sample_prev(cfg: RenderConfig, vol: jax.Array, texel: jax.Array
+                 ) -> jax.Array:
+    """History-volume resample at reprojected texel coords [D,H,W,3].
+
+    "windowed": gather-free separable windowed warp (ops/warp.py) — the
+    TPU-native path. "gather": joint trilinear via flat takes (reference-exact,
+    used by the oracle-parity gather tests and on CPU)."""
+    if cfg.reproj_impl == "gather":
+        return trilinear_sample_3d(vol, texel)
+    tx, ty, tz = texel[..., 0], texel[..., 1], texel[..., 2]
+    if vol.ndim == 4:
+        out = windowed_warp_sample_3d(jnp.moveaxis(vol, -1, 0), tx, ty, tz,
+                                      cfg.reproj_window)
+        return jnp.moveaxis(out, 0, -1)
+    return windowed_warp_sample_3d(vol, tx, ty, tz, cfg.reproj_window)
+
+
 def temporal_blend_shadow(cfg: RenderConfig, params: FroxelParams,
                           view_to_world: jax.Array, prev_world_to_view: jax.Array,
                           jitter: jax.Array, shadow_volume: jax.Array,
@@ -297,7 +329,7 @@ def temporal_blend_shadow(cfg: RenderConfig, params: FroxelParams,
     nd = shadow_volume.shape[0]
     out = []
     for i in range(nd):
-        prev = trilinear_sample_3d(prev_shadow[i], texel)
+        prev = _sample_prev(cfg, prev_shadow[i], texel)
         out.append(shadow_volume[i] + (prev - shadow_volume[i]) * (alpha * success))
     return jnp.stack(out)
 
@@ -310,7 +342,7 @@ def temporal_blend_scatter(cfg: RenderConfig, params: FroxelParams,
     (body commented out); enabled by cfg.temporal_blend_scatter. No jitter."""
     texel, success = _reproject_texel(cfg, params, view_to_world,
                                       prev_world_to_view, None, 0.0)
-    prev = trilinear_sample_3d(prev_scatter, texel)
+    prev = _sample_prev(cfg, prev_scatter, texel)
     return scatter + (prev - scatter) * (alpha * success)[..., None]
 
 
@@ -322,7 +354,7 @@ def temporal_blend_material(cfg: RenderConfig, params: FroxelParams,
     by cfg.temporal_blend_material."""
     texel, success = _reproject_texel(cfg, params, view_to_world,
                                       prev_world_to_view, None, 0.0)
-    prev = trilinear_sample_3d(prev_material_a, texel)
+    prev = _sample_prev(cfg, prev_material_a, texel)
     return material_a + (prev - material_a) * (alpha * success)[..., None]
 
 
@@ -335,7 +367,7 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
     prev.a != 0 (not the uv bound test)."""
     texel, _ = _reproject_texel(cfg, params, view_to_world,
                                 prev_world_to_view, None, 0.0)
-    prev = trilinear_sample_3d(prev_accumulation, texel)
+    prev = _sample_prev(cfg, prev_accumulation, texel)
     success = (prev[..., 3] != 0.0).astype(jnp.float32)
     return accumulation + (prev - accumulation) * (alpha * success)[..., None]
 
@@ -351,9 +383,23 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
     Screen u,v map to froxel x = W*u, y = H*v analytically (the reference's
     depth->world->froxel round trip collapses because the froxel grid is
     screen-aligned); z from the linear view depth. Returns [H, W, 4] rgba with
-    rgb = scene*T + L, a = T (shader:85-91)."""
+    rgb = scene*T + L, a = T (shader:85-91).
+
+    When the image dims are integer multiples of the froxel XY dims and
+    cfg.composite_impl == "pallas", the fused gather-free MXU kernel is used
+    (ops/pallas/composite.py) — numerically identical trilinear."""
     w, h, d = cfg.grid
     ih, iw = view_depth.shape
+    if (cfg.composite_impl in ("pallas", "tentmm") and ih % h == 0
+            and iw % w == 0):
+        fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+        if cfg.composite_impl == "pallas":
+            from volumetricrenderer_tpu.ops.pallas.composite import composite_pallas
+            interpret = jax.default_backend() != "tpu"
+            return composite_pallas(accumulation, scene_color, fz, cfg.grid,
+                                    interpret=interpret)
+        from volumetricrenderer_tpu.ops.tent_composite import composite_tentmm
+        return composite_tentmm(accumulation, scene_color, fz, cfg.grid)
     u = (jnp.arange(iw, dtype=jnp.float32) + 0.5) / iw
     v = (jnp.arange(ih, dtype=jnp.float32) + 0.5) / ih
     fx = (u * w)[None, :] - 0.5

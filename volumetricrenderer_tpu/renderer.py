@@ -45,6 +45,8 @@ class VolumetricRenderer:
         cfg = self.config
         cam = scene.camera
         dir_shadow = cube_shadow = spot_shadow = None
+        if cfg.shadow_mode == "raycast":
+            return dir_shadow, cube_shadow, spot_shadow
         if scene.dir_lights.count and cfg.shadow_mode == "map":
             dir_shadow = shadow_lib.bake_dir_shadows(
                 scene.geometry, scene.dir_lights.direction,
@@ -140,7 +142,7 @@ class VolumetricRenderer:
             scatter = pipeline.write_scatter_volume(
                 cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
                 shadow_vol, scene.dir_lights, scene.point_lights,
-                scene.spot_lights, cube_shadow, spot_shadow)
+                scene.spot_lights, cube_shadow, spot_shadow, scene.geometry)
         if cfg.temporal_blend_scatter:
             scatter = pipeline.temporal_blend_scatter(
                 cfg, params, view_to_world, prev_w2v, scatter,
