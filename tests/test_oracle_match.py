@@ -13,9 +13,11 @@ from volumetricrenderer_tpu import (Camera, DirectionalLights, Geometry, Medium,
                                     VolumetricRenderer)
 from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
 
+# gather-based composite + reprojection: the oracle's reference semantics
+# (the TPU fast paths have their own equivalence tests)
 CFG = dict(volume_width=20, volume_height=12, volume_depth=16,
            image_width=64, image_height=36, shadow_map_size=32,
-           volume_distance=100.0)
+           volume_distance=100.0, composite_impl="xla", reproj_impl="gather")
 
 
 def _camera():
@@ -172,6 +174,26 @@ def test_config4_temporal_moving_camera():
     cfg = RenderConfig(**CFG, temporal_blend_alpha=0.5)
     cams = [Camera.create(position=(-0.4 + 0.3 * i, 1.9, -15.8 + 0.5 * i),
                           forward=(0.02 * i, -0.05, 1.0), fov_y_deg=60.0,
+                          aspect=64 / 36, near=0.3, far=100.0)
+            for i in range(3)]
+    base = Scene.create(
+        camera=cams[0],
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(0.99, 0.96, 0.8)],
+            intensity=[2.5], has_shadow=[True]),
+        media=(_fog(),), geometry=_geometry())
+    _run_and_compare(cfg, base, n_frames=3, camera_path=cams,
+                     atol=1.5e-3, outlier_frac=2e-3)
+
+
+def test_config4_temporal_windowed_default_impls():
+    # The TPU-native default paths (windowed reprojection + tentmm composite)
+    # against the oracle's windowed spec; grid chosen image-divisible.
+    cfg = RenderConfig(volume_width=16, volume_height=12, volume_depth=16,
+                       image_width=64, image_height=36, shadow_map_size=32,
+                       volume_distance=100.0, temporal_blend_alpha=0.5)
+    cams = [Camera.create(position=(-0.4 + 0.2 * i, 1.9, -15.8 + 0.4 * i),
+                          forward=(0.01 * i, -0.05, 1.0), fov_y_deg=60.0,
                           aspect=64 / 36, near=0.3, far=100.0)
             for i in range(3)]
     base = Scene.create(

@@ -64,8 +64,11 @@ class RenderConfig:
     # Compute dtype for the froxel volumes ("float32" or "bfloat16" storage).
     volume_dtype: str = "float32"
 
-    # Composite implementation: "xla" (gather) or "pallas" (fused tile kernel).
-    composite_impl: str = "xla"
+    # Composite implementation: "tentmm" (gather-free tent-weight matmuls —
+    # exact trilinear, the TPU-native default; falls back to "xla" when the
+    # image is not an integer multiple of the froxel grid), "xla" (per-pixel
+    # gather — reference-shaped, slow on TPU), or "pallas" (fused kernel, WIP).
+    composite_impl: str = "tentmm"
 
     @property
     def grid(self) -> Tuple[int, int, int]:

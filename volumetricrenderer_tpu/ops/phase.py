@@ -8,10 +8,13 @@ PI = 3.1415926535  # helper:7 — the reference's truncated constant, kept for p
 
 
 def henyey_greenstein(g, cos_theta):
-    """PhaseFunction (helper:94-99): (1-g^2) / (1+g^2-2g cosθ)^1.5 / (4π)."""
+    """PhaseFunction (helper:94-99): (1-g^2) / (1+g^2-2g cosθ)^1.5 / (4π).
+
+    b^1.5 written as b*sqrt(b): jnp.power lowers to exp(1.5*log(b)) — two
+    transcendentals per froxel per light on the hot path."""
     g2 = g * g
-    denom = jnp.power(1.0 + g2 - 2.0 * g * cos_theta, 1.5)
-    return (1.0 - g2) / denom / 4.0 / PI
+    b = 1.0 + g2 - 2.0 * g * cos_theta
+    return (1.0 - g2) / (b * jnp.sqrt(b)) / 4.0 / PI
 
 
 def rgb_to_gray(rgb):

@@ -98,9 +98,41 @@ def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
     """1.0 where the segment point -> point + to_light*max_dist hits geometry.
 
     to_light unit [..., 3] (or broadcastable); max_dist [...]. Used by the
-    gather-free `shadow_mode="raycast"` froxel visibility path."""
-    t, _, _ = intersect(geom, points, to_light)
-    return (t < max_dist).astype(jnp.float32)
+    gather-free `shadow_mode="raycast"` froxel visibility path. Any-hit only:
+    skips the albedo/normal bookkeeping of intersect() (this runs per light
+    per froxel — the hot path of raycast shadowing)."""
+    origins, dirs = points, to_light
+    hit = jnp.zeros(points.shape[:-1], bool)
+
+    for i in range(geom.plane_normal.shape[0]):
+        n = geom.plane_normal[i]
+        denom = dot3(dirs, n)
+        t = -(dot3(origins, n) + geom.plane_d[i]) / jnp.where(
+            jnp.abs(denom) < 1e-9, 1e-9, denom)
+        hit |= (t > EPS) & (t < max_dist) & (jnp.abs(denom) > 1e-9)
+
+    for i in range(geom.sphere_center.shape[0]):
+        oc = origins - geom.sphere_center[i]
+        b = dot3(oc, dirs)
+        cq = dot3(oc, oc) - geom.sphere_radius[i] ** 2
+        disc = b * b - cq  # dirs unit
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > EPS, t0, t1)
+        hit |= (disc > 0.0) & (t > EPS) & (t < max_dist)
+
+    if geom.box_min.shape[0]:
+        inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)  # hoisted
+        for i in range(geom.box_min.shape[0]):
+            t0s = (geom.box_min[i] - origins) * inv
+            t1s = (geom.box_max[i] - origins) * inv
+            tmin = jnp.max(jnp.minimum(t0s, t1s), axis=-1)
+            tmax = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
+            t = jnp.where(tmin > EPS, tmin, tmax)
+            hit |= (tmax >= tmin) & (t > EPS) & (t < max_dist)
+
+    return hit.astype(jnp.float32)
 
 
 def camera_rays(width: int, height: int, fov_y, aspect, view_to_world

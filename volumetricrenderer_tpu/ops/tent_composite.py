@@ -52,7 +52,8 @@ def composite_tentmm(accumulation: jax.Array, scene_color: jax.Array,
         t = jnp.maximum(0.0, 1.0 - jnp.abs(fzr[..., None] - zi))  # [W, cp, D]
         out = jax.lax.dot_general(
             t, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [W, cp, 9C]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [W, cp, 9C]
         out = out.reshape(w, cellpx, 9, 4)
         return jnp.sum(out * weights.T[None, :, :, None], axis=2)
 

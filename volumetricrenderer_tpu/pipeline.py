@@ -196,10 +196,10 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     # Directional (compute:64-85): NOT jittered by default (quirk, compute:67).
     wp_dir = world_j if cfg.jitter_dir_scatter else world_c
     dir_colors = dir_lights.packed_color
+    vd0 = wp_dir - camera_pos
+    view_dir0 = vd0 * jax.lax.rsqrt(froxel.dot3(vd0, vd0) + 1e-18)[..., None]
     for i in range(dir_lights.count):
-        view_dir = wp_dir - camera_pos
-        view_dir = view_dir / jnp.linalg.norm(view_dir, axis=-1, keepdims=True)
-        cos_theta = froxel.dot3(view_dir, -dir_lights.direction[i])
+        cos_theta = froxel.dot3(view_dir0, -dir_lights.direction[i])
         vis = shadow_volume[i]
         hg = henyey_greenstein(phase_g, cos_theta)
         light_rgb = light_rgb + (vis * hg)[..., None] * dir_colors[i] * sigma_s
@@ -207,14 +207,18 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
 
     # Point (compute:87-126): jittered pos, range cull, LUT falloff, ext = 0.
-    view_dir_j = world_j - camera_pos
-    view_dir_j = view_dir_j / jnp.linalg.norm(view_dir_j, axis=-1, keepdims=True)
+    # rsqrt-based normalization: jnp.linalg.norm's sqrt+div pair costs more
+    # than one rsqrt on the VPU, and this runs per light per froxel.
+    vdj = world_j - camera_pos
+    view_dir_j = vdj * jax.lax.rsqrt(froxel.dot3(vdj, vdj) + 1e-18)[..., None]
     point_colors = point_lights.packed_color
     for i in range(point_lights.count):
         to_pos = world_j - point_lights.position[i]
-        dist = jnp.linalg.norm(to_pos, axis=-1)
+        d2 = froxel.dot3(to_pos, to_pos)
+        inv_d = jax.lax.rsqrt(d2 + 1e-18)
+        dist = d2 * inv_d
         in_range = dist <= point_lights.range[i]
-        ldir = to_pos / jnp.maximum(dist, 1e-9)[..., None]
+        ldir = to_pos * inv_d[..., None]
         falloff = point_light_falloff(dist, point_lights.range[i],
                                       point_lights.intensity_multiplier[i])
         cos_theta = jnp.sum(view_dir_j * (-ldir), axis=-1)
@@ -234,8 +238,10 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     spot_colors = spot_lights.packed_color
     for i in range(spot_lights.count):
         to_pos = world_j - spot_lights.position[i]
-        dist = jnp.linalg.norm(to_pos, axis=-1)
-        ldir = to_pos / jnp.maximum(dist, 1e-9)[..., None]
+        d2 = froxel.dot3(to_pos, to_pos)
+        inv_d = jax.lax.rsqrt(d2 + 1e-18)
+        dist = d2 * inv_d
+        ldir = to_pos * inv_d[..., None]
         cos_angle = froxel.dot3(ldir, spot_lights.direction[i])
         keep = (dist <= spot_lights.range[i]) & (cos_angle >= spot_lights.cos_outer_cone[i])
         cos_theta = jnp.sum(view_dir_j * (-ldir), axis=-1)
