@@ -85,6 +85,12 @@ def main():
         jax.block_until_ready(img)
         times.append(time.perf_counter() - t0)
 
+    # Self-validation: a too-good-to-be-true time with a garbage image means a
+    # wedged device, not a fast renderer.
+    checksum = float(jnp.sum(img))
+    assert bool(jnp.isfinite(img).all()), "non-finite frame output"
+    assert float(jnp.std(img[..., :3])) > 1e-4, "degenerate frame output"
+
     times.sort()
     median_ms = times[len(times) // 2] * 1e3
     best_ms = times[0] * 1e3
@@ -106,7 +112,8 @@ def main():
     post_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     print(f"# best={best_ms:.3f}ms post={post_ms:.3f}ms compile={compile_s:.1f}s "
-          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+          f"checksum={checksum:.1f} device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -57,7 +57,8 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
     packed = np.asarray(dl.packed_color, np.float64) if dl.count else None
     for i in range(dl.count):
         entry = dict(direction=_np(dl.direction[i]), color_packed=packed[i],
-                     has_shadow=bool(dl.has_shadow[i]), shadow=None)
+                     has_shadow=bool(dl.has_shadow[i]),
+                     shadow_strength=float(dl.shadow_strength[i]), shadow=None)
         if dir_shadow is not None and bool(dl.has_shadow[i]):
             entry["shadow"] = dict(
                 atlas=_np(dir_shadow.atlas[i]),
@@ -121,6 +122,15 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
         use_current_matrix_for_reproj=cfg.use_current_matrix_for_reproj,
         reproj_impl=cfg.reproj_impl,
         reproj_window=cfg.reproj_window,
+        shadow_mode=cfg.shadow_mode,
+        geometry=dict(
+            plane_normal=_np(scene.geometry.plane_normal),
+            plane_d=_np(scene.geometry.plane_d),
+            sphere_center=_np(scene.geometry.sphere_center),
+            sphere_radius=_np(scene.geometry.sphere_radius),
+            box_min=_np(scene.geometry.box_min),
+            box_max=_np(scene.geometry.box_max),
+        ),
         time_x=float(time_x),
         media=media,
         dir_lights=dir_lights,

@@ -251,6 +251,39 @@ def scatter_step(acc_l, acc_t, in_scatter, extinction, step_len):
     return acc_l, acc_t
 
 
+def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
+                     max_dist) -> np.ndarray:
+    """Any-hit occlusion against analytic primitives (mirror of
+    ops/raycast.occluded; the shadow_mode="raycast" froxel visibility path).
+    geom keys: plane_normal [P,3], plane_d [P], sphere_center [S,3],
+    sphere_radius [S], box_min/box_max [B,3]. dirs unit."""
+    eps = 1e-4
+    hit = np.zeros(points.shape[:-1], bool)
+    for i in range(len(geom.get("plane_normal", []))):
+        n = geom["plane_normal"][i]
+        denom = dirs @ n
+        t = -(points @ n + geom["plane_d"][i]) / np.where(np.abs(denom) < 1e-9,
+                                                          1e-9, denom)
+        hit |= (t > eps) & (t < max_dist) & (np.abs(denom) > 1e-9)
+    for i in range(len(geom.get("sphere_center", []))):
+        oc = points - geom["sphere_center"][i]
+        b = np.sum(oc * dirs, axis=-1)
+        cq = np.sum(oc * oc, axis=-1) - geom["sphere_radius"][i] ** 2
+        disc = b * b - cq
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = np.where(-b - sq > eps, -b - sq, -b + sq)
+        hit |= (disc > 0.0) & (t > eps) & (t < max_dist)
+    for i in range(len(geom.get("box_min", []))):
+        inv = 1.0 / np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+        t0s = (geom["box_min"][i] - points) * inv
+        t1s = (geom["box_max"][i] - points) * inv
+        tmin = np.max(np.minimum(t0s, t1s), axis=-1)
+        tmax = np.min(np.maximum(t0s, t1s), axis=-1)
+        t = np.where(tmin > eps, tmin, tmax)
+        hit |= (tmax >= tmin) & (t > eps) & (t < max_dist)
+    return hit.astype(np.float64)
+
+
 # --------------------------------------------------------------------------- #
 # Shadow sampling (helper:196-259) — consumes baked map data as numpy arrays
 # --------------------------------------------------------------------------- #
@@ -352,6 +385,8 @@ class OracleFrameInput:
     use_current_matrix_for_reproj: bool = False
     reproj_impl: str = "windowed"
     reproj_window: int = 4
+    shadow_mode: str = "map"
+    geometry: Optional[dict] = None
     time_x: float = 0.0
 
     # media: list of dicts with keys scattering_coef[3], absorption_coef, phase_g,
@@ -441,12 +476,20 @@ def _shadow_volume(inp, p, v2w, jitter):
     centers = froxel_centers(inp.grid)
     world_j = froxel_to_world(p, v2w, centers + jitter)
     for i, light in enumerate(inp.dir_lights):
-        if not light.get("has_shadow", True) or light.get("shadow") is None:
+        if not light.get("has_shadow", True):
             continue
-        sd = light["shadow"]
-        vis = sample_dir_shadow(world_j, sd["atlas"], sd["world_to_uv"],
-                                sd["spheres"], sd["sq_radii"],
-                                sd["strength_r"], sd["bias"])
+        if inp.shadow_mode == "raycast" and inp.geometry is not None:
+            occ = occluded_raycast(inp.geometry, world_j,
+                                   -np.asarray(light["direction"]), 1e4)
+            sr = 1.0 - light.get("shadow_strength", 1.0)
+            vis = sr + (1.0 - sr) * (1.0 - occ)
+        elif light.get("shadow") is not None:
+            sd = light["shadow"]
+            vis = sample_dir_shadow(world_j, sd["atlas"], sd["world_to_uv"],
+                                    sd["spheres"], sd["sq_radii"],
+                                    sd["strength_r"], sd["bias"])
+        else:
+            continue
         vol[i] = vis * vis          # VolumetricShadowCompute.compute:17
     return vol
 
@@ -484,7 +527,11 @@ def _scatter_volume(inp, p, v2w, jitter, mat_a, mat_b, shadow_vol):
         cos_t = np.sum(vdj * (-ldir), axis=-1)
         contrib = (phase_hg(g, cos_t) * fall)[..., None] \
             * np.asarray(light["color_packed"]) * sigma_s
-        if light.get("has_shadow") and light.get("shadow") is not None:
+        if light.get("has_shadow") and inp.shadow_mode == "raycast" \
+                and inp.geometry is not None:
+            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05)
+            contrib = contrib * (1.0 - occ)[..., None]
+        elif light.get("has_shadow") and light.get("shadow") is not None:
             sd = light["shadow"]
             s = sample_cube_shadow(to_pos, sd["faces"], light["range"],
                                    sd["strength_r"], sd["bias"])
@@ -506,7 +553,11 @@ def _scatter_volume(inp, p, v2w, jitter, mat_a, mat_b, shadow_vol):
         cos_t = np.sum(vdj * (-ldir), axis=-1)
         contrib = (phase_hg(g, cos_t) * fall)[..., None] \
             * np.asarray(light["color_packed"]) * sigma_s
-        if light.get("has_shadow") and light.get("shadow") is not None:
+        if light.get("has_shadow") and inp.shadow_mode == "raycast" \
+                and inp.geometry is not None:
+            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05)
+            contrib = contrib * (1.0 - occ)[..., None]
+        elif light.get("has_shadow") and light.get("shadow") is not None:
             sd = light["shadow"]
             s = sample_spot_shadow(world_j, sd["map"], np.asarray(light["position"]),
                                    sd["axes"], sd["tan_half"], light["range"],

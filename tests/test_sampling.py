@@ -9,20 +9,19 @@ from oracle import oracle as onp
 
 def test_shift_sample_equals_trilinear_gather():
     rng = np.random.default_rng(0)
-    vol = rng.uniform(0, 1, (4, 8, 6, 10)).astype(np.float32)  # [C, D, H, W]
+    vol = rng.uniform(0, 1, (8, 6, 10, 4)).astype(np.float32)  # [D, H, W, C]
     for offset in [(0.2, -0.3, 0.4), (0.0, 0.0, 0.0), (-0.49, 0.49, 0.93),
                    (0.33, 0.21, 0.07)]:
         out = np.asarray(sampling.shift_sample_3d(jnp.asarray(vol),
                                                   jnp.asarray(offset, jnp.float32)))
-        d, h, w = vol.shape[1:]
+        d, h, w = vol.shape[:3]
         zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
                                  indexing="ij")
         pos = np.stack([xx + offset[0], yy + offset[1], zz + offset[2]],
                        axis=-1).astype(np.float32)
-        ref = np.asarray(sampling.trilinear_sample_3d(
-            jnp.asarray(np.moveaxis(vol, 0, -1)), jnp.asarray(pos)))
-        np.testing.assert_allclose(out, np.moveaxis(ref, -1, 0), rtol=1e-5,
-                                   atol=1e-5)
+        ref = np.asarray(sampling.trilinear_sample_3d(jnp.asarray(vol),
+                                                      jnp.asarray(pos)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_trilinear_matches_oracle_clamp():

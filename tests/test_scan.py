@@ -23,6 +23,26 @@ def test_scan_equals_sequential():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_blocked_equals_scan():
+    s, e, st = _random_inputs(d=32, seed=7)
+    a = scatter_scan.accumulate_blocked(jnp.asarray(s), jnp.asarray(e),
+                                        jnp.asarray(st), block=8)
+    b = scatter_scan.accumulate_scan(jnp.asarray(s), jnp.asarray(e),
+                                     jnp.asarray(st))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_blocked_nondivisible_falls_back():
+    s, e, st = _random_inputs(d=14, seed=8)
+    a = scatter_scan.accumulate_blocked(jnp.asarray(s), jnp.asarray(e),
+                                        jnp.asarray(st), block=8)
+    b = scatter_scan.accumulate_scan(jnp.asarray(s), jnp.asarray(e),
+                                     jnp.asarray(st))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_scan_matches_oracle_scatter_step_loop():
     s, e, st = _random_inputs(seed=3)
     a = np.asarray(scatter_scan.accumulate_scan(jnp.asarray(s), jnp.asarray(e),

@@ -23,10 +23,9 @@ def test_constant_offset_matches_exact_trilinear():
     vol = rng.random((D, H, W, 4)).astype(np.float32)
     for off in [(0.3, -0.6, 1.2), (0.0, 0.0, 0.0), (-2.5, 1.5, 0.5)]:
         tx, ty, tz = _grid_targets(off)
-        out = windowed_warp_sample_3d(jnp.moveaxis(jnp.asarray(vol), -1, 0),
-                                      jnp.asarray(tx), jnp.asarray(ty),
-                                      jnp.asarray(tz), k=4)
-        out = np.moveaxis(np.asarray(out), 0, -1)
+        out = np.asarray(windowed_warp_sample_3d(
+            jnp.asarray(vol), jnp.asarray(tx), jnp.asarray(ty),
+            jnp.asarray(tz), k=4))
         pos = np.stack([np.clip(tx, 0, W - 1), np.clip(ty, 0, H - 1),
                         np.clip(tz, 0, D - 1)], axis=-1)
         ref = np.asarray(trilinear_sample_3d(jnp.asarray(vol), jnp.asarray(pos)))
@@ -42,10 +41,9 @@ def test_matches_oracle_windowed_warp():
     tx = (xx + 0.8 * np.sin(yy * 0.2)).astype(np.float32)
     ty = (yy + 0.5 * np.cos(xx * 0.15)).astype(np.float32)
     tz = (zz + 0.3 * np.sin(xx * 0.1)).astype(np.float32)
-    out = windowed_warp_sample_3d(jnp.moveaxis(jnp.asarray(vol), -1, 0),
-                                  jnp.asarray(tx), jnp.asarray(ty),
-                                  jnp.asarray(tz), k=3)
-    out = np.moveaxis(np.asarray(out), 0, -1)
+    out = np.asarray(windowed_warp_sample_3d(
+        jnp.asarray(vol), jnp.asarray(tx), jnp.asarray(ty),
+        jnp.asarray(tz), k=3))
     texel = np.stack([tx, ty, tz], axis=-1).astype(np.float64)
     ref = onp.windowed_warp(vol.astype(np.float64), texel, k=3)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -44,7 +44,8 @@ class RenderConfig:
     jitter_dir_scatter: bool = False
 
     # Temporal reprojection resampling: "windowed" = gather-free separable
-    # windowed warp (TPU-native; SPEC "Reprojection sampling"); "gather" =
+    # windowed warp in XLA (SPEC "Reprojection sampling"); "pallas" = same
+    # semantics with all taps VMEM-resident (fastest on TPU); "gather" =
     # joint trilinear via per-element gathers (exact reference semantics;
     # ~1000x slower on TPU, fine on CPU).
     reproj_impl: str = "windowed"
@@ -88,7 +89,8 @@ class RenderConfig:
 # Demo preset mirroring the reference scene (Assets/Scenes/VolumetricRenderer.unity:620-621).
 DEMO_CONFIG = RenderConfig(temporal_blend_alpha=0.84)
 
-# BASELINE.json config 5: 240x135x128 froxels at 1080p.
+# BASELINE.json config 5: 240x135x128 froxels at 1080p. reproj_impl="pallas"
+# is the VMEM-resident warp (fastest on TPU; identical semantics).
 FULL_CONFIG = RenderConfig(
     volume_width=240,
     volume_height=135,
@@ -96,4 +98,5 @@ FULL_CONFIG = RenderConfig(
     image_width=1920,
     image_height=1080,
     temporal_blend_alpha=0.84,
+    reproj_impl="pallas",
 )

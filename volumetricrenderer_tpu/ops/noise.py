@@ -93,6 +93,19 @@ def perlin_3d(uvw, octaves: int = 3, period: int = 4, seed: int = 7, xp=jnp):
     return xp.clip(0.5 + 0.5 * (total / norm) * 1.5, 0.0, 1.0)
 
 
+def interleaved_gradient_noise(pix_coord, frame_count, xp=jnp):
+    """Jimenez 2014 interleaved gradient noise with per-frame scroll — the
+    reference's screen-space dither helper (Random.hlsl:98-104, including its
+    frame 'magic scale' animation). pix_coord [..., 2] -> [...] in [0, 1)."""
+    magic_xy = xp.asarray([0.06711056, 0.00583715], xp.float32)
+    frame_scale = xp.asarray([2.083, 4.867], xp.float32)
+    p = pix_coord + xp.asarray(frame_count, xp.float32) * frame_scale
+    d = p[..., 0] * magic_xy[0] + p[..., 1] * magic_xy[1]
+    frac = d - xp.floor(d)
+    v = 52.9829189 * frac
+    return v - xp.floor(v)
+
+
 def perlin_texture_3d(size: int = 32, octaves: int = 3, period: int = 4,
                       seed: int = 7) -> np.ndarray:
     """Bake an [size, size, size] float32 tileable noise texture (z, y, x order),

@@ -1,0 +1,131 @@
+"""Pallas windowed-warp resampling (temporal reprojection fast path).
+
+Semantics identical to ops/warp.windowed_warp_sample_3d (three sequential 1D
+windowed tent passes, SPEC "Reprojection sampling"), but each axis pass is a
+Pallas kernel whose (2k+2) taps stay in VMEM. The XLA version materializes
+every padded copy and shifted slice in HBM (~50 GB/s effective, measured
+~25 ms/frame for the blends); here traffic is one read + one write per pass.
+
+Layout: volumes enter as [D, H, W, C] and are viewed as [D, H, W*C] (lanes =
+W*C, Mosaic-friendly); x-axis shifts become lane shifts by C. Per-element tent
+weights are built in-kernel from the target-coordinate block and broadcast
+across C with pltpu.repeat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _edge_pad(x: jax.Array, axis: int, k: int) -> jax.Array:
+    # static slices only (jnp.take lowers to a gather inside Mosaic)
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(0, 1)
+    hi[axis] = slice(x.shape[axis] - 1, x.shape[axis])
+    return jnp.concatenate([x[tuple(lo)]] * k + [x] + [x[tuple(hi)]] * k,
+                           axis=axis)
+
+
+def _pass_kernel(t_ref, vol_ref, out_ref, *, axis: int, k: int, c: int):
+    """One windowed tent pass along `axis` (0=z, 1=y, 2=x-in-lane-units).
+
+    t_ref: [bd, bh, W*C] target coords pre-interleaved per channel (XLA-side
+    jnp.repeat — pltpu.repeat tiles whole rows, it does not interleave);
+    vol_ref/out_ref: [bd, bh, W*C]."""
+    target = t_ref[:]
+    if axis < 2:
+        base = jax.lax.broadcasted_iota(jnp.int32, target.shape,
+                                        axis).astype(jnp.float32)
+    else:
+        base = (jax.lax.broadcasted_iota(jnp.int32, target.shape, 2)
+                // c).astype(jnp.float32)
+    off = jnp.clip(target - base, -k, k)
+
+    vol = vol_ref[:]
+    shift = c if axis == 2 else 1
+    pad_axis = 2 if axis == 2 else axis
+    padded = _edge_pad(vol, pad_axis, (k + 1) * shift)
+
+    acc = jnp.zeros_like(vol)
+    for d in range(-k, k + 2):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(off - d))
+        start = (k + 1 + d) * shift
+        idx = [slice(None)] * 3
+        idx[pad_axis] = slice(start, start + vol.shape[pad_axis])
+        acc = acc + padded[tuple(idx)] * w
+    out_ref[:] = acc
+
+
+def _run_pass(vol_m: jax.Array, target: jax.Array, axis: int, k: int, c: int,
+              interpret: bool) -> jax.Array:
+    """vol_m [D, H, W*C]; target [D, H, W]. Grid keeps the pass axis whole."""
+    target_m = jnp.repeat(target, c, axis=-1) if c > 1 else target
+    h_orig, wc_orig = vol_m.shape[1], vol_m.shape[2]
+
+    kernel = functools.partial(_pass_kernel, axis=axis, k=k, c=c)
+
+    if axis == 0:
+        # The z-pass holds full D per block, so both H and the lane dim must
+        # tile: pad H to 8s and lanes to 128s (rows/lanes are independent in
+        # this pass; padding is sliced off after). Mosaic block dims must be
+        # (8, 128)-divisible; full-D blocks over the whole lane width blow
+        # VMEM (measured).
+        if h_orig % 8:
+            pr = 8 - h_orig % 8
+            vol_m = jnp.concatenate([vol_m] + [vol_m[:, -1:]] * pr, axis=1)
+            target_m = jnp.concatenate(
+                [target_m] + [target_m[:, -1:]] * pr, axis=1)
+        if wc_orig % 128:
+            pc = 128 - wc_orig % 128
+            vol_m = jnp.pad(vol_m, ((0, 0), (0, 0), (0, pc)))
+            target_m = jnp.pad(target_m, ((0, 0), (0, 0), (0, pc)))
+        d, h, wc = vol_m.shape
+        bwc = 256 if wc % 256 == 0 else 128
+        grid = (h // 8, wc // bwc)
+        spec = pl.BlockSpec((d, 8, bwc), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=[spec, spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((d, h, wc), vol_m.dtype),
+            interpret=interpret,
+        )(target_m, vol_m)
+        return out[:, :h_orig, :wc_orig]
+
+    # y/x passes keep H (and lanes) whole and tile D thinly — small blocks are
+    # plenty fast (measured 0.02-0.05 ms per pass at full size with bd=2).
+    d, h, wc = vol_m.shape
+    bd = 2 if d % 2 == 0 else 1
+    spec = pl.BlockSpec((bd, h, wc), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(d // bd,), in_specs=[spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((d, h, wc), vol_m.dtype),
+        interpret=interpret,
+    )(target_m, vol_m)
+
+
+def windowed_warp_pallas(vol: jax.Array, target_x: jax.Array,
+                         target_y: jax.Array, target_z: jax.Array,
+                         k: int = 4, interpret: bool = False) -> jax.Array:
+    """Drop-in equivalent of ops.warp.windowed_warp_sample_3d."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
+    d, h, w, c = vol.shape
+    tz = jnp.clip(target_z, 0.0, d - 1.0)
+    ty = jnp.clip(target_y, 0.0, h - 1.0)
+    tx = jnp.clip(target_x, 0.0, w - 1.0)
+
+    vol_m = vol.reshape(d, h, w * c)
+    vol_m = _run_pass(vol_m, tz, 0, k, c, interpret)
+    vol_m = _run_pass(vol_m, ty, 1, k, c, interpret)
+    vol_m = _run_pass(vol_m, tx, 2, k, c, interpret)
+    out = vol_m.reshape(d, h, w, c)
+    return out[..., 0] if squeeze else out

@@ -27,10 +27,13 @@ from jax import lax
 
 
 def shift_sample_3d(vol: jax.Array, offset: jax.Array) -> jax.Array:
-    """Sample vol[..., D, H, W] for every cell center at texel coords
-    (z+oz, y+oy, x+ox), clamp-to-edge. offset = (ox, oy, oz), traced scalars,
-    each in (-1, 1)+[0,1) range (any real works). Returns same shape as vol.
-    """
+    """Sample vol [D, H, W] or [D, H, W, C] for every cell center at texel
+    coords (z+oz, y+oy, x+ox), clamp-to-edge. offset = (ox, oy, oz), traced
+    scalars. Channels stay LAST (C-minor transposes are expensive on TPU).
+    Returns same shape as vol."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
     ox, oy, oz = offset[0], offset[1], offset[2]
     ix = jnp.floor(ox)
     iy = jnp.floor(oy)
@@ -39,13 +42,11 @@ def shift_sample_3d(vol: jax.Array, offset: jax.Array) -> jax.Array:
     fy = oy - iy
     fz = oz - iz
 
-    d, h, w = vol.shape[-3:]
-    lead = vol.shape[:-3]
+    d, h, w, c = vol.shape
     # Pad 2 on each side so base offsets in {-2..2} stay in bounds for any
     # single-cell jitter; clamp-to-edge via edge padding.
     pad = 2
-    pvol = jnp.pad(vol, [(0, 0)] * len(lead) + [(pad, pad)] * 3, mode="edge")
-    flat = pvol.reshape((-1,) + pvol.shape[-3:])
+    pvol = jnp.pad(vol, [(pad, pad)] * 3 + [(0, 0)], mode="edge")
 
     iz0 = (iz.astype(jnp.int32) + pad).clip(0, 2 * pad)
     iy0 = (iy.astype(jnp.int32) + pad).clip(0, 2 * pad)
@@ -53,9 +54,9 @@ def shift_sample_3d(vol: jax.Array, offset: jax.Array) -> jax.Array:
 
     def tap(dz, dy, dx):
         return lax.dynamic_slice(
-            flat,
-            (jnp.int32(0), iz0 + dz, iy0 + dy, ix0 + dx),
-            (flat.shape[0], d, h, w),
+            pvol,
+            (iz0 + dz, iy0 + dy, ix0 + dx, jnp.int32(0)),
+            (d, h, w, c),
         )
 
     wz0, wz1 = (1.0 - fz), fz
@@ -71,7 +72,7 @@ def shift_sample_3d(vol: jax.Array, offset: jax.Array) -> jax.Array:
         + tap(1, 1, 0) * (wz1 * wy1 * wx0)
         + tap(1, 1, 1) * (wz1 * wy1 * wx1)
     )
-    return out.reshape(vol.shape)
+    return out[..., 0] if squeeze else out
 
 
 def trilinear_sample_3d(vol: jax.Array, pos_texel: jax.Array,

@@ -71,6 +71,48 @@ def accumulate_scan(in_scatter: jax.Array, extinction: jax.Array,
     return jnp.concatenate([l_acc, t_acc[..., None]], axis=-1)
 
 
+def accumulate_blocked(in_scatter: jax.Array, extinction: jax.Array,
+                       step_lengths: jax.Array, block: int = 8) -> jax.Array:
+    """Two-level scan: unrolled sequential prefixes within Z-blocks (one fused
+    sweep over the data) + an associative scan over the per-block totals +
+    one combine sweep. ~3 volume sweeps of HBM traffic vs associative_scan's
+    ~2*log2(D); same math, same result to f32 tolerance."""
+    d = in_scatter.shape[0]
+    if d % block:
+        return accumulate_scan(in_scatter, extinction, step_lengths)
+    nb = d // block
+    bshape = (-1,) + (1,) * (extinction.ndim - 1)
+    steps = step_lengths.reshape(bshape)
+    s, t = slice_integral(in_scatter, extinction, steps)
+
+    sb = s.reshape((nb, block) + s.shape[1:])
+    tb = t.reshape((nb, block) + t.shape[1:])
+
+    # 1. within-block inclusive prefixes (static unroll -> one fused pass)
+    l_list, t_list = [sb[:, 0]], [tb[:, 0]]
+    for i in range(1, block):
+        l_list.append(l_list[-1] + t_list[-1][..., None] * sb[:, i])
+        t_list.append(t_list[-1] * tb[:, i])
+    l_in = jnp.stack(l_list, axis=1)     # [nb, block, ..., 3]
+    t_in = jnp.stack(t_list, axis=1)     # [nb, block, ...]
+
+    # 2. exclusive prefix over block totals (tiny: nb elements)
+    def combine(a, b):
+        return (a[0] + a[1][..., None] * b[0], a[1] * b[1])
+
+    tot_l, tot_t = jax.lax.associative_scan(
+        combine, (l_in[:, -1], t_in[:, -1]), axis=0)
+    pre_l = jnp.concatenate([jnp.zeros_like(tot_l[:1]), tot_l[:-1]], axis=0)
+    pre_t = jnp.concatenate([jnp.ones_like(tot_t[:1]), tot_t[:-1]], axis=0)
+
+    # 3. combine: out = pre (+) within
+    l_acc = pre_l[:, None] + pre_t[:, None, ..., None] * l_in
+    t_acc = pre_t[:, None] * t_in
+    l_acc = l_acc.reshape((d,) + s.shape[1:])
+    t_acc = t_acc.reshape((d,) + t.shape[1:])
+    return jnp.concatenate([l_acc, t_acc[..., None]], axis=-1)
+
+
 def accumulate_sequential(in_scatter: jax.Array, extinction: jax.Array,
                           step_lengths: jax.Array) -> jax.Array:
     """Reference-shaped sequential loop (lax.scan over Z) — used by tests to

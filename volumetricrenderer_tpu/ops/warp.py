@@ -31,17 +31,15 @@ from jax import lax
 
 
 def _axis_pass(vol: jax.Array, target: jax.Array, axis: int, k: int) -> jax.Array:
-    """1D windowed linear resample of `vol` along `axis` at per-element
-    `target` coordinates (in index units of that axis). vol [..., D, H, W]
-    (channels leading, if any); target [D, H, W]. Offsets clamp to [-k, k]."""
+    """1D windowed linear resample of `vol` along spatial `axis` (0=z, 1=y,
+    2=x) at per-element `target` coordinates (in index units of that axis).
+    vol [D, H, W, C] (channels LAST — no relayout on TPU; channel-moving
+    transposes of C-minor volumes cost ~10 ms at full size, measured);
+    target [D, H, W]. Offsets clamp to [-k, k]."""
     n = vol.shape[axis]
-    # index of this output element along the axis
-    shape3 = target.shape
-    ax3 = axis - (vol.ndim - 3)  # axis within the trailing 3 dims (0,1,2)
-    base = lax.broadcasted_iota(jnp.float32, shape3, ax3)
+    base = lax.broadcasted_iota(jnp.float32, target.shape, axis)
     off = jnp.clip(target - base, -k, k)
 
-    lead = vol.ndim - 3
     pad_cfg = [(0, 0)] * vol.ndim
     pad_cfg[axis] = (k + 1, k + 1)
     pvol = jnp.pad(vol, pad_cfg, mode="edge")
@@ -51,10 +49,7 @@ def _axis_pass(vol: jax.Array, target: jax.Array, axis: int, k: int) -> jax.Arra
         w = jnp.maximum(0.0, 1.0 - jnp.abs(off - d))
         idx = [slice(None)] * vol.ndim
         idx[axis] = slice(k + 1 + d, k + 1 + d + n)
-        shifted = pvol[tuple(idx)]
-        if lead:
-            w = w[None]
-        out = out + shifted * w
+        out = out + pvol[tuple(idx)] * w[..., None]
     return out
 
 
@@ -63,16 +58,16 @@ def windowed_warp_sample_3d(vol: jax.Array, target_x: jax.Array,
                             k: int = 4) -> jax.Array:
     """Resample vol at per-element texel coords (target_x/y/z), each [D, H, W],
     via three sequential windowed 1D passes (z, y, x). vol is [D, H, W] or
-    [C, D, H, W] (channels leading). Clamp-to-edge outside the volume (targets
+    [D, H, W, C] (channels last). Clamp-to-edge outside the volume (targets
     are clamped to valid texel range first, matching a clamp sampler)."""
     squeeze = vol.ndim == 3
     if squeeze:
-        vol = vol[None]
-    _, d, h, w = vol.shape
+        vol = vol[..., None]
+    d, h, w, _ = vol.shape
     tz = jnp.clip(target_z, 0.0, d - 1.0)
     ty = jnp.clip(target_y, 0.0, h - 1.0)
     tx = jnp.clip(target_x, 0.0, w - 1.0)
-    out = _axis_pass(vol, tz, 1, k)
-    out = _axis_pass(out, ty, 2, k)
-    out = _axis_pass(out, tx, 3, k)
-    return out[0] if squeeze else out
+    out = _axis_pass(vol, tz, 0, k)
+    out = _axis_pass(out, ty, 1, k)
+    out = _axis_pass(out, tx, 2, k)
+    return out[..., 0] if squeeze else out

@@ -33,7 +33,7 @@ from volumetricrenderer_tpu.ops.phase import henyey_greenstein, rgb_to_gray, smo
 from volumetricrenderer_tpu.ops.sampling import (shift_sample_3d,
                                                  trilinear_sample_3d)
 from volumetricrenderer_tpu.ops.warp import windowed_warp_sample_3d
-from volumetricrenderer_tpu.ops.scatter_scan import accumulate_scan
+from volumetricrenderer_tpu.ops.scatter_scan import accumulate_blocked
 
 
 # --------------------------------------------------------------------------- #
@@ -275,12 +275,11 @@ def accumulate(cfg: RenderConfig, params: FroxelParams, jitter: jax.Array,
     The in-kernel trilinear fetch at the jittered froxel pos (compute:187-188)
     is a constant-offset stencil -> gather-free shift_sample_3d."""
     # Texel coord of jittered center i+0.5+j is i+j -> offset = jitter.
-    sampled = shift_sample_3d(jnp.moveaxis(scatter, -1, 0), jitter)
-    sampled = jnp.moveaxis(sampled, 0, -1)
+    sampled = shift_sample_3d(scatter, jitter)
     in_scatter = sampled[..., :3]
     extinction = sampled[..., 3]
     steps = step_lengths(cfg, params)
-    return accumulate_scan(in_scatter, extinction, steps, axis=0)
+    return accumulate_blocked(in_scatter, extinction, steps)
 
 
 # --------------------------------------------------------------------------- #
@@ -317,10 +316,10 @@ def _sample_prev(cfg: RenderConfig, vol: jax.Array, texel: jax.Array
     if cfg.reproj_impl == "gather":
         return trilinear_sample_3d(vol, texel)
     tx, ty, tz = texel[..., 0], texel[..., 1], texel[..., 2]
-    if vol.ndim == 4:
-        out = windowed_warp_sample_3d(jnp.moveaxis(vol, -1, 0), tx, ty, tz,
-                                      cfg.reproj_window)
-        return jnp.moveaxis(out, 0, -1)
+    if cfg.reproj_impl == "pallas":
+        from volumetricrenderer_tpu.ops.pallas.warp import windowed_warp_pallas
+        return windowed_warp_pallas(vol, tx, ty, tz, cfg.reproj_window,
+                                    interpret=jax.default_backend() != "tpu")
     return windowed_warp_sample_3d(vol, tx, ty, tz, cfg.reproj_window)
 
 
