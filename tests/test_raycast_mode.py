@@ -76,3 +76,19 @@ def test_interleaved_gradient_noise_range_and_variation():
     assert np.abs(v0 - v1).max() > 0.1
     vn = interleaved_gradient_noise(np.stack([xx, yy], -1), 0, xp=np)
     np.testing.assert_allclose(v0, vn, atol=1e-5)
+
+
+def test_raycast_subsample_close_to_full():
+    import dataclasses
+    r_full = VolumetricRenderer(CFG)
+    r_half = VolumetricRenderer(dataclasses.replace(CFG, raycast_shadow_subsample=2))
+    scene = _scene()
+    _, aux_f, _ = jax.jit(lambda s, sc: r_full.render_frame(s, sc, 0.0))(
+        r_full.init_state(1), scene)
+    _, aux_h, _ = jax.jit(lambda s, sc: r_half.render_frame(s, sc, 0.0))(
+        r_half.init_state(1), scene)
+    a = np.asarray(aux_f["scatter"])
+    b = np.asarray(aux_h["scatter"])
+    assert np.isfinite(b).all()
+    # same lighting except shadow-edge froxels
+    assert np.mean(np.abs(a - b) / (1 + np.abs(a))) < 0.05

@@ -57,6 +57,11 @@ class RenderConfig:
     shadow_distance: float = 100.0       # QualitySettings.asset:155-156 (100m)
     cascade_splits: Tuple[float, ...] = (0.067, 0.2, 0.467, 1.0)
     shadow_mode: str = "map"             # "map" (PCF taps, parity) | "raycast" (analytic fast path)
+    # Raycast-mode local-light shadow rays at 1/N XY froxel resolution
+    # (nearest-upsampled). 1 = per-froxel (parity with the reference's
+    # per-froxel shadow taps); 2 = quarter ray count, the usual production
+    # half-res volumetric-shadow tradeoff.
+    raycast_shadow_subsample: int = 1
 
     # Output image.
     image_width: int = 1280

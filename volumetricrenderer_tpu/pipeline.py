@@ -190,6 +190,22 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     world_c = froxel_world_positions(cfg, params, view_to_world, None)
     world_j = froxel_world_positions(cfg, params, view_to_world, jitter)
 
+    # Optional reduced-rate local shadow rays (cfg.raycast_shadow_subsample):
+    # occlusion computed on a subsampled XY grid, nearest-upsampled back.
+    ss = max(int(cfg.raycast_shadow_subsample), 1)
+
+    def shadow_ray(light_pos, has_shadow):
+        wp = world_j[:, ::ss, ::ss] if ss > 1 else world_j
+        to_pos = wp - light_pos
+        d2s = froxel.dot3(to_pos, to_pos)
+        inv = jax.lax.rsqrt(d2s + 1e-18)
+        occ = raycast.occluded(geometry, wp, -(to_pos * inv[..., None]),
+                               d2s * inv - 0.05)
+        if ss > 1:
+            occ = jnp.repeat(jnp.repeat(occ, ss, axis=1), ss, axis=2)
+            occ = occ[:, :h, :w]
+        return jnp.where(has_shadow, 1.0 - occ, 1.0)
+
     light_rgb = jnp.zeros((d, h, w, 3), jnp.float32)
     extinction = jnp.zeros((d, h, w), jnp.float32)
 
@@ -225,8 +241,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * point_colors[i] * sigma_s
         if cfg.shadow_mode == "raycast" and geometry is not None:
-            occ = raycast.occluded(geometry, world_j, -ldir, dist - 0.05)
-            s = jnp.where(point_lights.has_shadow[i], 1.0 - occ, 1.0)
+            s = shadow_ray(point_lights.position[i], point_lights.has_shadow[i])
             contrib = contrib * s[..., None]
         elif cube_shadow is not None:
             s = shadow_lib.sample_cube_shadow(cube_shadow, i, to_pos)
@@ -252,8 +267,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * spot_colors[i] * sigma_s
         if cfg.shadow_mode == "raycast" and geometry is not None:
-            occ = raycast.occluded(geometry, world_j, -ldir, dist - 0.05)
-            s = jnp.where(spot_lights.has_shadow[i], 1.0 - occ, 1.0)
+            s = shadow_ray(spot_lights.position[i], spot_lights.has_shadow[i])
             contrib = contrib * s[..., None]
         elif spot_shadow is not None:
             s = shadow_lib.sample_spot_shadow(spot_shadow, i, world_j)
