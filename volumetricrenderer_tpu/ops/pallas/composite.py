@@ -3,25 +3,22 @@
 The composite (VolumetricRenderer.shader:69-93) trilinearly samples the
 accumulation volume at (W*u, H*v, fz(depth)) per pixel. A per-pixel gather is
 ~8 ns/element on the TPU scalar core (measured) — 2M pixels x 8 taps ~ 0.5 s.
-This kernel removes every gather:
+This kernel removes every gather AND keeps f32-exact results on the bf16 MXU:
 
 - Screen XY maps to the froxel grid *regularly* (integer pixels-per-froxel), so
   the XY taps are static shifts with static per-pixel-in-cell weights.
-- The per-pixel Z interpolation becomes a tent-weight matrix contracted against
-  the accumulation slab on the MXU: for each froxel row y, pixels grouped by
-  froxel cell form T [W_cells, px_per_cell^2, D] which multiplies the
-  (pre-transposed) accumulation rows — batched matmuls whose contraction masks
-  out all but the two z-slices each pixel's tent touches. Exactly trilinear,
-  zero gathers, MXU throughput.
+- The per-pixel Z lerp is done with 0/1 *selection* matrices S0/S1
+  (S0[p, z] = [z == floor(fz_p)]) — exactly representable in bf16 — contracted
+  against a hi/lo bf16 split of the accumulation rows: S@A_hi + S@A_lo
+  reconstructs the f32 slice values to ~2^-17, and the fractional lerp runs in
+  f32 on the VPU. Exact trilinear without Precision.HIGHEST (which crashes
+  Mosaic, PERF.md).
 
-Layout notes (Mosaic constraints, found empirically): every ref keeps a
-lane-friendly minor dim — the accumulation is pre-transposed to [H, W, C, D]
-(z in lanes) and pixel-grouped arrays keep cellpx minor; lane-splitting
-reshapes and tiny (3/4-wide) minor dims are avoided.
+Mosaic constraints honored (PERF.md): no integer row indexing, no lane-split
+reshapes, cellpx chunked for VMEM, int32 iota.
 
-Requires image dims to be integer multiples of the froxel XY dims (the
-BASELINE configs are 8x); the renderer falls back to the XLA gather path
-otherwise (pipeline.composite).
+Requires image dims to be integer multiples of the froxel XY dims; the renderer
+falls back to the XLA paths otherwise (pipeline.composite).
 """
 
 from __future__ import annotations
@@ -53,38 +50,44 @@ def _cell_weights(py: int, px: int) -> np.ndarray:
     return out.reshape(9, py * px)
 
 
-def _kernel(wmat_ref, fz_ref, rowm_ref, row0_ref, rowp_ref,
+def _kernel(wmat_ref, fz_ref, rm_hi, r0_hi, rp_hi, rm_lo, r0_lo, rp_lo,
             out_ref, *, d: int, w: int, cellpx: int, chunk: int):
-    # Mosaic notes (all found empirically): precision=HIGHEST crashes the
-    # compiler; integer row indexing lowers to an unsupported gather (use
-    # 1-wide slices); lane-dim concats of many pieces crash — fold the static
-    # XY weights into the tent instead and sum the 9 corner dots; contract
-    # t's minor dim against rhs's sublane dim (the fast matmul orientation);
-    # chunk cellpx so the tent tensor fits VMEM.
-    rows = [rowm_ref[0], row0_ref[0], rowp_ref[0]]   # [W, D, C] each
-    c = rows[0].shape[-1]
-    wmat = wmat_ref[:]                               # [9, cellpx]
-    padded = [jnp.concatenate([r[:1], r, r[-1:]], axis=0) for r in rows]
+    rows_hi = [rm_hi[0], r0_hi[0], rp_hi[0]]     # [W, D, C] bf16
+    rows_lo = [rm_lo[0], r0_lo[0], rp_lo[0]]
+    c = rows_hi[0].shape[-1]
+    wmat = wmat_ref[:]                           # [9, cellpx] f32
+
+    def pad(r):
+        return jnp.concatenate([r[:1], r, r[-1:]], axis=0)
+
+    padded_hi = [pad(r) for r in rows_hi]
+    padded_lo = [pad(r) for r in rows_lo]
 
     chunks = []
     for c0 in range(0, cellpx, chunk):
-        fz = fz_ref[0][:, c0:c0 + chunk]             # [W, chunk]
-        # Tent weights over z mask all but each pixel's two z-slices, so the
-        # batched matmuls below ARE the per-pixel z-lerp (exact trilinear).
-        zi = jax.lax.broadcasted_iota(
-            jnp.int32, (w, chunk, d), 2).astype(jnp.float32)
-        t = jnp.maximum(0.0, 1.0 - jnp.abs(fz[..., None] - zi))
+        fz = fz_ref[0][:, c0:c0 + chunk]         # [W, chunk]
+        z0 = jnp.floor(fz)
+        frac = (fz - z0)[..., None]              # [W, chunk, 1]
+        zi = jax.lax.broadcasted_iota(jnp.int32, (w, chunk, d), 2)
+        z0i = z0.astype(jnp.int32)[..., None]
+        s0 = (zi == z0i).astype(jnp.bfloat16)    # exact 0/1 selection
+        s1 = (zi == jnp.minimum(z0i + 1, d - 1)).astype(jnp.bfloat16)
 
         out = jnp.zeros((w, chunk, c), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 k = dy * 3 + dx
-                tw = t * wmat[k:k + 1, c0:c0 + chunk].T[None]
-                out = out + jax.lax.dot_general(
-                    tw, padded[dy][dx:dx + w],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)   # [W, chunk, C]
 
+                def sel(s, a):
+                    return jax.lax.dot_general(
+                        s, a[dx:dx + w],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+
+                a0 = sel(s0, padded_hi[dy]) + sel(s0, padded_lo[dy])
+                a1 = sel(s1, padded_hi[dy]) + sel(s1, padded_lo[dy])
+                corner = a0 + frac * (a1 - a0)   # f32 z-lerp
+                out = out + corner * wmat[k:k + 1, c0:c0 + chunk].T[None]
         chunks.append(out)
     out_ref[0] = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
 
@@ -101,17 +104,13 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     cellpx = py * px
 
     def group(img):
-        """[IH, IW(, C)] -> [h, w(, C), cellpx] with channels ahead of pixels."""
-        chans = img.shape[2:]
-        g = img.reshape((h, py, w, px) + chans)
-        g = jnp.moveaxis(g, 1, 2)                # [h, w, py, px, ...]
-        g = g.reshape((h, w, cellpx) + chans)
-        if chans:
-            g = jnp.moveaxis(g, -1, 2)           # [h, w, C, cellpx]
-        return g
+        g = img.reshape(h, py, w, px)
+        return jnp.moveaxis(g, 1, 2).reshape(h, w, cellpx)
 
     fz_c = group(jnp.clip(fz_texel, 0.0, d - 1.0))
-    acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))   # [H, W, D, C]
+    acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))   # [H, W, D, C] f32
+    acc_hi = acc_t.astype(jnp.bfloat16)
+    acc_lo = (acc_t - acc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     weights = jnp.asarray(_cell_weights(py, px))
     chunk = cellpx if cellpx <= 32 else 32
@@ -122,7 +121,8 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     def clamp_idx(off):
         return lambda i: (jnp.clip(i + off, 0, h - 1), 0, 0, 0)
 
-
+    acc_spec = [pl.BlockSpec((1, w, d, 4), clamp_idx(off),
+                             memory_space=pltpu.VMEM) for off in (-1, 0, 1)]
     out_c = pl.pallas_call(
         kernel,
         grid=(h,),
@@ -130,17 +130,13 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
             pl.BlockSpec((9, cellpx), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w, cellpx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, d, 4), clamp_idx(-1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, d, 4), clamp_idx(0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, d, 4), clamp_idx(1), memory_space=pltpu.VMEM),
-        ],
+        ] + acc_spec + acc_spec,
         out_specs=pl.BlockSpec((1, w, cellpx, 4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w, cellpx, 4), jnp.float32),
         interpret=interpret,
-    )(weights, fz_c, acc_t, acc_t, acc_t)
+    )(weights, fz_c, acc_hi, acc_hi, acc_hi, acc_lo, acc_lo, acc_lo)
 
-    # Ungroup and blend over the scene color in XLA (fused elementwise).
     out = out_c.reshape(h, w, py, px, 4)
     out = jnp.moveaxis(out, 2, 1).reshape(ih, iw, 4)
     trans = out[..., 3:4]
