@@ -61,3 +61,19 @@ def test_media_and_geometry_removal():
     scene = b.build()
     assert len(scene.media) == 1
     assert scene.geometry.box_min.shape[0] == 0
+
+
+def test_bfloat16_volume_storage():
+    import dataclasses
+    import jax.numpy as jnp
+    cfg = dataclasses.replace(CFG, volume_dtype="bfloat16")
+    b = _builder()
+    b.add_directional_light((0.3, -0.7, 0.5), (1, 1, 1), 2.0, has_shadow=False)
+    scene = b.build()
+    r = VolumetricRenderer(cfg)
+    state = r.init_state(1)
+    assert state.prev_accumulation.dtype == jnp.bfloat16
+    img, _, s2 = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(state, scene)
+    img2, _, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(s2, scene)
+    assert np.isfinite(np.asarray(img2)).all()
+    assert s2.prev_accumulation.dtype == jnp.bfloat16

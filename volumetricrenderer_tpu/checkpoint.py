@@ -33,3 +33,16 @@ def load_state(path: str, like: FrameState) -> FrameState:
         if a.shape != b.shape:
             raise ValueError(f"checkpoint shape {a.shape} != state {b.shape}")
     return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def save_state_orbax(path: str, state: FrameState) -> None:
+    """Async/distributed-capable checkpoint via orbax (same pytree)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_state_orbax(path: str, like: FrameState) -> FrameState:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)

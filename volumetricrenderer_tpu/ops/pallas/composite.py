@@ -9,13 +9,13 @@ This kernel removes every gather AND keeps f32-exact results on the bf16 MXU:
   the XY taps are static shifts with static per-pixel-in-cell weights.
 - The per-pixel Z lerp is done with 0/1 *selection* matrices S0/S1
   (S0[p, z] = [z == floor(fz_p)]) — exactly representable in bf16 — contracted
-  against a hi/lo bf16 split of the accumulation rows: S@A_hi + S@A_lo
-  reconstructs the f32 slice values to ~2^-17, and the fractional lerp runs in
-  f32 on the VPU. Exact trilinear without Precision.HIGHEST (which crashes
-  Mosaic, PERF.md).
-
-Mosaic constraints honored (PERF.md): no integer row indexing, no lane-split
-reshapes, cellpx chunked for VMEM, int32 iota.
+  against a hi/lo bf16 split of the accumulation rows (concatenated on the
+  channel axis, split after the dot): the f32 slice values are reconstructed to
+  ~2^-17 and the fractional lerp runs in f32 on the VPU. Exact trilinear
+  without Precision.HIGHEST (which crashes Mosaic, PERF.md).
+- The 9 XY corners run as an inner grid dimension accumulating into the same
+  output block (Mosaic crashed on kernels holding many batched dots; one or two
+  per grid step compile fine — PERF.md).
 
 Requires image dims to be integer multiples of the froxel XY dims; the renderer
 falls back to the XLA paths otherwise (pipeline.composite).
@@ -50,46 +50,43 @@ def _cell_weights(py: int, px: int) -> np.ndarray:
     return out.reshape(9, py * px)
 
 
-def _kernel(wmat_ref, fz_ref, rm_hi, r0_hi, rp_hi, rm_lo, r0_lo, rp_lo,
-            out_ref, *, d: int, w: int, cellpx: int, chunk: int):
-    rows_hi = [rm_hi[0], r0_hi[0], rp_hi[0]]     # [W, D, C] bf16
-    rows_lo = [rm_lo[0], r0_lo[0], rp_lo[0]]
-    c = rows_hi[0].shape[-1]
-    wmat = wmat_ref[:]                           # [9, cellpx] f32
+def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, w: int,
+            cellpx: int):
+    """Grid (h, 9): froxel row x XY-corner. row_ref is the dy-selected,
+    x-pre-padded hi||lo row [1, W+2, D, 2C]; the dx shift is a dynamic slice."""
+    k = pl.program_id(1)
+    dx = k % 3
 
-    def pad(r):
-        return jnp.concatenate([r[:1], r, r[-1:]], axis=0)
+    fz = fz_ref[0]                               # [W, cellpx]
+    z0 = jnp.floor(fz)
+    frac = (fz - z0)[..., None]
+    zi = jax.lax.broadcasted_iota(jnp.int32, (w, cellpx, d), 2)
+    z0i = z0.astype(jnp.int32)[..., None]
+    s0 = (zi == z0i).astype(jnp.bfloat16)        # exact 0/1 selection
+    s1 = (zi == jnp.minimum(z0i + 1, d - 1)).astype(jnp.bfloat16)
 
-    padded_hi = [pad(r) for r in rows_hi]
-    padded_lo = [pad(r) for r in rows_lo]
+    row = row_ref[0, pl.ds(dx, w)]               # [W, D, 2C] bf16
 
-    chunks = []
-    for c0 in range(0, cellpx, chunk):
-        fz = fz_ref[0][:, c0:c0 + chunk]         # [W, chunk]
-        z0 = jnp.floor(fz)
-        frac = (fz - z0)[..., None]              # [W, chunk, 1]
-        zi = jax.lax.broadcasted_iota(jnp.int32, (w, chunk, d), 2)
-        z0i = z0.astype(jnp.int32)[..., None]
-        s0 = (zi == z0i).astype(jnp.bfloat16)    # exact 0/1 selection
-        s1 = (zi == jnp.minimum(z0i + 1, d - 1)).astype(jnp.bfloat16)
+    def sel(s):
+        o = jax.lax.dot_general(
+            s, row, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [W, cellpx, 2C]
+        c = o.shape[-1] // 2
+        return o[..., :c] + o[..., c:]           # hi + lo -> f32 slice value
 
-        out = jnp.zeros((w, chunk, c), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                k = dy * 3 + dx
+    a0 = sel(s0)
+    a1 = sel(s1)
+    corner = a0 + frac * (a1 - a0)               # f32 z-lerp
+    wrow = wmat_ref[pl.ds(k, 1)]                 # [1, cellpx]
+    contrib = corner * wrow.T[None]
 
-                def sel(s, a):
-                    return jax.lax.dot_general(
-                        s, a[dx:dx + w],
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = contrib
 
-                a0 = sel(s0, padded_hi[dy]) + sel(s0, padded_lo[dy])
-                a1 = sel(s1, padded_hi[dy]) + sel(s1, padded_lo[dy])
-                corner = a0 + frac * (a1 - a0)   # f32 z-lerp
-                out = out + corner * wmat[k:k + 1, c0:c0 + chunk].T[None]
-        chunks.append(out)
-    out_ref[0] = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+    @pl.when(k > 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
 
 
 def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
@@ -109,33 +106,34 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
 
     fz_c = group(jnp.clip(fz_texel, 0.0, d - 1.0))
     acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))   # [H, W, D, C] f32
+    acc_t = jnp.concatenate([acc_t[:, :1], acc_t, acc_t[:, -1:]], axis=1)
     acc_hi = acc_t.astype(jnp.bfloat16)
     acc_lo = (acc_t - acc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc_cat = jnp.concatenate([acc_hi, acc_lo], axis=-1)  # [H, W+2, D, 2C]
 
     weights = jnp.asarray(_cell_weights(py, px))
-    chunk = cellpx if cellpx <= 32 else 32
-    while cellpx % chunk:
-        chunk -= 1
-    kernel = functools.partial(_kernel, d=d, w=w, cellpx=cellpx, chunk=chunk)
+    kernel = functools.partial(_kernel, d=d, w=w, cellpx=cellpx)
 
-    def clamp_idx(off):
-        return lambda i: (jnp.clip(i + off, 0, h - 1), 0, 0, 0)
-
-    acc_spec = [pl.BlockSpec((1, w, d, 4), clamp_idx(off),
-                             memory_space=pltpu.VMEM) for off in (-1, 0, 1)]
     out_c = pl.pallas_call(
         kernel,
-        grid=(h,),
+        grid=(h, 9),
         in_specs=[
-            pl.BlockSpec((9, cellpx), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, cellpx), lambda i: (i, 0, 0),
+            pl.BlockSpec((9, cellpx), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + acc_spec + acc_spec,
-        out_specs=pl.BlockSpec((1, w, cellpx, 4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, w, cellpx), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # dy = k // 3 - 1, clamped: the y-corner row pick happens in the
+            # index map so the kernel holds one row at a time.
+            pl.BlockSpec((1, w + 2, d, 8),
+                         lambda i, k: (jnp.clip(i + k // 3 - 1, 0, h - 1),
+                                       0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w, cellpx, 4), lambda i, k: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w, cellpx, 4), jnp.float32),
         interpret=interpret,
-    )(weights, fz_c, acc_hi, acc_hi, acc_hi, acc_lo, acc_lo, acc_lo)
+    )(weights, fz_c, acc_cat)
 
     out = out_c.reshape(h, w, py, px, 4)
     out = jnp.moveaxis(out, 2, 1).reshape(ih, iw, 4)
