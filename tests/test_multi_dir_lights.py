@@ -42,13 +42,18 @@ def test_two_dir_lights_two_shadow_channels():
     assert np.isfinite(np.asarray(img)).all()
 
 
-def test_two_dir_lights_brighter_than_one():
+def test_two_dir_lights_add_scatter_and_extinction():
     r = VolumetricRenderer(CFG)
     s1 = _scene(1)
     s2 = _scene(2)
-    img1, _, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(
+    _, aux1, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(
         r.init_state(1), s1)
-    img2, _, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(
+    _, aux2, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(
         r.init_state(2), s2)
-    # more lights -> more in-scatter on average (composited fog term)
-    assert float(jnp.mean(img2[..., :3])) > float(jnp.mean(img1[..., :3]))
+    # the additive per-light decomposition: in-scatter strictly grows, and the
+    # reference's per-dir-light extinction quirk (compute:82) doubles sigma_t
+    assert float(jnp.mean(aux2["scatter"][..., :3])) > \
+        float(jnp.mean(aux1["scatter"][..., :3]))
+    np.testing.assert_allclose(np.asarray(jnp.mean(aux2["scatter"][..., 3])),
+                               2 * np.asarray(jnp.mean(aux1["scatter"][..., 3])),
+                               rtol=1e-5)

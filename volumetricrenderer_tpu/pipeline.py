@@ -158,8 +158,9 @@ def write_shadow_volume_dir(cfg: RenderConfig, params: FroxelParams,
         else:
             vis = shadow_lib.sample_dir_shadow(dir_shadow, i, world_j)
         vis = vis * vis                       # shadowCompute:17 — contrast boost
-        vis = jnp.where(dir_lights.has_shadow[i], vis, jnp.ones_like(vis))
-        channels.append(vis)
+        # gate arithmetic (see shadow_ray): vis -> 1 when has_shadow is False
+        g = dir_lights.has_shadow[i].astype(jnp.float32)
+        channels.append(1.0 + g * (vis - 1.0))
     while len(channels) < nd:
         channels.append(jnp.ones((d, h, w), jnp.float32))
     return jnp.stack(channels)
@@ -204,7 +205,9 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         if ss > 1:
             occ = jnp.repeat(jnp.repeat(occ, ss, axis=1), ss, axis=2)
             occ = occ[:, :h, :w]
-        return jnp.where(has_shadow, 1.0 - occ, 1.0)
+        # gate arithmetic, not jnp.where: a traced-bool select materializes a
+        # full volume per light (~0.46 ms each x 16 lights, traced)
+        return 1.0 - occ * has_shadow.astype(jnp.float32)
 
     light_rgb = jnp.zeros((d, h, w, 3), jnp.float32)
     extinction = jnp.zeros((d, h, w), jnp.float32)
@@ -245,8 +248,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
             contrib = contrib * s[..., None]
         elif cube_shadow is not None:
             s = shadow_lib.sample_cube_shadow(cube_shadow, i, to_pos)
-            s = jnp.where(point_lights.has_shadow[i], s, jnp.ones_like(s))
-            contrib = contrib * s[..., None]
+            g = point_lights.has_shadow[i].astype(jnp.float32)
+            contrib = contrib * (1.0 + g * (s - 1.0))[..., None]
         light_rgb = light_rgb + contrib * in_range[..., None]
 
     # Spot (compute:128-167): adds cone cull + smoothstep cone falloff, ext = 0.
@@ -271,8 +274,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
             contrib = contrib * s[..., None]
         elif spot_shadow is not None:
             s = shadow_lib.sample_spot_shadow(spot_shadow, i, world_j)
-            s = jnp.where(spot_lights.has_shadow[i], s, jnp.ones_like(s))
-            contrib = contrib * s[..., None]
+            g = spot_lights.has_shadow[i].astype(jnp.float32)
+            contrib = contrib * (1.0 + g * (s - 1.0))[..., None]
         light_rgb = light_rgb + contrib * keep[..., None]
 
     return jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
