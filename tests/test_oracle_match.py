@@ -237,3 +237,18 @@ def test_first_frame_history_is_ignored():
     img2, _, _ = jax.jit(lambda s, sc: r2.render_frame(s, sc, 0.0))(
         r2.init_state(1), scene)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)
+
+
+def test_optional_material_scatter_blends_match_oracle():
+    # the reference dispatches these blends with commented-out bodies
+    # (compute:228, 243); our implemented versions, enabled, against the oracle
+    cfg = RenderConfig(**CFG, temporal_blend_alpha=0.5,
+                       temporal_blend_material=True,
+                       temporal_blend_scatter=True)
+    scene = Scene.create(
+        camera=_camera(),
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(1.0, 1.0, 1.0)],
+            intensity=[2.0], has_shadow=[False]),
+        media=(_fog(),), geometry=_geometry())
+    _run_and_compare(cfg, scene, n_frames=2)
