@@ -59,3 +59,28 @@ def test_debug_helpers():
     assert out.shape == (24, 40, 3)
     stats = channel_stats({"acc": vol})
     assert stats["acc"]["nans"] == 0 and stats["acc"]["shape"] == (8, 6, 10, 4)
+
+
+def test_render_debug_slice():
+    import jax
+    from volumetricrenderer_tpu import (Camera, DirectionalLights, Geometry,
+                                        Medium, RenderConfig, Scene,
+                                        VolumetricRenderer)
+    cfg = RenderConfig(volume_width=16, volume_height=12, volume_depth=8,
+                       image_width=32, image_height=24, shadow_map_size=32,
+                       shadow_mode="raycast")
+    scene = Scene.create(
+        camera=Camera.create(position=(0, 2, -10), forward=(0, 0, 1),
+                             aspect=32 / 24),
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(1, 1, 1)], intensity=[2.0],
+            has_shadow=[False]),
+        media=(Medium.create(),),
+        geometry=Geometry.create(planes=[((0, 1, 0), 0.0, (0.2, 0.2, 0.2))]))
+    r = VolumetricRenderer(cfg)
+    out = jax.jit(lambda s, sc: r.render_debug_slice(s, sc, 4))(
+        r.init_state(1), scene)
+    assert out.shape == (24, 32, 3)
+    out2 = jax.jit(lambda s, sc: r.render_debug_slice(s, sc, 4, "shadow"))(
+        r.init_state(1), scene)
+    assert out2.shape == (24, 32, 3)

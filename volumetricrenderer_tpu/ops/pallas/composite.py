@@ -51,33 +51,39 @@ def _cell_weights(py: int, px: int) -> np.ndarray:
 
 
 def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, w: int,
-            cellpx: int):
-    """Grid (h, 9): froxel row x XY-corner. row_ref is the dy-selected,
-    x-pre-padded hi||lo row [1, W+2, D, 2C]; the dx shift is a dynamic slice."""
-    k = pl.program_id(1)
+            chunk: int):
+    """Grid (h, cellpx/chunk, 9): froxel row x pixel chunk x XY-corner.
+    row_ref is the dy-selected, x-pre-padded hi||lo row [1, W+2, D, 2C]; the
+    dx shift is a dynamic slice. The corner dim accumulates into the same
+    output block; the chunk lives in the GRID because Mosaic's 16 MB scoped
+    VMEM limit counts every unrolled temp (CLAUDE.md)."""
+    jc = pl.program_id(1)
+    k = pl.program_id(2)
     dx = k % 3
 
-    fz = fz_ref[0]                               # [W, cellpx]
+    row = row_ref[0, pl.ds(dx, w)]               # [W, D, 2C] bf16
+    # full-width blocks + in-kernel dynamic lane slices: chunk-sized blocks
+    # violate Mosaic's (8, 128)-divisible-or-full block rule
+    wrow = wmat_ref[pl.ds(k, 1), pl.ds(jc * chunk, chunk)]   # [1, chunk]
+
+    fz = fz_ref[0, :, pl.ds(jc * chunk, chunk)]  # [W, chunk]
     z0 = jnp.floor(fz)
     frac = (fz - z0)[..., None]
-    zi = jax.lax.broadcasted_iota(jnp.int32, (w, cellpx, d), 2)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (w, chunk, d), 2)
     z0i = z0.astype(jnp.int32)[..., None]
     s0 = (zi == z0i).astype(jnp.bfloat16)        # exact 0/1 selection
     s1 = (zi == jnp.minimum(z0i + 1, d - 1)).astype(jnp.bfloat16)
 
-    row = row_ref[0, pl.ds(dx, w)]               # [W, D, 2C] bf16
-
     def sel(s):
         o = jax.lax.dot_general(
             s, row, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [W, cellpx, 2C]
+            preferred_element_type=jnp.float32)  # [W, chunk, 2C]
         c = o.shape[-1] // 2
         return o[..., :c] + o[..., c:]           # hi + lo -> f32 slice value
 
     a0 = sel(s0)
     a1 = sel(s1)
     corner = a0 + frac * (a1 - a0)               # f32 z-lerp
-    wrow = wmat_ref[pl.ds(k, 1)]                 # [1, cellpx]
     contrib = corner * wrow.T[None]
 
     @pl.when(k == 0)
@@ -112,24 +118,28 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     acc_cat = jnp.concatenate([acc_hi, acc_lo], axis=-1)  # [H, W+2, D, 2C]
 
     weights = jnp.asarray(_cell_weights(py, px))
-    kernel = functools.partial(_kernel, d=d, w=w, cellpx=cellpx)
+    chunk = cellpx if cellpx <= 16 else 16
+    while cellpx % chunk:
+        chunk -= 1
+    kernel = functools.partial(_kernel, d=d, w=w, chunk=chunk)
 
     out_c = pl.pallas_call(
         kernel,
-        grid=(h, 9),
+        grid=(h, cellpx // chunk, 9),
         in_specs=[
-            pl.BlockSpec((9, cellpx), lambda i, k: (0, 0),
+            pl.BlockSpec((9, cellpx), lambda i, jc, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, cellpx), lambda i, k: (i, 0, 0),
+            pl.BlockSpec((1, w, cellpx), lambda i, jc, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # dy = k // 3 - 1, clamped: the y-corner row pick happens in the
             # index map so the kernel holds one row at a time.
             pl.BlockSpec((1, w + 2, d, 8),
-                         lambda i, k: (jnp.clip(i + k // 3 - 1, 0, h - 1),
-                                       0, 0, 0),
+                         lambda i, jc, k: (jnp.clip(i + k // 3 - 1, 0, h - 1),
+                                           0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w, cellpx, 4), lambda i, k: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, w, chunk, 4),
+                               lambda i, jc, k: (i, 0, jc, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w, cellpx, 4), jnp.float32),
         interpret=interpret,

@@ -87,7 +87,7 @@ def _run_pass(vol_m: jax.Array, target: jax.Array, axis: int, k: int, c: int,
             vol_m = jnp.pad(vol_m, ((0, 0), (0, 0), (0, pc)))
             target_m = jnp.pad(target_m, ((0, 0), (0, 0), (0, pc)))
         d, h, wc = vol_m.shape
-        bwc = 256 if wc % 256 == 0 else 128
+        bwc = 128
         grid = (h // 8, wc // bwc)
         spec = pl.BlockSpec((d, 8, bwc), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
@@ -98,10 +98,12 @@ def _run_pass(vol_m: jax.Array, target: jax.Array, axis: int, k: int, c: int,
         )(target_m, vol_m)
         return out[:, :h_orig, :wc_orig]
 
-    # y/x passes keep H (and lanes) whole and tile D thinly — small blocks are
-    # plenty fast (measured 0.02-0.05 ms per pass at full size with bd=2).
+    # y/x passes keep H (and lanes) whole and tile D thinly (bd=1): the
+    # (2k+2) unrolled taps each hold a block-sized temp, and Mosaic's scoped
+    # VMEM limit is 16 MB — bd=2 with k=4 hits 17.9 MB and fails to compile
+    # (flakily, depending on scheduling).
     d, h, wc = vol_m.shape
-    bd = 2 if d % 2 == 0 else 1
+    bd = 1
     spec = pl.BlockSpec((bd, h, wc), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -183,3 +183,19 @@ class VolumetricRenderer:
     def render_frame_jit(self, state: FrameState, scene: Scene, time_x):
         image, _, new_state = self.render_frame(state, scene, time_x)
         return image, new_state
+
+    def render_debug_slice(self, state: FrameState, scene: Scene, z: int,
+                           volume: str = "accumulation", time_x=0.0):
+        """Debug composite of one froxel slice over the scene color — the
+        reference's _DEBUG pass + inspector slice selector
+        (VolumetricRenderer.cs:684-702, VolumetricRenderer.shader:97-130)."""
+        from volumetricrenderer_tpu.utils.debug import (debug_composite,
+                                                        volume_slice)
+        image, aux, _ = self.render_frame(state, scene, time_x)
+        vol = aux[volume]
+        if vol.ndim == 4 and vol.shape[-1] == 4:
+            sl = volume_slice(vol, z)
+        else:  # single-channel volumes (e.g. shadow[i]) -> grayscale rgba
+            sl = volume_slice(vol[0] if vol.ndim == 4 else vol, z)
+            sl = jnp.stack([sl, sl, sl, jnp.ones_like(sl)], axis=-1)
+        return debug_composite(aux["scene_color"], sl)
