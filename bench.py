@@ -15,6 +15,7 @@ vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target).
 """
 
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -61,7 +62,7 @@ def main():
     # the axon relay costs ~30 ms/frame of pure transfer (measured), which is
     # not renderer time — a real pipeline consumes the image on-device (the
     # reference likewise renders into a GPU texture with no readback).
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def frame(state, scene, time_x, scene_color, view_depth, shadow_data):
         image, _, new_state = renderer.render_frame(
             state, scene, time_x, scene_color, view_depth, shadow_data)
