@@ -70,6 +70,11 @@ class RenderConfig:
     # Compute dtype for the froxel volumes ("float32" or "bfloat16" storage).
     volume_dtype: str = "float32"
 
+    # Local-light scatter implementation: "xla" (unrolled per-light fusions)
+    # or "pallas" (fused per-slice kernel, raycast mode + subsample=1 only;
+    # falls back to xla otherwise).
+    scatter_impl: str = "xla"
+
     # Composite implementation: "tentmm" (gather-free tent-weight matmuls —
     # exact trilinear, the TPU-native default; falls back to "xla" when the
     # image is not an integer multiple of the froxel grid), "xla" (per-pixel
@@ -104,4 +109,5 @@ FULL_CONFIG = RenderConfig(
     image_height=1080,
     temporal_blend_alpha=0.84,
     reproj_impl="pallas",
+    scatter_impl="pallas",
 )

@@ -1,0 +1,262 @@
+"""Fused Pallas local-light scatter kernel (raycast shadow mode).
+
+The XLA path unrolls 16 point/spot lights into per-light fusion groups, each
+materializing several [D,H,W] temporaries in HBM (~1.8 ms/light measured).
+This kernel processes one froxel z-slice per grid step with a fori_loop over
+lights — loop-carried, so the per-light working set is reused in VMEM and the
+only HBM traffic is one read of the material planes and one write of the
+light-accumulation planes.
+
+Everything is computed in-register: froxel -> view -> world positions from the
+packed scalar params, Henyey-Greenstein phase, the analytic falloff LUT, cone
+attenuation, and any-hit shadow rays against the packed primitive tables (all
+in SMEM; scalars stream through the scalar core while the VPU does the [H, W]
+plane math).
+
+Covers point+spot lights with raycast shadows at full resolution; the renderer
+falls back to the XLA path for map-mode shadows or raycast_shadow_subsample>1.
+Semantics identical to pipeline.write_scatter_volume's local-light section
+(VolumetricCompute.compute:87-167 + SPEC), enforced by equivalence tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volumetricrenderer_tpu.ops.phase import PI
+
+
+def pack_lights(point_lights, spot_lights) -> np.ndarray | jax.Array:
+    """[NL, 16] f32 rows: pos(3) color(3) range mult is_spot sdir(3)
+    cos_outer cos_inner_rcp shadow_gate pad."""
+    rows = []
+    pc = point_lights.packed_color
+    for i in range(point_lights.count):
+        rows.append(jnp.concatenate([
+            point_lights.position[i], pc[i],
+            point_lights.range[i][None],
+            point_lights.intensity_multiplier[i][None],
+            jnp.zeros((1,), jnp.float32),                 # is_spot
+            jnp.zeros((3,), jnp.float32),                 # spot dir
+            jnp.ones((1,), jnp.float32),                  # cos_outer (unused)
+            jnp.ones((1,), jnp.float32),                  # cos_inner_rcp
+            point_lights.has_shadow[i].astype(jnp.float32)[None],
+            jnp.zeros((1,), jnp.float32)]))
+    sc = spot_lights.packed_color
+    for i in range(spot_lights.count):
+        rows.append(jnp.concatenate([
+            spot_lights.position[i], sc[i],
+            spot_lights.range[i][None],
+            spot_lights.intensity_multiplier[i][None],
+            jnp.ones((1,), jnp.float32),
+            spot_lights.direction[i],
+            spot_lights.cos_outer_cone[i][None],
+            spot_lights.cos_inner_cone_rcp[i][None],
+            spot_lights.has_shadow[i].astype(jnp.float32)[None],
+            jnp.zeros((1,), jnp.float32)]))
+    return jnp.stack(rows)
+
+
+def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
+    """[1, 24] f32: v2w rows (12), fp.x fp.y fp.z fp.w near, jitter(3),
+    cam(3), pad."""
+    m = view_to_world
+    vals = [m[0, 0], m[0, 1], m[0, 2], m[0, 3],
+            m[1, 0], m[1, 1], m[1, 2], m[1, 3],
+            m[2, 0], m[2, 1], m[2, 2], m[2, 3],
+            params.x, params.y, params.z, params.w, params.near,
+            jitter[0], jitter[1], jitter[2],
+            camera_pos[0], camera_pos[1], camera_pos[2],
+            jnp.float32(0.0)]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
+
+
+def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
+            ss_r, ss_g, ss_b, pg_ref, out_r, out_g, out_b, *,
+            grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
+            n_spheres: int, n_boxes: int):
+    w, h, d = grid_whd
+    zi = pl.program_id(0)
+
+    p = lambda i: par_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+    camx, camy, camz = p(20), p(21), p(22)
+
+    # froxel -> view -> world at the jittered slice center (scalar z math).
+    fz = zi.astype(jnp.float32) + 0.5 + jz
+    vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5 + jy) / h - 1.0) * vz / fpy
+
+    wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+    vdx = wx - camx
+    vdy = wy - camy
+    vdz = wz - camz
+    inv_vd = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
+    vdx, vdy, vdz = vdx * inv_vd, vdy * inv_vd, vdz * inv_vd
+
+    sr = ss_r[0]
+    sg = ss_g[0]
+    sb = ss_b[0]
+    phg = pg_ref[0]
+    g2 = phg * phg
+    hg_num = (1.0 - g2) / (4.0 * PI)
+
+    def light_body(li, acc):
+        ar, ag, ab = acc
+        q = lambda i: lights_ref[li, i]
+        lx_, ly_, lz_ = q(0), q(1), q(2)
+        cr, cg, cb = q(3), q(4), q(5)
+        rng, mult, is_spot = q(6), q(7), q(8)
+        sdx, sdy, sdz = q(9), q(10), q(11)
+        cos_outer, cos_inner_rcp, shadow_gate = q(12), q(13), q(14)
+
+        tx = wx - lx_
+        ty = wy - ly_
+        tz = wz - lz_
+        d2 = tx * tx + ty * ty + tz * tz
+        inv_d = jax.lax.rsqrt(d2 + 1e-18)
+        dist = d2 * inv_d
+        ldx, ldy, ldz = tx * inv_d, ty * inv_d, tz * inv_d
+
+        # falloff LUT (ops/falloff.py) + spot cone (helper:289-303)
+        x = d2 / (rng * rng)
+        fall = jnp.clip((1.0 - x) * 5.0, 0.0, 1.0) / (1.0 + 25.0 * x) * mult
+        cos_angle = ldx * sdx + ldy * sdy + ldz * sdz
+        # cos_outer < cos_inner for real spots; point-light rows have both = 1,
+        # so guard the 0-denominator (the result is gated off by is_spot).
+        cone_den = jnp.minimum(cos_outer - 1.0 / cos_inner_rcp, -1e-9)
+        t_cone = jnp.clip((cos_angle - 1.0 / cos_inner_rcp) / cone_den,
+                          0.0, 1.0)
+        cone = 1.0 - t_cone * t_cone * (3.0 - 2.0 * t_cone)
+        keep_spot = (cos_angle >= cos_outer).astype(jnp.float32)
+        fall = fall * (1.0 - is_spot + is_spot * cone * keep_spot)
+        fall = fall * (dist <= rng).astype(jnp.float32)
+
+        # HG phase at cos(view, -lightToPos)
+        cos_t = -(vdx * ldx + vdy * ldy + vdz * ldz)
+        b = 1.0 + g2 - 2.0 * phg * cos_t
+        hg = hg_num / (b * jnp.sqrt(b))
+
+        # any-hit shadow ray towards the light (prims from SMEM)
+        occ = jnp.zeros((h, w), jnp.bool_)
+        max_t = dist - 0.05
+        for i in range(n_planes):
+            nx_, ny_, nz_, pd = (planes_ref[i, 0], planes_ref[i, 1],
+                                 planes_ref[i, 2], planes_ref[i, 3])
+            denom = -(ldx * nx_ + ldy * ny_ + ldz * nz_)
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            t = -(wx * nx_ + wy * ny_ + wz * nz_ + pd) / denom
+            occ |= (t > 1e-4) & (t < max_t)
+        for i in range(n_spheres):
+            cx_, cy_, cz_, r_ = (spheres_ref[i, 0], spheres_ref[i, 1],
+                                 spheres_ref[i, 2], spheres_ref[i, 3])
+            ox, oy, oz = wx - cx_, wy - cy_, wz - cz_
+            bq = -(ox * ldx + oy * ldy + oz * ldz)
+            cq = ox * ox + oy * oy + oz * oz - r_ * r_
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where(-bq - sq > 1e-4, -bq - sq, -bq + sq)
+            occ |= (disc > 0.0) & (t > 1e-4) & (t < max_t)
+        if n_boxes:
+            inv_x = 1.0 / jnp.where(jnp.abs(ldx) < 1e-9, 1e-9, -ldx)
+            inv_y = 1.0 / jnp.where(jnp.abs(ldy) < 1e-9, 1e-9, -ldy)
+            inv_z = 1.0 / jnp.where(jnp.abs(ldz) < 1e-9, 1e-9, -ldz)
+            for i in range(n_boxes):
+                t0x = (boxes_ref[i, 0] - wx) * inv_x
+                t1x = (boxes_ref[i, 4] - wx) * inv_x
+                t0y = (boxes_ref[i, 1] - wy) * inv_y
+                t1y = (boxes_ref[i, 5] - wy) * inv_y
+                t0z = (boxes_ref[i, 2] - wz) * inv_z
+                t1z = (boxes_ref[i, 6] - wz) * inv_z
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                t = jnp.where(tmin > 1e-4, tmin, tmax)
+                occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_t)
+        shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
+
+        base = hg * fall * shadow
+        return (ar + base * cr * sr, ag + base * cg * sg, ab + base * cb * sb)
+
+    zero = jnp.zeros((h, w), jnp.float32)
+    ar, ag, ab = jax.lax.fori_loop(0, n_lights, light_body, (zero, zero, zero))
+    out_r[0] = ar
+    out_g[0] = ag
+    out_b[0] = ab
+
+
+def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
+                         material_a, material_b, point_lights, spot_lights,
+                         geometry, grid_whd: Tuple[int, int, int],
+                         interpret: bool = False) -> jax.Array:
+    """Local-light in-scatter [D, H, W, 3] (extinction is 0 for local lights,
+    SPEC). material_a/b are [D, H, W, 4]."""
+    w, h, d = grid_whd
+    lights = pack_lights(point_lights, spot_lights)
+    par = pack_params(params, view_to_world, camera_pos, jitter)
+
+    def pad4(a, n):
+        return a if n else jnp.zeros((1, 4), jnp.float32)
+
+    planes = jnp.concatenate([geometry.plane_normal,
+                              geometry.plane_d[:, None]], axis=-1)
+    spheres = jnp.concatenate([geometry.sphere_center,
+                               geometry.sphere_radius[:, None]], axis=-1)
+    boxes = jnp.concatenate([geometry.box_min,
+                             jnp.zeros_like(geometry.box_min[:, :1]),
+                             geometry.box_max,
+                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    n_planes = planes.shape[0]
+    n_spheres = spheres.shape[0]
+    n_boxes = boxes.shape[0]
+    planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
+    spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
+    boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, grid_whd=grid_whd, n_lights=lights.shape[0],
+        n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes)
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                                      memory_space=pltpu.SMEM)
+    plane_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
+
+    out_r, out_g, out_b = pl.pallas_call(
+        kernel,
+        grid=(d,),
+        in_specs=[
+            smem(par.shape),
+            smem(lights.shape),
+            smem(planes.shape),
+            smem(spheres.shape),
+            smem(boxes.shape),
+            plane_spec, plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=(plane_spec, plane_spec, plane_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(par, lights, planes, spheres, boxes,
+      material_a[..., 0], material_a[..., 1], material_a[..., 2],
+      material_b[..., 0])
+
+    return jnp.stack([out_r, out_g, out_b], axis=-1)

@@ -225,6 +225,19 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         # extinction = luma(sigma_s) + sigma_a, added per dir light (compute:82).
         extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
 
+    use_pallas_scatter = (
+        cfg.scatter_impl == "pallas" and cfg.shadow_mode == "raycast"
+        and geometry is not None and ss == 1
+        and (point_lights.count + spot_lights.count) > 0)
+    if use_pallas_scatter:
+        from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
+        local_rgb = scatter_local_pallas(
+            params, view_to_world, camera_pos, jitter, material_a, material_b,
+            point_lights, spot_lights, geometry, cfg.grid,
+            interpret=jax.default_backend() != "tpu")
+        light_rgb = light_rgb + local_rgb
+        return jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
+
     # Point (compute:87-126): jittered pos, range cull, LUT falloff, ext = 0.
     # rsqrt-based normalization: jnp.linalg.norm's sqrt+div pair costs more
     # than one rsqrt on the VPU, and this runs per light per froxel.
