@@ -75,6 +75,10 @@ class RenderConfig:
     # falls back to xla otherwise).
     scatter_impl: str = "xla"
 
+    # Directional shadow-volume implementation: "xla" or "pallas" (fused
+    # per-slice raycast kernel; raycast mode only, falls back to xla for maps).
+    dir_shadow_impl: str = "xla"
+
     # Composite implementation: "tentmm" (gather-free tent-weight matmuls —
     # exact trilinear, the TPU-native default; falls back to "xla" when the
     # image is not an integer multiple of the froxel grid), "xla" (per-pixel
@@ -110,4 +114,5 @@ FULL_CONFIG = RenderConfig(
     temporal_blend_alpha=0.84,
     reproj_impl="pallas",
     scatter_impl="pallas",
+    dir_shadow_impl="pallas",
 )

@@ -1,0 +1,142 @@
+"""Fused Pallas directional shadow-volume kernel (raycast mode).
+
+Same per-z-slice skeleton as ops/pallas/scatter.py: froxel -> world positions
+in-register, any-hit occlusion against the SMEM primitive tables, one output
+plane per directional light. Mirrors pipeline.write_shadow_volume_dir's
+raycast branch exactly (visibility squared per VolumetricShadowCompute:17,
+strength floor, has_shadow gate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_dir_lights(dir_lights) -> jax.Array:
+    """[Nd, 8]: direction(3), strength_r, shadow_gate, pad(3)."""
+    rows = []
+    for i in range(dir_lights.count):
+        rows.append(jnp.concatenate([
+            dir_lights.direction[i],
+            (1.0 - dir_lights.shadow_strength[i])[None],
+            dir_lights.has_shadow[i].astype(jnp.float32)[None],
+            jnp.zeros((3,), jnp.float32)]))
+    return jnp.stack(rows)
+
+
+def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, out_ref,
+            *, grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
+            n_spheres: int, n_boxes: int, max_dist: float):
+    w, h, d = grid_whd
+    zi = pl.program_id(0)
+
+    p = lambda i: par_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+
+    fz = zi.astype(jnp.float32) + 0.5 + jz
+    vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5 + jy) / h - 1.0) * vz / fpy
+    wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+    for li in range(n_lights):          # Nd is small (usually 1): unroll
+        q = lambda i: lights_ref[li, i]
+        ldx, ldy, ldz = -q(0), -q(1), -q(2)   # towards the light
+        strength_r, gate = q(3), q(4)
+
+        occ = jnp.zeros((h, w), jnp.bool_)
+        for i in range(n_planes):
+            nx_, ny_, nz_, pd = (planes_ref[i, 0], planes_ref[i, 1],
+                                 planes_ref[i, 2], planes_ref[i, 3])
+            denom = ldx * nx_ + ldy * ny_ + ldz * nz_
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            t = -(wx * nx_ + wy * ny_ + wz * nz_ + pd) / denom
+            occ |= (t > 1e-4) & (t < max_dist)
+        for i in range(n_spheres):
+            cx_, cy_, cz_, r_ = (spheres_ref[i, 0], spheres_ref[i, 1],
+                                 spheres_ref[i, 2], spheres_ref[i, 3])
+            ox, oy, oz = wx - cx_, wy - cy_, wz - cz_
+            bq = ox * ldx + oy * ldy + oz * ldz
+            cq = ox * ox + oy * oy + oz * oz - r_ * r_
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where(-bq - sq > 1e-4, -bq - sq, -bq + sq)
+            occ |= (disc > 0.0) & (t > 1e-4) & (t < max_dist)
+        if n_boxes:
+            inv_x = 1.0 / jnp.where(jnp.abs(ldx) < 1e-9, 1e-9, ldx)
+            inv_y = 1.0 / jnp.where(jnp.abs(ldy) < 1e-9, 1e-9, ldy)
+            inv_z = 1.0 / jnp.where(jnp.abs(ldz) < 1e-9, 1e-9, ldz)
+            for i in range(n_boxes):
+                t0x = (boxes_ref[i, 0] - wx) * inv_x
+                t1x = (boxes_ref[i, 4] - wx) * inv_x
+                t0y = (boxes_ref[i, 1] - wy) * inv_y
+                t1y = (boxes_ref[i, 5] - wy) * inv_y
+                t0z = (boxes_ref[i, 2] - wz) * inv_z
+                t1z = (boxes_ref[i, 6] - wz) * inv_z
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                t = jnp.where(tmin > 1e-4, tmin, tmax)
+                occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_dist)
+
+        vis = strength_r + (1.0 - strength_r) * (1.0 - occ.astype(jnp.float32))
+        vis = vis * vis                  # shadowCompute:17
+        out_ref[li, 0] = 1.0 + gate * (vis - 1.0)
+
+
+def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
+                      grid_whd: Tuple[int, int, int],
+                      interpret: bool = False) -> jax.Array:
+    """[Nd, D, H, W] per-dir-light visibility (squared, gated)."""
+    from volumetricrenderer_tpu.ops.pallas.scatter import pack_params
+
+    w, h, d = grid_whd
+    nd = dir_lights.count
+    lights = pack_dir_lights(dir_lights)
+    par = pack_params(params, view_to_world, jnp.zeros((3,), jnp.float32),
+                      jitter)
+
+    planes = jnp.concatenate([geometry.plane_normal,
+                              geometry.plane_d[:, None]], axis=-1)
+    spheres = jnp.concatenate([geometry.sphere_center,
+                               geometry.sphere_radius[:, None]], axis=-1)
+    boxes = jnp.concatenate([geometry.box_min,
+                             jnp.zeros_like(geometry.box_min[:, :1]),
+                             geometry.box_max,
+                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    n_planes, n_spheres, n_boxes = (planes.shape[0], spheres.shape[0],
+                                    boxes.shape[0])
+    planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
+    spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
+    boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, grid_whd=grid_whd, n_lights=nd, n_planes=n_planes,
+        n_spheres=n_spheres, n_boxes=n_boxes, max_dist=1e4)
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                                      memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(d,),
+        in_specs=[smem(par.shape), smem(lights.shape), smem(planes.shape),
+                  smem(spheres.shape), smem(boxes.shape)],
+        out_specs=pl.BlockSpec((nd, 1, h, w), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nd, d, h, w), jnp.float32),
+        interpret=interpret,
+    )(par, lights, planes, spheres, boxes)

@@ -146,6 +146,15 @@ def write_shadow_volume_dir(cfg: RenderConfig, params: FroxelParams,
     volume — SURVEY quirk table)."""
     d, h, w = cfg.grid_dhw
     nd = max(dir_lights.count, 1)
+
+    if (cfg.dir_shadow_impl == "pallas" and cfg.shadow_mode == "raycast"
+            and geometry is not None and dir_lights.count > 0):
+        from volumetricrenderer_tpu.ops.pallas.dir_shadow import \
+            dir_shadow_pallas
+        return dir_shadow_pallas(params, view_to_world, jitter, dir_lights,
+                                 geometry, cfg.grid,
+                                 interpret=jax.default_backend() != "tpu")
+
     world_j = froxel_world_positions(cfg, params, view_to_world, jitter)
 
     channels = []
