@@ -1,0 +1,78 @@
+"""Capture a device trace of one FULL-config frame and print the top ops.
+
+Usage: python tools/profile_trace.py [outdir]
+Needs the real TPU (run without JAX_PLATFORMS override). Prints per-op device
+times summed across occurrences, descending — the tool behind PERF.md's
+pass-level numbers.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
+    from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer
+    from volumetricrenderer_tpu.models.scene import benchmark_scene
+
+    cfg = FULL_CONFIG
+    r = VolumetricRenderer(cfg)
+    scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height)
+    state = r.init_state(scene.dir_lights.count)
+
+    @jax.jit
+    def frame(state, scene, t):
+        img, _, new_state = r.render_frame(state, scene, t)
+        return jnp.sum(img), new_state
+
+    s, state = frame(state, scene, jnp.float32(0.0))
+    jax.block_until_ready(s)
+
+    with jax.profiler.trace(outdir):
+        for i in range(3):
+            s, state = frame(state, scene, jnp.float32(0.1 * i))
+        jax.block_until_ready(s)
+
+    path = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+
+    # Keep only the device "XLA Ops" thread (the same events repeat on the
+    # Modules/Steps aggregate tracks and on host threads — summing every X
+    # event multi-counts them).
+    events = trace.get("traceEvents", [])
+    proc = {}
+    thread = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            proc[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            thread[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
+
+    durs = defaultdict(float)
+    counts = defaultdict(int)
+    for ev in events:
+        if ev.get("ph") != "X" or "name" not in ev:
+            continue
+        tname = thread.get((ev.get("pid"), ev.get("tid")), "")
+        if "XLA Ops" not in tname:
+            continue
+        durs[ev["name"]] += ev.get("dur", 0) / 1e3 / 3.0  # us -> ms, per frame
+        counts[ev["name"]] += 1
+
+    print(f"trace: {path}")
+    for name, ms in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{ms:9.3f} ms  x{counts[name]:<3d} {name}")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,18 @@ def pack_lights(point_lights, spot_lights) -> np.ndarray | jax.Array:
     return jnp.stack(rows)
 
 
+def pack_dir_lights(dir_lights) -> jax.Array:
+    """[Nd, 8] f32 rows: direction(3) packed_color(3) pad(2). Used when the
+    directional scatter (compute:64-85, rgb part) is folded into the fused
+    kernel; visibility comes from the (blended) shadow volume planes."""
+    rows = []
+    pc = dir_lights.packed_color
+    for i in range(dir_lights.count):
+        rows.append(jnp.concatenate([
+            dir_lights.direction[i], pc[i], jnp.zeros((2,), jnp.float32)]))
+    return jnp.stack(rows)
+
+
 def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     """[1, 24] f32: v2w rows (12), fp.x fp.y fp.z fp.w near, jitter(3),
     cam(3), pad."""
@@ -78,10 +90,10 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
 
 
-def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
-            ss_r, ss_g, ss_b, pg_ref, out_r, out_g, out_b, *,
-            grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
-            n_spheres: int, n_boxes: int):
+def _kernel(par_ref, lights_ref, dirs_ref, planes_ref, spheres_ref, boxes_ref,
+            ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b, *,
+            grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
+            jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int):
     w, h, d = grid_whd
     zi = pl.program_id(0)
 
@@ -198,6 +210,37 @@ def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
 
     zero = jnp.zeros((h, w), jnp.float32)
     ar, ag, ab = jax.lax.fori_loop(0, n_lights, light_body, (zero, zero, zero))
+
+    # Directional scatter rgb (compute:64-85), folded in: visibility is the
+    # (temporally blended) shadow-volume plane; NOT jittered by default
+    # (quirk, compute:67) so the world pos / view dir are recomputed at the
+    # unjittered slice center. Nd is small: unrolled.
+    if n_dir:
+        if jitter_dir:
+            cwx, cwy, cwz = wx, wy, wz
+        else:
+            fzc = zi.astype(jnp.float32) + 0.5
+            vzc = (jnp.exp(jnp.log(fpz) * fzc / d) - 1.0) * fpw + near
+            vxc = (2.0 * (xs + 0.5) / w - 1.0) * vzc / fpx
+            vyc = (2.0 * (ys + 0.5) / h - 1.0) * vzc / fpy
+            cwx = p(0) * vxc + p(1) * vyc + p(2) * vzc + p(3)
+            cwy = p(4) * vxc + p(5) * vyc + p(6) * vzc + p(7)
+            cwz = p(8) * vxc + p(9) * vyc + p(10) * vzc + p(11)
+        dvx = cwx - camx
+        dvy = cwy - camy
+        dvz = cwz - camz
+        inv_dv = jax.lax.rsqrt(dvx * dvx + dvy * dvy + dvz * dvz + 1e-18)
+        dvx, dvy, dvz = dvx * inv_dv, dvy * inv_dv, dvz * inv_dv
+        for li in range(n_dir):
+            q = lambda i: dirs_ref[li, i]
+            cos_t = -(dvx * q(0) + dvy * q(1) + dvz * q(2))
+            b = 1.0 + g2 - 2.0 * phg * cos_t
+            hg = hg_num / (b * jnp.sqrt(b))
+            base = shadow_ref[li, 0] * hg
+            ar = ar + base * q(3) * sr
+            ag = ag + base * q(4) * sg
+            ab = ab + base * q(5) * sb
+
     out_r[0] = ar
     out_g[0] = ag
     out_b[0] = ab
@@ -206,12 +249,25 @@ def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
 def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          material_a, material_b, point_lights, spot_lights,
                          geometry, grid_whd: Tuple[int, int, int],
+                         dir_lights=None, shadow_volume=None,
+                         jitter_dir: bool = False,
                          interpret: bool = False) -> jax.Array:
-    """Local-light in-scatter [D, H, W, 3] (extinction is 0 for local lights,
-    SPEC). material_a/b are [D, H, W, 4]."""
+    """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
+    SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
+    material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
+    volume [Nd, D, H, W] to fold the directional rgb scatter in too."""
     w, h, d = grid_whd
     lights = pack_lights(point_lights, spot_lights)
     par = pack_params(params, view_to_world, camera_pos, jitter)
+
+    n_dir = dir_lights.count if (dir_lights is not None
+                                 and shadow_volume is not None) else 0
+    if n_dir:
+        dirs = pack_dir_lights(dir_lights)
+        shadow_in = shadow_volume
+    else:
+        dirs = jnp.zeros((1, 8), jnp.float32)
+        shadow_in = jnp.ones((1, d, h, w), jnp.float32)
 
     def pad4(a, n):
         return a if n else jnp.zeros((1, 4), jnp.float32)
@@ -232,13 +288,17 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, grid_whd=grid_whd, n_lights=lights.shape[0],
-        n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes)
+        _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
+        jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
+        n_boxes=n_boxes)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
     plane_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
+    shadow_spec = pl.BlockSpec((shadow_in.shape[0], 1, h, w),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
 
     out_r, out_g, out_b = pl.pallas_call(
@@ -247,16 +307,18 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         in_specs=[
             smem(par.shape),
             smem(lights.shape),
+            smem(dirs.shape),
             smem(planes.shape),
             smem(spheres.shape),
             smem(boxes.shape),
             plane_spec, plane_spec, plane_spec, plane_spec,
+            shadow_spec,
         ],
         out_specs=(plane_spec, plane_spec, plane_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(par, lights, planes, spheres, boxes,
+    )(par, lights, dirs, planes, spheres, boxes,
       material_a[..., 0], material_a[..., 1], material_a[..., 2],
-      material_b[..., 0])
+      material_b[..., 0], shadow_in)
 
     return jnp.stack([out_r, out_g, out_b], axis=-1)

@@ -221,28 +221,36 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     light_rgb = jnp.zeros((d, h, w, 3), jnp.float32)
     extinction = jnp.zeros((d, h, w), jnp.float32)
 
-    # Directional (compute:64-85): NOT jittered by default (quirk, compute:67).
-    wp_dir = world_j if cfg.jitter_dir_scatter else world_c
-    dir_colors = dir_lights.packed_color
-    vd0 = wp_dir - camera_pos
-    view_dir0 = vd0 * jax.lax.rsqrt(froxel.dot3(vd0, vd0) + 1e-18)[..., None]
-    for i in range(dir_lights.count):
-        cos_theta = froxel.dot3(view_dir0, -dir_lights.direction[i])
-        vis = shadow_volume[i]
-        hg = henyey_greenstein(phase_g, cos_theta)
-        light_rgb = light_rgb + (vis * hg)[..., None] * dir_colors[i] * sigma_s
-        # extinction = luma(sigma_s) + sigma_a, added per dir light (compute:82).
-        extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
-
     use_pallas_scatter = (
         cfg.scatter_impl == "pallas" and cfg.shadow_mode == "raycast"
         and geometry is not None and ss == 1
         and (point_lights.count + spot_lights.count) > 0)
+
+    # Directional (compute:64-85): NOT jittered by default (quirk, compute:67).
+    # The rgb part folds into the fused kernel when it runs; the luma
+    # extinction (compute:82) is pure elementwise on the material and stays
+    # here either way (XLA fuses it for free).
+    for i in range(dir_lights.count):
+        extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
+
+    if not use_pallas_scatter:
+        wp_dir = world_j if cfg.jitter_dir_scatter else world_c
+        dir_colors = dir_lights.packed_color
+        vd0 = wp_dir - camera_pos
+        view_dir0 = vd0 * jax.lax.rsqrt(froxel.dot3(vd0, vd0) + 1e-18)[..., None]
+        for i in range(dir_lights.count):
+            cos_theta = froxel.dot3(view_dir0, -dir_lights.direction[i])
+            vis = shadow_volume[i]
+            hg = henyey_greenstein(phase_g, cos_theta)
+            light_rgb = light_rgb + (vis * hg)[..., None] * dir_colors[i] * sigma_s
+
     if use_pallas_scatter:
         from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
         local_rgb = scatter_local_pallas(
             params, view_to_world, camera_pos, jitter, material_a, material_b,
             point_lights, spot_lights, geometry, cfg.grid,
+            dir_lights=dir_lights, shadow_volume=shadow_volume,
+            jitter_dir=cfg.jitter_dir_scatter,
             interpret=jax.default_backend() != "tpu")
         light_rgb = light_rgb + local_rgb
         return jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
