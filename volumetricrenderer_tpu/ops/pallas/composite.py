@@ -50,26 +50,30 @@ def _cell_weights(py: int, px: int) -> np.ndarray:
     return out.reshape(9, py * px)
 
 
-def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, w: int,
-            chunk: int):
-    """Grid (h, cellpx/chunk, 9): froxel row x pixel chunk x XY-corner.
-    row_ref is the dy-selected, x-pre-padded hi||lo row [1, W+2, D, 2C]; the
-    dx shift is a dynamic slice. The corner dim accumulates into the same
-    output block; the chunk lives in the GRID because Mosaic's 16 MB scoped
-    VMEM limit counts every unrolled temp (CLAUDE.md)."""
-    jc = pl.program_id(1)
+def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, d_blk: int,
+            w: int, chunk: int):
+    """Grid (h, cellpx/chunk, 9, D/d_blk): froxel row x pixel chunk x
+    XY-corner x Z-block. row_ref is the dy- and zb-selected, x-pre-padded
+    hi||lo row piece [1, W+2, d_blk, 2C]; the dx shift is a dynamic slice.
+    The corner AND z-block dims accumulate into the same output block — the
+    z-lerp is linear in the two selection dots, so per-z-block partial
+    contributions sum exactly. Both splits exist because Mosaic's 16 MB
+    scoped VMEM limit counts every unrolled temp (CLAUDE.md). The (k, jc)
+    weight / fz chunk picks live in the BlockSpec index maps: dynamic lane
+    slices must be 128-aligned (Mosaic 'multiple of 128' error), block
+    selection is free."""
     k = pl.program_id(2)
+    zb = pl.program_id(3)
     dx = k % 3
 
-    row = row_ref[0, pl.ds(dx, w)]               # [W, D, 2C] bf16
-    # full-width blocks + in-kernel dynamic lane slices: chunk-sized blocks
-    # violate Mosaic's (8, 128)-divisible-or-full block rule
-    wrow = wmat_ref[pl.ds(k, 1), pl.ds(jc * chunk, chunk)]   # [1, chunk]
+    row = row_ref[0, pl.ds(dx, w)]               # [W, d_blk, 2C] bf16
+    wrow = wmat_ref[0, 0, 0][None]               # [1, chunk]
 
-    fz = fz_ref[0, :, pl.ds(jc * chunk, chunk)]  # [W, chunk]
+    fz = fz_ref[0, 0]                            # [W, chunk]
     z0 = jnp.floor(fz)
     frac = (fz - z0)[..., None]
-    zi = jax.lax.broadcasted_iota(jnp.int32, (w, chunk, d), 2)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (w, chunk, d_blk), 2) \
+        + zb * d_blk
     z0i = z0.astype(jnp.int32)[..., None]
     s0 = (zi == z0i).astype(jnp.bfloat16)        # exact 0/1 selection
     s1 = (zi == jnp.minimum(z0i + 1, d - 1)).astype(jnp.bfloat16)
@@ -83,21 +87,21 @@ def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, w: int,
 
     a0 = sel(s0)
     a1 = sel(s1)
-    corner = a0 + frac * (a1 - a0)               # f32 z-lerp
+    corner = a0 + frac * (a1 - a0)               # f32 z-lerp (partial in zb)
     contrib = corner * wrow.T[None]
 
-    @pl.when(k == 0)
+    @pl.when((k == 0) & (zb == 0))
     def _():
-        out_ref[0] = contrib
+        out_ref[0, 0] = contrib
 
-    @pl.when(k > 0)
+    @pl.when((k > 0) | (zb > 0))
     def _():
-        out_ref[0] = out_ref[0] + contrib
+        out_ref[0, 0] = out_ref[0, 0] + contrib
 
 
 def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
                      fz_texel: jax.Array, grid_whd: Tuple[int, int, int],
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False, max_chunk: int = 8) -> jax.Array:
     """accumulation [D,H,W,4]; scene_color [IH,IW,3]; fz_texel [IH,IW] (already
     depth_to_froxel_z - 0.5, unclamped). Returns [IH,IW,4]."""
     w, h, d = grid_whd
@@ -117,34 +121,44 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     acc_lo = (acc_t - acc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     acc_cat = jnp.concatenate([acc_hi, acc_lo], axis=-1)  # [H, W+2, D, 2C]
 
-    weights = jnp.asarray(_cell_weights(py, px))
-    chunk = cellpx if cellpx <= 16 else 16
+    # small chunks keep the unrolled s0/s1/iota temps inside Mosaic's 16 MB
+    # scoped-VMEM limit (every temp counts, CLAUDE.md)
+    chunk = cellpx if cellpx <= max_chunk else max_chunk
     while cellpx % chunk:
         chunk -= 1
-    kernel = functools.partial(_kernel, d=d, w=w, chunk=chunk)
+    nc = cellpx // chunk
+    d_blk = 64 if d % 64 == 0 and d > 64 else d
+    nz = d // d_blk
+    weights = jnp.asarray(_cell_weights(py, px)).reshape(9, nc, 1, chunk)
+    fz_c = fz_c.reshape(h, w, nc, chunk).transpose(0, 2, 1, 3)  # [H,nc,W,chunk]
+    kernel = functools.partial(_kernel, d=d, d_blk=d_blk, w=w, chunk=chunk)
 
     out_c = pl.pallas_call(
         kernel,
-        grid=(h, cellpx // chunk, 9),
+        grid=(h, nc, 9, nz),
         in_specs=[
-            pl.BlockSpec((9, cellpx), lambda i, jc, k: (0, 0),
+            pl.BlockSpec((1, 1, 1, chunk), lambda i, jc, k, zb: (k, jc, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, cellpx), lambda i, jc, k: (i, 0, 0),
+            pl.BlockSpec((1, 1, w, chunk),
+                         lambda i, jc, k, zb: (i, jc, 0, 0),
                          memory_space=pltpu.VMEM),
             # dy = k // 3 - 1, clamped: the y-corner row pick happens in the
             # index map so the kernel holds one row at a time.
-            pl.BlockSpec((1, w + 2, d, 8),
-                         lambda i, jc, k: (jnp.clip(i + k // 3 - 1, 0, h - 1),
-                                           0, 0, 0),
+            pl.BlockSpec((1, w + 2, d_blk, 8),
+                         lambda i, jc, k, zb: (
+                             jnp.clip(i + k // 3 - 1, 0, h - 1), 0, zb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w, chunk, 4),
-                               lambda i, jc, k: (i, 0, jc, 0),
+        # chunk as its own full trailing pair (chunk, 4) keeps the out block
+        # legal for any chunk size (the (8,128)-divisible-or-full rule).
+        out_specs=pl.BlockSpec((1, 1, w, chunk, 4),
+                               lambda i, jc, k, zb: (i, jc, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w, cellpx, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h, nc, w, chunk, 4), jnp.float32),
         interpret=interpret,
     )(weights, fz_c, acc_cat)
 
+    out_c = out_c.transpose(0, 2, 1, 3, 4).reshape(h, w, cellpx, 4)
     out = out_c.reshape(h, w, py, px, 4)
     out = jnp.moveaxis(out, 2, 1).reshape(ih, iw, 4)
     trans = out[..., 3:4]
