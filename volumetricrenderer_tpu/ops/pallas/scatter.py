@@ -64,6 +64,47 @@ def pack_lights(point_lights, spot_lights) -> np.ndarray | jax.Array:
     return jnp.stack(rows)
 
 
+def slice_light_order(params, view_to_world, positions, ranges,
+                      grid_whd: Tuple[int, int, int]):
+    """Per-slice active-light schedule for the fused kernel.
+
+    Conservative sphere-vs-slice test: the world AABB of the frustum slab
+    [z-1, z+2] (one-voxel pad covers the +-0.5 jitter) against each light's
+    range sphere. Skipping a culled light is EXACT — the in-kernel range
+    cull (`dist <= rng`, compute:97-100) already zeroes its contribution.
+    Returns (order [D, NL] int32 — active-light indices first, count [D, 1]
+    int32)."""
+    from volumetricrenderer_tpu import froxel as froxel_lib
+
+    w, h, d = grid_whd
+    zs = jnp.arange(d, dtype=jnp.float32)
+    z0 = jnp.clip(zs - 1.0, 0.0, float(d))
+    z1 = jnp.clip(zs + 2.0, 0.0, float(d))
+    xs = jnp.asarray([0.0, float(w)])
+    ys = jnp.asarray([0.0, float(h)])
+    fx, fy = jnp.meshgrid(xs, ys, indexing="ij")          # [2, 2]
+    fx = jnp.broadcast_to(fx.reshape(1, 4), (d, 4))
+    fy = jnp.broadcast_to(fy.reshape(1, 4), (d, 4))
+    corners = []
+    for fz in (z0, z1):
+        fzc = jnp.broadcast_to(fz[:, None], (d, 4))
+        corners.append(jnp.stack([fx, fy, fzc], axis=-1))  # [D, 4, 3]
+    fro = jnp.concatenate(corners, axis=1)                 # [D, 8, 3]
+    world = froxel_lib.transform_points(view_to_world,
+                                        froxel_lib.froxel_to_view(params, fro))
+    lo = jnp.min(world, axis=1)                            # [D, 3]
+    hi = jnp.max(world, axis=1)
+    nearest = jnp.clip(positions[None], lo[:, None], hi[:, None])  # [D,NL,3]
+    diff = nearest - positions[None]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    active = d2 <= (ranges[None] ** 2)                     # [D, NL]
+    # [D, 1, NL] / [D, 1, 1]: the slice pick is a leading block dim — the
+    # (8,128)-divisible-or-full rule constrains the last two dims even in SMEM
+    order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(active, axis=1, dtype=jnp.int32)
+    return order[:, None, :], count[:, None, None]
+
+
 def pack_dir_lights(dir_lights) -> jax.Array:
     """[Nd, 8] f32 rows: direction(3) packed_color(3) pad(2). Used when the
     directional scatter (compute:64-85, rgb part) is folded into the fused
@@ -90,7 +131,8 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
 
 
-def _kernel(par_ref, lights_ref, dirs_ref, planes_ref, spheres_ref, boxes_ref,
+def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+            planes_ref, spheres_ref, boxes_ref,
             ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b, *,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int):
@@ -130,7 +172,10 @@ def _kernel(par_ref, lights_ref, dirs_ref, planes_ref, spheres_ref, boxes_ref,
 
     def light_body(li, acc):
         ar, ag, ab = acc
-        q = lambda i: lights_ref[li, i]
+        # per-slice schedule: only range-intersecting lights are visited
+        # (order/count from slice_light_order; skipping is exact)
+        idx = order_ref[0, 0, li]
+        q = lambda i: lights_ref[idx, i]
         lx_, ly_, lz_ = q(0), q(1), q(2)
         cr, cg, cb = q(3), q(4), q(5)
         rng, mult, is_spot = q(6), q(7), q(8)
@@ -209,7 +254,8 @@ def _kernel(par_ref, lights_ref, dirs_ref, planes_ref, spheres_ref, boxes_ref,
         return (ar + base * cr * sr, ag + base * cg * sg, ab + base * cb * sb)
 
     zero = jnp.zeros((h, w), jnp.float32)
-    ar, ag, ab = jax.lax.fori_loop(0, n_lights, light_body, (zero, zero, zero))
+    n_act = count_ref[0, 0, 0]
+    ar, ag, ab = jax.lax.fori_loop(0, n_act, light_body, (zero, zero, zero))
 
     # Directional scatter rgb (compute:64-85), folded in: visibility is the
     # (temporally blended) shadow-volume plane; NOT jittered by default
@@ -259,6 +305,10 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     w, h, d = grid_whd
     lights = pack_lights(point_lights, spot_lights)
     par = pack_params(params, view_to_world, camera_pos, jitter)
+    positions = jnp.concatenate([point_lights.position, spot_lights.position])
+    ranges = jnp.concatenate([point_lights.range, spot_lights.range])
+    order, count = slice_light_order(params, view_to_world, positions, ranges,
+                                     grid_whd)
 
     n_dir = dir_lights.count if (dir_lights is not None
                                  and shadow_volume is not None) else 0
@@ -308,6 +358,10 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
             smem(par.shape),
             smem(lights.shape),
             smem(dirs.shape),
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             smem(planes.shape),
             smem(spheres.shape),
             smem(boxes.shape),
@@ -317,7 +371,7 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         out_specs=(plane_spec, plane_spec, plane_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(par, lights, dirs, planes, spheres, boxes,
+    )(par, lights, dirs, order, count, planes, spheres, boxes,
       material_a[..., 0], material_a[..., 1], material_a[..., 2],
       material_b[..., 0], shadow_in)
 
