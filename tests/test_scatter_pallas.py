@@ -62,3 +62,26 @@ def test_pallas_scatter_no_lights_falls_back():
     img, _, _ = jax.jit(lambda s, sc: r_p.render_frame(s, sc, 0.0))(
         r_p.init_state(1), scene)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_pallas_scatter_culling_far_light_exact():
+    """A light whose range sphere misses the whole volume must contribute 0
+    in both paths (culling must stay conservative/exact)."""
+    scene = _scene()
+    far = PointLights.create(
+        position=[(500.0, 500.0, 500.0), (-2.0, 3.0, 2.0)],
+        color=[(1.0, 1.0, 1.0), (1.0, 0.2, 0.2)],
+        intensity=[9.0, 7.0], range=[10.0, 25.0],
+        has_shadow=[False, True])
+    scene = dataclasses.replace(scene, point_lights=far,
+                                spot_lights=SpotLights.empty())
+    r_x = VolumetricRenderer(CFG)
+    r_p = VolumetricRenderer(dataclasses.replace(CFG, scatter_impl="pallas"))
+    _, aux_x, _ = jax.jit(lambda s, sc: r_x.render_frame(s, sc, 0.0))(
+        r_x.init_state(1), scene)
+    _, aux_p, _ = jax.jit(lambda s, sc: r_p.render_frame(s, sc, 0.0))(
+        r_p.init_state(1), scene)
+    a = np.asarray(aux_x["scatter"])
+    b = np.asarray(aux_p["scatter"])
+    rel = np.abs(a - b) / (1.0 + np.abs(a))
+    assert (rel > 1e-4).mean() < 2e-3, rel.max()
