@@ -79,6 +79,12 @@ class RenderConfig:
     # per-slice raycast kernel; raycast mode only, falls back to xla for maps).
     dir_shadow_impl: str = "xla"
 
+    # Accumulation implementation: "xla" (shift_sample + blocked scan) or
+    # "pallas" (fused jittered-sample + sequential scan; requires
+    # scatter_impl="pallas" planes and temporal_blend_scatter off, else
+    # falls back to xla).
+    accumulate_impl: str = "xla"
+
     # Composite implementation: "tentmm" (gather-free tent-weight matmuls —
     # exact trilinear, the TPU-native default; falls back to "xla" when the
     # image is not an integer multiple of the froxel grid), "xla" (per-pixel
@@ -115,4 +121,5 @@ FULL_CONFIG = RenderConfig(
     reproj_impl="pallas",
     scatter_impl="pallas",
     dir_shadow_impl="pallas",
+    accumulate_impl="pallas",
 )

@@ -297,7 +297,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          geometry, grid_whd: Tuple[int, int, int],
                          dir_lights=None, shadow_volume=None,
                          jitter_dir: bool = False,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         return_planes: bool = False) -> jax.Array:
     """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
     SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
     material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
@@ -375,4 +376,6 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
       material_a[..., 0], material_a[..., 1], material_a[..., 2],
       material_b[..., 0], shadow_in)
 
+    if return_planes:
+        return out_r, out_g, out_b
     return jnp.stack([out_r, out_g, out_b], axis=-1)

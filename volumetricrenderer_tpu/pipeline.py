@@ -187,7 +187,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                          point_lights: PointLights, spot_lights: SpotLights,
                          cube_shadow: Optional[shadow_lib.CubeShadowData],
                          spot_shadow: Optional[shadow_lib.SpotShadowData],
-                         geometry: Optional[Geometry] = None) -> jax.Array:
+                         geometry: Optional[Geometry] = None,
+                         return_planes: bool = False):
     """Sum of all light contributions -> [D, H, W, 4] (L rgb, sigma_t).
 
     The reference's one-dispatch-per-light `+=` (compute:64-167) becomes a
@@ -246,14 +247,20 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 
     if use_pallas_scatter:
         from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
-        local_rgb = scatter_local_pallas(
+        pr, pg, pb = scatter_local_pallas(
             params, view_to_world, camera_pos, jitter, material_a, material_b,
             point_lights, spot_lights, geometry, cfg.grid,
             dir_lights=dir_lights, shadow_volume=shadow_volume,
             jitter_dir=cfg.jitter_dir_scatter,
-            interpret=jax.default_backend() != "tpu")
-        light_rgb = light_rgb + local_rgb
-        return jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
+            interpret=jax.default_backend() != "tpu", return_planes=True)
+        vol4 = jnp.concatenate(
+            [jnp.stack([pr, pg, pb], axis=-1), extinction[..., None]], axis=-1)
+        if return_planes:
+            # raw kernel planes: lets accumulate's fused kernel consume them
+            # without the channel-interleave copy (vol4 is kept for aux /
+            # blends and DCEd when unused)
+            return vol4, (pr, pg, pb, extinction)
+        return vol4
 
     # Point (compute:87-126): jittered pos, range cull, LUT falloff, ext = 0.
     # rsqrt-based normalization: jnp.linalg.norm's sqrt+div pair costs more
@@ -308,7 +315,10 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
             contrib = contrib * (1.0 + g * (s - 1.0))[..., None]
         light_rgb = light_rgb + contrib * keep[..., None]
 
-    return jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
+    vol4 = jnp.concatenate([light_rgb, extinction[..., None]], axis=-1)
+    if return_planes:
+        return vol4, None
+    return vol4
 
 
 # --------------------------------------------------------------------------- #
@@ -316,11 +326,19 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 # --------------------------------------------------------------------------- #
 
 def accumulate(cfg: RenderConfig, params: FroxelParams, jitter: jax.Array,
-               scatter: jax.Array) -> jax.Array:
+               scatter: jax.Array, planes=None) -> jax.Array:
     """Front-to-back integration (compute:172-200) as an associative scan.
 
     The in-kernel trilinear fetch at the jittered froxel pos (compute:187-188)
-    is a constant-offset stencil -> gather-free shift_sample_3d."""
+    is a constant-offset stencil -> gather-free shift_sample_3d; with
+    `accumulate_impl="pallas"` and scatter planes available, the sample and
+    the scan fuse into one sequential Pallas pass (ops/pallas/integrate.py)."""
+    if cfg.accumulate_impl == "pallas" and planes is not None:
+        from volumetricrenderer_tpu.ops.pallas.integrate import \
+            accumulate_fused_pallas
+        return accumulate_fused_pallas(
+            planes, jitter, params, cfg.grid,
+            interpret=jax.default_backend() != "tpu")
     # Texel coord of jittered center i+0.5+j is i+j -> offset = jitter.
     sampled = shift_sample_3d(scatter, jitter)
     in_scatter = sampled[..., :3]

@@ -139,18 +139,21 @@ class VolumetricRenderer:
 
         # --- Scatter (cs:530-622) + optional blend ---
         with jax.named_scope("write_scatter_volume"):
-            scatter = pipeline.write_scatter_volume(
+            scatter, scatter_planes = pipeline.write_scatter_volume(
                 cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
                 shadow_vol, scene.dir_lights, scene.point_lights,
-                scene.spot_lights, cube_shadow, spot_shadow, scene.geometry)
+                scene.spot_lights, cube_shadow, spot_shadow, scene.geometry,
+                return_planes=True)
         if cfg.temporal_blend_scatter:
             scatter = pipeline.temporal_blend_scatter(
                 cfg, params, view_to_world, prev_w2v, scatter,
                 state.prev_scatter.astype(jnp.float32), alpha)
+            scatter_planes = None   # planes bypass the blend; use the volume
 
         # --- Accumulate (cs:641-647) + blend (cs:276) ---
         with jax.named_scope("accumulate"):
-            accumulation = pipeline.accumulate(cfg, params, jitter, scatter)
+            accumulation = pipeline.accumulate(cfg, params, jitter, scatter,
+                                               planes=scatter_planes)
         if cfg.temporal_blend_accumulation:
             with jax.named_scope("temporal_blend_accumulation"):
                 accumulation = pipeline.temporal_blend_accumulation(
