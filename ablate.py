@@ -66,6 +66,13 @@ def main():
         dir_lights=dataclasses.replace(
             scene.dir_lights, has_shadow=jnp.zeros((1,), bool)))
     timeit_frame("lights, no shadow rays", base_cfg, scene_noshadowlights)
+    timeit_frame("scatter=xla (unfused)", dataclasses.replace(
+        base_cfg, scatter_impl="xla", dir_shadow_impl="xla",
+        accumulate_impl="xla"), scene)
+    timeit_frame("accumulate=xla (no fused integrate)", dataclasses.replace(
+        base_cfg, accumulate_impl="xla"), scene)
+    timeit_frame("reproj=windowed (xla warp)", dataclasses.replace(
+        base_cfg, reproj_impl="windowed"), scene)
 
 
 if __name__ == "__main__":
