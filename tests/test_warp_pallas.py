@@ -41,3 +41,39 @@ def test_pallas_warp_matches_xla_1ch():
                                            jnp.asarray(ty), jnp.asarray(tz),
                                            k=2))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_warp_fused_weight_blend():
+    """blend_weight mode == warp-then-lerp (shadow temporal blend)."""
+    vol, tx, ty, tz = _case(2, None)
+    cur = np.random.default_rng(9).random(vol.shape).astype(np.float32)
+    w = np.random.default_rng(10).random(vol.shape).astype(np.float32)
+    warped = windowed_warp_sample_3d(jnp.asarray(vol), jnp.asarray(tx),
+                                     jnp.asarray(ty), jnp.asarray(tz), k=3)
+    ref = cur + np.asarray(warped - cur) * w
+    out = windowed_warp_pallas(jnp.asarray(vol), jnp.asarray(tx),
+                               jnp.asarray(ty), jnp.asarray(tz), k=3,
+                               interpret=True, blend_cur=jnp.asarray(cur),
+                               blend_weight=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_warp_fused_alpha_blend():
+    """blend_alpha mode == warp-then-lerp with prev.a != 0 success
+    (accumulation temporal blend, compute:257)."""
+    vol, tx, ty, tz = _case(3, 4)
+    # zero out a region of the alpha channel so the success mask has holes
+    vol[:, :3, :, 3] = 0.0
+    vol[..., 3] = np.where(vol[..., 3] < 0.3, 0.0, vol[..., 3])
+    cur = np.random.default_rng(11).random(vol.shape).astype(np.float32)
+    alpha = 0.84
+    warped = np.asarray(windowed_warp_sample_3d(
+        jnp.asarray(vol), jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tz),
+        k=3))
+    success = (warped[..., 3] != 0.0).astype(np.float32)
+    ref = cur + (warped - cur) * (alpha * success)[..., None]
+    out = windowed_warp_pallas(jnp.asarray(vol), jnp.asarray(tx),
+                               jnp.asarray(ty), jnp.asarray(tz), k=3,
+                               interpret=True, blend_cur=jnp.asarray(cur),
+                               blend_alpha=jnp.float32(alpha))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)

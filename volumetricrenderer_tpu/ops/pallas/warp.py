@@ -33,12 +33,24 @@ def _edge_pad(x: jax.Array, axis: int, k: int) -> jax.Array:
                            axis=axis)
 
 
-def _pass_kernel(t_ref, vol_ref, out_ref, *, axis: int, k: int, c: int):
+def _pass_kernel(*refs, axis: int, k: int, c: int, blend: str = "none"):
     """One windowed tent pass along `axis` (0=z, 1=y, 2=x-in-lane-units).
 
     t_ref: [bd, bh, W*C] target coords pre-interleaved per channel (XLA-side
     jnp.repeat — pltpu.repeat tiles whole rows, it does not interleave);
-    vol_ref/out_ref: [bd, bh, W*C]."""
+    vol_ref/out_ref: [bd, bh, W*C].
+
+    blend (final pass only) fuses the temporal lerp so the warped volume
+    never round-trips HBM: "weight" takes cur + per-texel weight inputs and
+    emits cur + w*(warped - cur); "alpha" takes cur + a scalar alpha (SMEM)
+    and uses the reference's success test prev.a != 0 (compute:257) — the
+    warped alpha lane is broadcast across its 4-channel group with rolls."""
+    if blend == "weight":
+        t_ref, vol_ref, cur_ref, w_ref, out_ref = refs
+    elif blend == "alpha":
+        a_ref, t_ref, vol_ref, cur_ref, out_ref = refs
+    else:
+        t_ref, vol_ref, out_ref = refs
     target = t_ref[:]
     if axis < 2:
         base = jax.lax.broadcasted_iota(jnp.int32, target.shape,
@@ -60,16 +72,36 @@ def _pass_kernel(t_ref, vol_ref, out_ref, *, axis: int, k: int, c: int):
         idx = [slice(None)] * 3
         idx[pad_axis] = slice(start, start + vol.shape[pad_axis])
         acc = acc + padded[tuple(idx)] * w
-    out_ref[:] = acc
+
+    if blend == "weight":
+        cur = cur_ref[:]
+        out_ref[:] = cur + w_ref[:] * (acc - cur)
+    elif blend == "alpha":
+        # broadcast each froxel's alpha lane (lane % c == c-1) over its group
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+        wc = acc.shape[2]
+        a_b = jnp.zeros_like(acc)
+        for s in range(c):
+            rolled = acc if s == 0 else pltpu.roll(acc, wc - s, 2)
+            a_b = jnp.where(lane % c == c - 1 - s, rolled, a_b)
+        wgt = a_ref[0, 0] * (a_b != 0.0).astype(acc.dtype)
+        cur = cur_ref[:]
+        out_ref[:] = cur + wgt * (acc - cur)
+    else:
+        out_ref[:] = acc
 
 
 def _run_pass(vol_m: jax.Array, target: jax.Array, axis: int, k: int, c: int,
-              interpret: bool) -> jax.Array:
-    """vol_m [D, H, W*C]; target [D, H, W]. Grid keeps the pass axis whole."""
+              interpret: bool, blend_cur=None, blend_weight=None,
+              blend_alpha=None) -> jax.Array:
+    """vol_m [D, H, W*C]; target [D, H, W]. Grid keeps the pass axis whole.
+    blend_* (y/x passes only): fuse the temporal lerp into this pass."""
     target_m = jnp.repeat(target, c, axis=-1) if c > 1 else target
     h_orig, wc_orig = vol_m.shape[1], vol_m.shape[2]
 
-    kernel = functools.partial(_pass_kernel, axis=axis, k=k, c=c)
+    blend = ("weight" if blend_weight is not None
+             else ("alpha" if blend_alpha is not None else "none"))
+    kernel = functools.partial(_pass_kernel, axis=axis, k=k, c=c, blend=blend)
 
     if axis == 0:
         # The z-pass holds full D per block, so both H and the lane dim must
@@ -106,20 +138,41 @@ def _run_pass(vol_m: jax.Array, target: jax.Array, axis: int, k: int, c: int,
     bd = 1
     spec = pl.BlockSpec((bd, h, wc), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    if blend == "weight":
+        wm = (jnp.repeat(blend_weight, c, axis=-1) if c > 1
+              else blend_weight)
+        args = (target_m, vol_m, blend_cur.reshape(d, h, wc), wm)
+        in_specs = [spec, spec, spec, spec]
+    elif blend == "alpha":
+        a = jnp.asarray(blend_alpha, jnp.float32).reshape(1, 1)
+        args = (a, target_m, vol_m, blend_cur.reshape(d, h, wc))
+        in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM), spec, spec, spec]
+    else:
+        args = (target_m, vol_m)
+        in_specs = [spec, spec]
     return pl.pallas_call(
-        kernel, grid=(d // bd,), in_specs=[spec, spec], out_specs=spec,
+        kernel, grid=(d // bd,), in_specs=in_specs, out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((d, h, wc), vol_m.dtype),
         interpret=interpret,
-    )(target_m, vol_m)
+    )(*args)
 
 
 def windowed_warp_pallas(vol: jax.Array, target_x: jax.Array,
                          target_y: jax.Array, target_z: jax.Array,
-                         k: int = 4, interpret: bool = False) -> jax.Array:
-    """Drop-in equivalent of ops.warp.windowed_warp_sample_3d."""
+                         k: int = 4, interpret: bool = False,
+                         blend_cur=None, blend_weight=None,
+                         blend_alpha=None) -> jax.Array:
+    """Drop-in equivalent of ops.warp.windowed_warp_sample_3d.
+
+    blend_cur + (blend_weight | blend_alpha) fuse the temporal lerp into the
+    final pass (see _pass_kernel): returns cur + w*(warped - cur) instead of
+    the warped volume, without the warped volume touching HBM."""
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[..., None]
+        if blend_cur is not None:
+            blend_cur = blend_cur[..., None]
     d, h, w, c = vol.shape
     tz = jnp.clip(target_z, 0.0, d - 1.0)
     ty = jnp.clip(target_y, 0.0, h - 1.0)
@@ -128,6 +181,8 @@ def windowed_warp_pallas(vol: jax.Array, target_x: jax.Array,
     vol_m = vol.reshape(d, h, w * c)
     vol_m = _run_pass(vol_m, tz, 0, k, c, interpret)
     vol_m = _run_pass(vol_m, ty, 1, k, c, interpret)
-    vol_m = _run_pass(vol_m, tx, 2, k, c, interpret)
+    vol_m = _run_pass(vol_m, tx, 2, k, c, interpret,
+                      blend_cur=blend_cur, blend_weight=blend_weight,
+                      blend_alpha=blend_alpha)
     out = vol_m.reshape(d, h, w, c)
     return out[..., 0] if squeeze else out

@@ -398,6 +398,18 @@ def temporal_blend_shadow(cfg: RenderConfig, params: FroxelParams,
                                       prev_world_to_view, jitter, 1e-4)
     nd = shadow_volume.shape[0]
     out = []
+    if cfg.reproj_impl == "pallas":
+        # fused lerp in the warp's final pass: the warped history never
+        # round-trips HBM
+        from volumetricrenderer_tpu.ops.pallas.warp import windowed_warp_pallas
+        tx, ty, tz = texel[..., 0], texel[..., 1], texel[..., 2]
+        w = alpha * success
+        for i in range(nd):
+            out.append(windowed_warp_pallas(
+                prev_shadow[i], tx, ty, tz, cfg.reproj_window,
+                interpret=jax.default_backend() != "tpu",
+                blend_cur=shadow_volume[i], blend_weight=w))
+        return jnp.stack(out)
     for i in range(nd):
         prev = _sample_prev(cfg, prev_shadow[i], texel)
         out.append(shadow_volume[i] + (prev - shadow_volume[i]) * (alpha * success))
@@ -437,6 +449,12 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
     prev.a != 0 (not the uv bound test)."""
     texel, _ = _reproject_texel(cfg, params, view_to_world,
                                 prev_world_to_view, None, 0.0)
+    if cfg.reproj_impl == "pallas":
+        from volumetricrenderer_tpu.ops.pallas.warp import windowed_warp_pallas
+        return windowed_warp_pallas(
+            prev_accumulation, texel[..., 0], texel[..., 1], texel[..., 2],
+            cfg.reproj_window, interpret=jax.default_backend() != "tpu",
+            blend_cur=accumulation, blend_alpha=alpha)
     prev = _sample_prev(cfg, prev_accumulation, texel)
     success = (prev[..., 3] != 0.0).astype(jnp.float32)
     return accumulation + (prev - accumulation) * (alpha * success)[..., None]
