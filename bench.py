@@ -91,7 +91,7 @@ def main():
     # The chip is pooled: take the best batch median over a few batches to
     # reduce external-contention bias (PERF.md "Measurement hygiene").
     batch_medians = []
-    for _ in range(3):
+    for _ in range(5):
         times = []
         for i in range(n_meas):
             t0 = time.perf_counter()
