@@ -24,6 +24,20 @@ class PostConfig:
     vignette: float = 0.0              # 0 disables
     tonemap: str = "aces"              # "aces" | "none"
     gamma: float = 2.2
+    # Color grading (PostProcessing 2.3.0 ColorGrading's LDR controls,
+    # LUT-free closed forms): lift/gamma/gain per the ASC CDL-style model,
+    # saturation/contrast around mid-gray.
+    grade_lift: tuple = (0.0, 0.0, 0.0)
+    grade_gamma: tuple = (1.0, 1.0, 1.0)
+    grade_gain: tuple = (1.0, 1.0, 1.0)
+    saturation: float = 1.0
+    contrast: float = 1.0
+    # Chromatic aberration: radial R/B channel shift in pixels at the corner
+    # (static integer-shift approximation - gather-free).
+    chromatic_aberration: float = 0.0
+    # Film grain strength (hash-noise, Random.hlsl-style construction).
+    grain: float = 0.0
+    grain_seed: int = 0
 
 
 def aces_tonemap(x: jax.Array) -> jax.Array:
@@ -71,9 +85,69 @@ def bloom(rgb: jax.Array, threshold: float, levels: int) -> jax.Array:
     return _upsample2(out, rgb.shape[0], rgb.shape[1])
 
 
+def chromatic_aberration(rgb: jax.Array, strength_px: float) -> jax.Array:
+    """Radial R/B shift approximated by one static pixel shift per half:
+    R shifts outward, B inward, scaled by a radial mask (gather-free; the
+    engine effect warps along the radius with a spectral LUT)."""
+    h, w = rgb.shape[:2]
+    yy = (jnp.arange(h, dtype=rgb.dtype) + 0.5) / h - 0.5
+    xx = (jnp.arange(w, dtype=rgb.dtype) + 0.5) / w - 0.5
+    r2 = jnp.minimum((xx[None, :] ** 2 + yy[:, None] ** 2) * 4.0, 1.0)
+    amt = jnp.clip(strength_px, 0.0, 8.0) * r2[..., None]
+
+    def shifted(img, s):
+        # shift towards the center by s pixels along each axis' sign
+        left = jnp.concatenate([img[:, s:], img[:, -1:].repeat(s, 1)], axis=1)
+        right = jnp.concatenate([img[:, :1].repeat(s, 1), img[:, :-s]], axis=1)
+        xs = jnp.where(xx[None, :, None] > 0, left, right)
+        up = jnp.concatenate([xs[s:], xs[-1:].repeat(s, 0)], axis=0)
+        dn = jnp.concatenate([xs[:1].repeat(s, 0), xs[:-s]], axis=0)
+        return jnp.where(yy[:, None, None] > 0, up, dn)
+
+    r_in = shifted(rgb[..., :1], 1)
+    b_in = shifted(rgb[..., 2:3], 2)
+    frac = amt  # blend amount toward the shifted sample
+    r = rgb[..., :1] + frac[..., :1] * 0.5 * (r_in - rgb[..., :1])
+    b = rgb[..., 2:3] + frac[..., :1] * 0.5 * (b_in - rgb[..., 2:3])
+    return jnp.concatenate([r, rgb[..., 1:2], b], axis=-1)
+
+
+def color_grade(rgb: jax.Array, cfg: PostConfig) -> jax.Array:
+    """Lift/gamma/gain (ASC CDL-style) + saturation + contrast around 0.5."""
+    lift = jnp.asarray(cfg.grade_lift, rgb.dtype)
+    gamma = jnp.asarray(cfg.grade_gamma, rgb.dtype)
+    gain = jnp.asarray(cfg.grade_gain, rgb.dtype)
+    x = jnp.clip(rgb, 0.0, None)
+    x = jnp.clip(x * gain + lift * (1.0 - x), 0.0, None)
+    x = x ** (1.0 / jnp.maximum(gamma, 1e-4))
+    luma = (0.2126 * x[..., 0] + 0.7152 * x[..., 1]
+            + 0.0722 * x[..., 2])[..., None]
+    x = luma + cfg.saturation * (x - luma)
+    return 0.5 + cfg.contrast * (x - 0.5) if cfg.contrast != 1.0 else x
+
+
+def film_grain(rgb: jax.Array, strength: float, seed: int) -> jax.Array:
+    """Hash-noise grain (JenkinsHash-style integer mix, Random.hlsl:9-51),
+    luminance-masked so shadows carry more grain (engine behavior)."""
+    h, w = rgb.shape[:2]
+    ix = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    iy = jnp.arange(h, dtype=jnp.uint32)[:, None]
+    hsh = (ix * jnp.uint32(0x8da6b343) + iy * jnp.uint32(0xd8163841)
+           + jnp.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF))
+    hsh = hsh ^ (hsh >> jnp.uint32(13))
+    hsh = hsh * jnp.uint32(0x85ebca6b)
+    hsh = hsh ^ (hsh >> jnp.uint32(16))
+    n = hsh.astype(jnp.float32) * (1.0 / 4294967295.0) - 0.5
+    luma = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    mask = 1.0 - jnp.clip(luma, 0.0, 1.0) * 0.5
+    return rgb + (strength * n * mask)[..., None]
+
+
 def apply_post(image_rgba: jax.Array, cfg: PostConfig) -> jax.Array:
     """HDR composite [H, W, 4] -> display-ready [H, W, 3] in [0, 1]."""
     rgb = image_rgba[..., :3] * cfg.exposure
+    if cfg.chromatic_aberration > 0.0:
+        rgb = chromatic_aberration(rgb, cfg.chromatic_aberration)
     if cfg.bloom_strength > 0.0:
         rgb = rgb + cfg.bloom_strength * bloom(rgb, cfg.bloom_threshold,
                                                cfg.bloom_levels)
@@ -85,5 +159,11 @@ def apply_post(image_rgba: jax.Array, cfg: PostConfig) -> jax.Array:
         rgb = rgb * (1.0 - cfg.vignette * r2)[..., None]
     if cfg.tonemap == "aces":
         rgb = aces_tonemap(rgb)
+    if (cfg.grade_lift != (0.0, 0.0, 0.0) or cfg.grade_gamma != (1.0, 1.0, 1.0)
+            or cfg.grade_gain != (1.0, 1.0, 1.0) or cfg.saturation != 1.0
+            or cfg.contrast != 1.0):
+        rgb = color_grade(rgb, cfg)
+    if cfg.grain > 0.0:
+        rgb = film_grain(rgb, cfg.grain, cfg.grain_seed)
     rgb = jnp.clip(rgb, 0.0, 1.0) ** (1.0 / cfg.gamma)
     return rgb
