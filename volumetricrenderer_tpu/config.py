@@ -109,8 +109,12 @@ class RenderConfig:
 # Demo preset mirroring the reference scene (Assets/Scenes/VolumetricRenderer.unity:620-621).
 DEMO_CONFIG = RenderConfig(temporal_blend_alpha=0.84)
 
-# BASELINE.json config 5: 240x135x128 froxels at 1080p. reproj_impl="pallas"
-# is the VMEM-resident warp (fastest on TPU; identical semantics).
+# BASELINE.json config 5: 240x135x128 froxels at 1080p. The production
+# preset uses the TPU-native fast paths throughout: raycast shadow mode (the
+# pallas scatter/dir-shadow kernels require it — with "map" they silently
+# fall back to the gather-bound PCF path, ~2.5 s/frame at this size) and the
+# VMEM-resident pallas warp/integrate kernels (identical semantics,
+# equivalence-tested).
 FULL_CONFIG = RenderConfig(
     volume_width=240,
     volume_height=135,
@@ -118,6 +122,7 @@ FULL_CONFIG = RenderConfig(
     image_width=1920,
     image_height=1080,
     temporal_blend_alpha=0.84,
+    shadow_mode="raycast",
     reproj_impl="pallas",
     scatter_impl="pallas",
     dir_shadow_impl="pallas",
