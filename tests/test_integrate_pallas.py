@@ -83,3 +83,35 @@ def test_fused_integrate_in_full_frame():
                                rtol=3e-5, atol=3e-6)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_fused_paths_multiframe_stable():
+    """8 frames through the all-pallas config (scatter + dir shadow +
+    accumulate + temporal blends fused): finite, converging history, and
+    matching the all-XLA config at every frame."""
+    from volumetricrenderer_tpu import VolumetricRenderer
+    from tests.test_scatter_pallas import CFG, _scene
+
+    scene = _scene()
+    cfg_p = dataclasses.replace(CFG, scatter_impl="pallas",
+                                dir_shadow_impl="pallas",
+                                accumulate_impl="pallas",
+                                reproj_impl="pallas",
+                                temporal_blend_shadow=True,
+                                temporal_blend_accumulation=True)
+    cfg_x = dataclasses.replace(CFG, temporal_blend_shadow=True,
+                                temporal_blend_accumulation=True,
+                                reproj_impl="windowed")
+    r_p = VolumetricRenderer(cfg_p)
+    r_x = VolumetricRenderer(cfg_x)
+    f_p = jax.jit(lambda s, sc, t: r_p.render_frame(s, sc, t))
+    f_x = jax.jit(lambda s, sc, t: r_x.render_frame(s, sc, t))
+    sp, sx = r_p.init_state(1), r_x.init_state(1)
+    for i in range(8):
+        img_p, _, sp = f_p(sp, scene, jnp.float32(0.05 * i))
+        img_x, _, sx = f_x(sx, scene, jnp.float32(0.05 * i))
+        a, b = np.asarray(img_p), np.asarray(img_x)
+        assert np.isfinite(a).all(), f"frame {i} not finite"
+        rel = np.abs(a - b) / (1.0 + np.abs(b))
+        # any-hit shadow boundaries are step functions: allow isolated flips
+        assert (rel > 1e-3).mean() < 2e-3, (i, rel.max())
