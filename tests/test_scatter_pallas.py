@@ -85,3 +85,18 @@ def test_pallas_scatter_culling_far_light_exact():
     b = np.asarray(aux_p["scatter"])
     rel = np.abs(a - b) / (1.0 + np.abs(a))
     assert (rel > 1e-4).mean() < 2e-3, rel.max()
+
+
+def test_bf16_volumes_compose_with_pallas_paths():
+    """volume_dtype=bfloat16 must work through every fused kernel (validated
+    once on real TPU at FULL size; this pins the CPU-interpret combo)."""
+    scene = _scene()
+    cfg = dataclasses.replace(CFG, scatter_impl="pallas",
+                              dir_shadow_impl="pallas",
+                              accumulate_impl="pallas", reproj_impl="pallas",
+                              volume_dtype="bfloat16")
+    r = VolumetricRenderer(cfg)
+    img, _, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(
+        r.init_state(1), scene)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.std() > 0.0
