@@ -47,16 +47,22 @@ def main():
         trace = json.load(f)
 
     # Keep only the device "XLA Ops" thread (the same events repeat on the
-    # Modules/Steps aggregate tracks and on host threads — summing every X
-    # event multi-counts them).
+    # Modules/Steps aggregate tracks and on host threads), and only ops inside
+    # OUR jit_frame module windows — the chip is pooled, so the capture also
+    # contains other tenants' programs (observed: a foreign module filled a
+    # whole capture with anonymous fusions). If the windows themselves carry
+    # no named scopes (write_scatter_volume etc.), distrust the capture and
+    # re-run on a quieter pool.
     events = trace.get("traceEvents", [])
-    proc = {}
     thread = {}
     for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            proc[ev["pid"]] = ev["args"].get("name", "")
         if ev.get("ph") == "M" and ev.get("name") == "thread_name":
             thread[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
+
+    windows = [(ev["ts"], ev["ts"] + ev.get("dur", 0)) for ev in events
+               if ev.get("ph") == "X"
+               and "XLA Modules" in thread.get((ev.get("pid"), ev.get("tid")), "")
+               and ev.get("name", "").startswith("jit_frame")]
 
     durs = defaultdict(float)
     counts = defaultdict(int)
@@ -65,6 +71,9 @@ def main():
             continue
         tname = thread.get((ev.get("pid"), ev.get("tid")), "")
         if "XLA Ops" not in tname:
+            continue
+        ts = ev.get("ts", 0)
+        if windows and not any(a <= ts <= b for a, b in windows):
             continue
         durs[ev["name"]] += ev.get("dur", 0) / 1e3 / 3.0  # us -> ms, per frame
         counts[ev["name"]] += 1
