@@ -100,3 +100,37 @@ def test_bf16_volumes_compose_with_pallas_paths():
         r.init_state(1), scene)
     a = np.asarray(img)
     assert np.isfinite(a).all() and a.std() > 0.0
+
+
+def test_slice_light_order_is_conservative():
+    """Property: every light within range of ANY froxel center of slice z
+    must appear among the slice's first `count` schedule entries."""
+    import jax.numpy as jnp
+    from volumetricrenderer_tpu import froxel as froxel_lib
+    from volumetricrenderer_tpu.ops.pallas.scatter import slice_light_order
+
+    cfg = CFG
+    cam = _scene().camera
+    params = froxel_lib.make_froxel_params(
+        cam.fov_y, cam.aspect, cam.near, cfg.volume_distance,
+        cfg.depth_distribution, cfg.grid)
+    v2w = cam.view_to_world()
+    rng = np.random.default_rng(5)
+    nl = 24
+    positions = jnp.asarray(rng.uniform(-60, 60, (nl, 3)), jnp.float32)
+    ranges = jnp.asarray(rng.uniform(2.0, 40.0, (nl,)), jnp.float32)
+    order, count = slice_light_order(params, v2w, positions, ranges, cfg.grid)
+    order = np.asarray(order)[:, 0]
+    count = np.asarray(count)[:, 0, 0]
+
+    d, h, w = cfg.grid_dhw
+    centers = froxel_lib.froxel_centers(cfg.grid)           # [D,H,W,3]
+    world = froxel_lib.transform_points(
+        v2w, froxel_lib.froxel_to_view(params, centers))
+    world = np.asarray(world).reshape(d, -1, 3)
+    for z in range(d):
+        scheduled = set(order[z, :count[z]].tolist())
+        d2 = ((world[z][:, None] - np.asarray(positions)[None]) ** 2).sum(-1)
+        in_range = (d2 <= np.asarray(ranges)[None] ** 2).any(axis=0)
+        for li in np.nonzero(in_range)[0]:
+            assert int(li) in scheduled, (z, int(li))
