@@ -2,8 +2,10 @@
 """Benchmark: BASELINE config 5 on one TPU chip.
 
 240x135x128 froxels, 1080p composite, cascaded dir light + 16 local lights
-(8 point + 8 spot, all with PCF shadow-map taps), animated-noise + height-falloff
-fog plus a box fog volume, full temporal path, composite + post stack.
+(8 point + 8 spot), animated-noise + height-falloff fog plus a box fog volume,
+full temporal path, composite + post stack. Shadows default to the TPU-native
+analytic raycast mode (shadow_mode="raycast", FULL_CONFIG); pass --map-shadows
+to measure the reference's cascaded-PCF shadow-map path instead.
 
 Measured scope matches BASELINE.json's metric ("inject + scatter + integrate +
 composite"): the scene G-buffer and the shadow-map bake are precomputed (Unity
