@@ -86,9 +86,11 @@ class RenderConfig:
     accumulate_impl: str = "xla"
 
     # Composite implementation: "tentmm" (gather-free tent-weight matmuls —
-    # exact trilinear, the TPU-native default; falls back to "xla" when the
-    # image is not an integer multiple of the froxel grid), "xla" (per-pixel
-    # gather — reference-shaped, slow on TPU), or "pallas" (fused kernel, WIP).
+    # exact trilinear, the TPU-native default; non-integer IH/H ratios take
+    # the pixel-row variant below automatically), "rowmm" (pixel-row tent
+    # matmuls, any IH/H ratio, ops/rowmm_composite.py), "xla" (per-pixel
+    # gather — reference-shaped, slow on TPU; the fallback when IW % W != 0),
+    # or "pallas" (fused kernel, documented dead end — see PERF.md).
     composite_impl: str = "tentmm"
 
     @property

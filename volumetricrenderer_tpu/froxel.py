@@ -33,6 +33,11 @@ class FroxelParams:
     w: jax.Array
     near: jax.Array
     grid: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))  # (W, H, D)
+    # Slab offset for H-sharded rendering (parallel/shard_render.py): the
+    # GLOBAL froxel row of the local array's row 0 (may be negative in the
+    # halo overcompute region; rows clamp to [0, H-1] like the edge sampler).
+    # 0 for whole-grid rendering; `grid` is always the GLOBAL grid.
+    y0: jax.Array = 0.0
 
 
 def make_froxel_params(fov_y_rad, aspect, near, volume_distance, depth_distribution,

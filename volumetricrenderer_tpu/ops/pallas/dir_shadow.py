@@ -32,20 +32,22 @@ def pack_dir_lights(dir_lights) -> jax.Array:
 
 def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, out_ref,
             *, grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
-            n_spheres: int, n_boxes: int, max_dist: float):
-    w, h, d = grid_whd
+            n_spheres: int, n_boxes: int, max_dist: float, h_glob: int):
+    w, h, d = grid_whd                  # local block shape (h may be a slab)
     zi = pl.program_id(0)
 
     p = lambda i: par_ref[0, i]
     fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
     jx, jy, jz = p(17), p(18), p(19)
+    y0 = p(23)                          # global row of local row 0 (slab)
 
     fz = zi.astype(jnp.float32) + 0.5 + jz
     vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
     vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
-    vy = (2.0 * (ys + 0.5 + jy) / h - 1.0) * vz / fpy
+    vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
     wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
     wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
     wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
@@ -126,7 +128,8 @@ def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
 
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=nd, n_planes=n_planes,
-        n_spheres=n_spheres, n_boxes=n_boxes, max_dist=1e4)
+        n_spheres=n_spheres, n_boxes=n_boxes, max_dist=1e4,
+        h_glob=params.grid[1])
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

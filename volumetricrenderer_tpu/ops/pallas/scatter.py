@@ -77,11 +77,15 @@ def slice_light_order(params, view_to_world, positions, ranges,
     from volumetricrenderer_tpu import froxel as froxel_lib
 
     w, h, d = grid_whd
+    h_glob = params.grid[1]
+    y0 = jnp.asarray(params.y0, jnp.float32)
     zs = jnp.arange(d, dtype=jnp.float32)
     z0 = jnp.clip(zs - 1.0, 0.0, float(d))
     z1 = jnp.clip(zs + 2.0, 0.0, float(d))
     xs = jnp.asarray([0.0, float(w)])
-    ys = jnp.asarray([0.0, float(h)])
+    # slab-local y extent in GLOBAL rows (tighter per-shard culling)
+    ys = jnp.stack([jnp.clip(y0, 0.0, float(h_glob)),
+                    jnp.clip(y0 + h, 0.0, float(h_glob))])
     fx, fy = jnp.meshgrid(xs, ys, indexing="ij")          # [2, 2]
     fx = jnp.broadcast_to(fx.reshape(1, 4), (d, 4))
     fy = jnp.broadcast_to(fy.reshape(1, 4), (d, 4))
@@ -119,7 +123,7 @@ def pack_dir_lights(dir_lights) -> jax.Array:
 
 def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     """[1, 24] f32: v2w rows (12), fp.x fp.y fp.z fp.w near, jitter(3),
-    cam(3), pad."""
+    cam(3), y0 (slab row offset, 0 for whole-grid)."""
     m = view_to_world
     vals = [m[0, 0], m[0, 1], m[0, 2], m[0, 3],
             m[1, 0], m[1, 1], m[1, 2], m[1, 3],
@@ -127,7 +131,7 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
             params.x, params.y, params.z, params.w, params.near,
             jitter[0], jitter[1], jitter[2],
             camera_pos[0], camera_pos[1], camera_pos[2],
-            jnp.float32(0.0)]
+            params.y0]
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
 
 
@@ -135,14 +139,16 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             planes_ref, spheres_ref, boxes_ref,
             ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b, *,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
-            jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int):
-    w, h, d = grid_whd
+            jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
+            h_glob: int):
+    w, h, d = grid_whd                  # local block shape (h may be a slab)
     zi = pl.program_id(0)
 
     p = lambda i: par_ref[0, i]
     fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
     jx, jy, jz = p(17), p(18), p(19)
     camx, camy, camz = p(20), p(21), p(22)
+    y0 = p(23)                          # global row of local row 0 (slab)
 
     # froxel -> view -> world at the jittered slice center (scalar z math).
     fz = zi.astype(jnp.float32) + 0.5 + jz
@@ -150,8 +156,10 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    # global rows, clamped to the grid (halo rows replicate the edge row)
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
     vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
-    vy = (2.0 * (ys + 0.5 + jy) / h - 1.0) * vz / fpy
+    vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
 
     wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
     wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
@@ -268,7 +276,7 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             fzc = zi.astype(jnp.float32) + 0.5
             vzc = (jnp.exp(jnp.log(fpz) * fzc / d) - 1.0) * fpw + near
             vxc = (2.0 * (xs + 0.5) / w - 1.0) * vzc / fpx
-            vyc = (2.0 * (ys + 0.5) / h - 1.0) * vzc / fpy
+            vyc = (2.0 * (ys + 0.5) / h_glob - 1.0) * vzc / fpy
             cwx = p(0) * vxc + p(1) * vyc + p(2) * vzc + p(3)
             cwy = p(4) * vxc + p(5) * vyc + p(6) * vzc + p(7)
             cwz = p(8) * vxc + p(9) * vyc + p(10) * vzc + p(11)
@@ -341,7 +349,7 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
-        n_boxes=n_boxes)
+        n_boxes=n_boxes, h_glob=params.grid[1])
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

@@ -44,8 +44,18 @@ def froxel_world_positions(cfg: RenderConfig, params: FroxelParams,
                            view_to_world: jax.Array,
                            jitter: Optional[jax.Array]) -> jax.Array:
     """World position of every froxel center [D, H, W, 3], optionally jittered
-    (JitterFroxelPos, helper:115-122)."""
+    (JitterFroxelPos, helper:115-122).
+
+    cfg.grid gives the LOCAL array shape; params.grid the GLOBAL grid. Under
+    H-sharded rendering the local rows map to global rows y0 + i, clamped to
+    the grid (halo rows at the global edges replicate the edge row — the same
+    values the clamp sampler would produce)."""
     centers = froxel.froxel_centers(cfg.grid)
+    if not (isinstance(params.y0, (int, float)) and params.y0 == 0):
+        h_glob = params.grid[1]
+        cy = jnp.clip(centers[..., 1] + params.y0, 0.5, h_glob - 0.5)
+        centers = jnp.concatenate([centers[..., :1], cy[..., None],
+                                   centers[..., 2:]], axis=-1)
     if jitter is not None:
         centers = centers + jitter
     return froxel.froxel_to_world(params, view_to_world, centers)
@@ -357,8 +367,11 @@ def _reproject_texel(cfg: RenderConfig, params: FroxelParams,
                      ) -> Tuple[jax.Array, jax.Array]:
     """Current froxel center -> previous-frame froxel pos.
 
-    Returns (texel coords [D,H,W,3], xy reprojection success [D,H,W])."""
-    w, h, d = cfg.grid
+    Returns (texel coords [D,H,W,3], xy reprojection success [D,H,W]).
+    Froxel space (and the [0,1] success test) is GLOBAL; the returned texel's
+    y is converted to LOCAL rows (minus params.y0) so history-volume sampling
+    indexes the local (possibly halo'd) slab directly."""
+    w, h, d = params.grid
     world = froxel_world_positions(cfg, params, view_to_world, None)
     prev_pos = froxel.world_to_froxel(params, prev_world_to_view, world)
     if jitter is not None:
@@ -368,6 +381,10 @@ def _reproject_texel(cfg: RenderConfig, params: FroxelParams,
     texel = uvw * dims - 0.5
     in01 = (uvw[..., 0] >= 0.0) & (uvw[..., 0] <= 1.0) \
         & (uvw[..., 1] >= 0.0) & (uvw[..., 1] <= 1.0)
+    if not (isinstance(params.y0, (int, float)) and params.y0 == 0):
+        texel = texel - jnp.stack([jnp.float32(0.0),
+                                   jnp.asarray(params.y0, jnp.float32),
+                                   jnp.float32(0.0)])
     return texel, in01.astype(jnp.float32)
 
 
@@ -475,19 +492,28 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
 
     When the image dims are integer multiples of the froxel XY dims and
     cfg.composite_impl == "pallas", the fused gather-free MXU kernel is used
-    (ops/pallas/composite.py) — numerically identical trilinear."""
+    (ops/pallas/composite.py) — numerically identical trilinear. Non-integer
+    IH/H ratios (any screen size, like the reference's hardware trilinear)
+    take the pixel-row tent-matmul path (ops/rowmm_composite.py); only a
+    non-integer IW/W ratio still falls back to the per-pixel gather."""
     w, h, d = cfg.grid
     ih, iw = view_depth.shape
-    if (cfg.composite_impl in ("pallas", "tentmm") and ih % h == 0
-            and iw % w == 0):
+    if cfg.composite_impl in ("pallas", "tentmm", "rowmm") and iw % w == 0:
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
-        if cfg.composite_impl == "pallas":
-            from volumetricrenderer_tpu.ops.pallas.composite import composite_pallas
-            interpret = jax.default_backend() != "tpu"
-            return composite_pallas(accumulation, scene_color, fz, cfg.grid,
-                                    interpret=interpret)
-        from volumetricrenderer_tpu.ops.tent_composite import composite_tentmm
-        return composite_tentmm(accumulation, scene_color, fz, cfg.grid)
+        if ih % h == 0 and cfg.composite_impl != "rowmm":
+            if cfg.composite_impl == "pallas":
+                from volumetricrenderer_tpu.ops.pallas.composite import \
+                    composite_pallas
+                interpret = jax.default_backend() != "tpu"
+                return composite_pallas(accumulation, scene_color, fz,
+                                        cfg.grid, interpret=interpret)
+            from volumetricrenderer_tpu.ops.tent_composite import \
+                composite_tentmm
+            return composite_tentmm(accumulation, scene_color, fz, cfg.grid)
+        from volumetricrenderer_tpu.ops.rowmm_composite import composite_rowmm
+        acc_p = jnp.concatenate([accumulation[:, :1], accumulation,
+                                 accumulation[:, -1:]], axis=1)
+        return composite_rowmm(acc_p, scene_color, fz, cfg.grid, row_off=1)
     u = (jnp.arange(iw, dtype=jnp.float32) + 0.5) / iw
     v = (jnp.arange(ih, dtype=jnp.float32) + 0.5) / ih
     fx = (u * w)[None, :] - 0.5
