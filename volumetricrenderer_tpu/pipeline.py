@@ -482,7 +482,8 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
 # --------------------------------------------------------------------------- #
 
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
-              scene_color: jax.Array, view_depth: jax.Array) -> jax.Array:
+              scene_color: jax.Array, view_depth: jax.Array,
+              slab=None) -> jax.Array:
     """Fullscreen composite (VolumetricRenderer.shader:69-93).
 
     Screen u,v map to froxel x = W*u, y = H*v analytically (the reference's
@@ -498,6 +499,19 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
     non-integer IW/W ratio still falls back to the per-pixel gather."""
     w, h, d = cfg.grid
     ih, iw = view_depth.shape
+    if slab is not None:
+        # H-sharded slab (parallel/shard_render.py): accumulation is the
+        # halo'd local block; pixel rows map to cell rows by a shard-invariant
+        # static pattern offset by the halo.
+        assert iw % w == 0, "sharded composite needs IW % W == 0"
+        import numpy as np
+        h_glob = params.grid[1]
+        from volumetricrenderer_tpu.ops.rowmm_composite import composite_rowmm
+        fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+        fy = ((np.arange(ih) + 0.5) * (h_glob / slab.image_height_global)
+              - 0.5 + slab.halo)
+        return composite_rowmm(accumulation, scene_color, fz, params.grid,
+                               fy=fy, row_off=0)
     if cfg.composite_impl in ("pallas", "tentmm", "rowmm") and iw % w == 0:
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
         if ih % h == 0 and cfg.composite_impl != "rowmm":

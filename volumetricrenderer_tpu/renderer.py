@@ -85,18 +85,27 @@ class VolumetricRenderer:
     def render_frame(self, state: FrameState, scene: Scene, time_x=0.0,
                      scene_color: Optional[jax.Array] = None,
                      view_depth: Optional[jax.Array] = None,
-                     shadow_data=None,
+                     shadow_data=None, slab=None,
                      ) -> Tuple[jax.Array, dict, FrameState]:
-        """One full frame. Returns (image [H, W, 4], aux volumes, new state)."""
+        """One full frame. Returns (image [H, W, 4], aux volumes, new state).
+
+        slab (parallel/shard_render.py): when rendering an H-sharded slab,
+        cfg holds the LOCAL (halo-extended) shapes and slab carries the global
+        grid + this shard's row offset; all outputs cover the extended slab
+        and the caller crops the halo."""
         cfg = self.config
         cam = scene.camera
 
         # --- CalculateMatrices (cs:176-187) ---
         view_to_world = cam.view_to_world()
         world_to_view = froxel.invert_rigid(view_to_world)
+        grid_global = cfg.grid if slab is None else slab.grid_global
         params = froxel.make_froxel_params(cam.fov_y, cam.aspect, cam.near,
                                            cfg.volume_distance,
-                                           cfg.depth_distribution, cfg.grid)
+                                           cfg.depth_distribution, grid_global)
+        if slab is not None:
+            params = dataclasses.replace(params, y0=jnp.asarray(slab.y0,
+                                                                jnp.float32))
         jitter = JITTER_SEQUENCE[state.frame_count % 7]
         # History is invalid on frame 0 (SPEC fix for the unused
         # _IsTemporalHistoryValid, helper:67).
@@ -106,6 +115,9 @@ class VolumetricRenderer:
             else state.prev_world_to_view
 
         # --- Scene inputs (G-buffer stand-in) ---
+        if slab is not None:
+            assert scene_color is not None and view_depth is not None, \
+                "slab rendering needs pre-sharded scene inputs"
         if scene_color is None or view_depth is None:
             with jax.named_scope("gbuffer"):
                 scene_color, view_depth = self.render_scene_inputs(scene)
@@ -163,7 +175,7 @@ class VolumetricRenderer:
         # --- Composite (cs:118, shader:69-93) ---
         with jax.named_scope("composite"):
             image = pipeline.composite(cfg, params, accumulation, scene_color,
-                                       view_depth)
+                                       view_depth, slab=slab)
 
         # --- SaveHistory (cs:285-299) — free: new state carries the volumes ---
         dt = cfg.dtype
