@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""TPU compile-smoke for the production Pallas kernels.
+
+Every Pallas test in tests/ runs interpret-mode off-TPU, so a Mosaic
+regression (VMEM scoped OOM, unsupported lowering, ...) otherwise only
+surfaces at bench time as an opaque HTTP 500 from the remote compiler
+(CLAUDE.md "Mosaic crash list"). This script compiles + runs each fused
+kernel ON the TPU at production BLOCK shapes (full 240x135 planes — the
+shapes Mosaic tiles and budgets VMEM for) but a short Z axis, checksums the
+all-Pallas frame against the all-XLA frame, and exits non-zero on any
+compile failure or mismatch.
+
+Usage:
+  python tools/tpu_smoke.py            # one all-Pallas frame vs all-XLA (~2 compiles)
+  python tools/tpu_smoke.py --bisect   # additionally isolate per-kernel on failure
+
+Warm .jax_cache steady state is well under 60 s; first-ever run pays the
+remote Mosaic compiles.
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer, benchmark_scene
+
+# Production plane shape (240 x 135), short Z: Mosaic block shapes / VMEM
+# budgets are per-plane, so this exercises the real tiling cheaply.
+BASE = dataclasses.replace(
+    FULL_CONFIG, volume_depth=16, shadow_mode="raycast",
+    reproj_impl="windowed", scatter_impl="xla", dir_shadow_impl="xla",
+    accumulate_impl="xla", composite_impl="tentmm")
+
+PALLAS_KNOBS = dict(reproj_impl="pallas", scatter_impl="pallas",
+                    dir_shadow_impl="pallas", accumulate_impl="pallas")
+
+
+def run_frames(cfg, scene, n=2):
+    """Two frames (frame 1 exercises the temporal-blend kernels) -> image."""
+    r = VolumetricRenderer(cfg)
+    state = r.init_state(scene.dir_lights.count)
+
+    @jax.jit
+    def frame(state, scene, t):
+        image, _, new_state = r.render_frame(state, scene, t)
+        return image, new_state
+
+    img = None
+    for i in range(n):
+        img, state = frame(state, scene, jnp.float32(0.01 * i))
+    return np.asarray(jax.block_until_ready(img))
+
+
+def check(name, cfg, scene, ref_img, rel_tol=1e-3):
+    t0 = time.perf_counter()
+    try:
+        img = run_frames(cfg, scene)
+    except Exception as e:  # Mosaic compile failures arrive as runtime errors
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        return False
+    dt = time.perf_counter() - t0
+    if not np.isfinite(img).all():
+        print(f"FAIL {name}: non-finite output ({dt:.1f}s)")
+        return False
+    if ref_img is not None:
+        rel = np.abs(img - ref_img) / (1.0 + np.abs(ref_img))
+        # fast paths are equivalence-class, not bit-exact (bf16 MXU dots,
+        # any-hit boundary flips): bound the mismatch mass + magnitude
+        frac = float((rel > rel_tol).mean())
+        if frac > 5e-3:
+            print(f"FAIL {name}: {frac:.2%} of pixels off vs XLA frame "
+                  f"(max rel {rel.max():.2e}, {dt:.1f}s)")
+            return False
+    print(f"ok   {name}: checksum={img.sum():.3f} ({dt:.1f}s)")
+    return True
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print(f"FAIL: backend is {jax.default_backend()}, not tpu")
+        return 1
+    scene = benchmark_scene(aspect=BASE.image_width / BASE.image_height,
+                            num_local_lights=16, noise_mode="procedural")
+
+    t0 = time.perf_counter()
+    ref = run_frames(BASE, scene)
+    print(f"ok   xla reference frame: checksum={ref.sum():.3f} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    ok = check("all-pallas frame", dataclasses.replace(BASE, **PALLAS_KNOBS),
+               scene, ref)
+    # the non-default fused composite kernel (needs IH % H == 0: 1080/135).
+    # rel_tol 1e-2: this kernel has a KNOWN ~2e-3 bf16 hi/lo residual vs the
+    # exact-trilinear tentmm (PERF.md composite post-mortem) — the smoke pins
+    # compile health + no regression past that documented envelope.
+    ok &= check("pallas composite", dataclasses.replace(BASE, composite_impl="pallas"),
+                scene, ref, rel_tol=1e-2)
+
+    if not ok and "--bisect" in sys.argv:
+        for knob, val in PALLAS_KNOBS.items():
+            check(f"only {knob}", dataclasses.replace(BASE, **{knob: val}),
+                  scene, ref)
+
+    print("SMOKE " + ("PASS" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
