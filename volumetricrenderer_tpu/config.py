@@ -93,6 +93,13 @@ class RenderConfig:
     # or "pallas" (fused kernel, documented dead end — see PERF.md).
     composite_impl: str = "tentmm"
 
+    # MXU precision of the composite tent matmuls. f32 dots on the TPU MXU
+    # decompose into bf16 passes: "highest" = 6 passes (exact trilinear, the
+    # parity default), "high" = 3 passes (~1e-6 rel error, half the MXU time),
+    # "default" = 1 pass (~0.4% error — below 8-bit display quantization, 6x
+    # fewer MXU cycles). Quality knob for the ~4.7 ms composite (PERF.md).
+    composite_precision: str = "highest"
+
     @property
     def grid(self) -> Tuple[int, int, int]:
         """(W, H, D) in reference order."""

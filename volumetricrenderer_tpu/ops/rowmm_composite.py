@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from volumetricrenderer_tpu.ops.tent_composite import PRECISIONS
+
 
 def _pick_block(ih: int) -> int:
     for nb in (8, 10, 9, 6, 5, 4, 3, 2):
@@ -41,7 +43,7 @@ def _pick_block(ih: int) -> int:
 def composite_rowmm(acc_padded: jax.Array, scene_color: jax.Array,
                     fz_texel: jax.Array, grid_whd: Tuple[int, int, int],
                     fy: Optional[np.ndarray] = None,
-                    row_off: int = 1) -> jax.Array:
+                    row_off: int = 1, precision: str = "highest") -> jax.Array:
     """acc_padded [Hc, ...]-rows of the accumulation volume as [D, Hc, W, 4]
     where Hc covers every cell row any pixel row's y-tent touches (the
     pipeline wrapper passes the volume clamp-padded by one row per side,
@@ -101,7 +103,7 @@ def composite_rowmm(acc_padded: jax.Array, scene_color: jax.Array,
     wsel_j = jnp.asarray(wsel)
     base_j = jnp.asarray(base, jnp.int32)
     wx_j = jnp.asarray(wx)
-    hi = jax.lax.Precision.HIGHEST
+    hi = PRECISIONS[precision]
 
     def block(args):
         b_i, wsel_i, fz_i = args

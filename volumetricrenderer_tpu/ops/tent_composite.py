@@ -20,11 +20,19 @@ import numpy as np
 from volumetricrenderer_tpu.ops.pallas.composite import _cell_weights
 
 
+PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}
+
+
 def composite_tentmm(accumulation: jax.Array, scene_color: jax.Array,
-                     fz_texel: jax.Array, grid_whd: Tuple[int, int, int]
-                     ) -> jax.Array:
+                     fz_texel: jax.Array, grid_whd: Tuple[int, int, int],
+                     precision: str = "highest") -> jax.Array:
     """accumulation [D,H,W,4]; scene_color [IH,IW,3]; fz_texel [IH,IW].
-    Returns [IH,IW,4]. Requires IH % H == 0 and IW % W == 0."""
+    Returns [IH,IW,4]. Requires IH % H == 0 and IW % W == 0.
+
+    precision: MXU pass count for the tent dots — "highest" (6 bf16 passes,
+    exact trilinear), "high" (3 passes, ~1e-6), "default" (1 pass, ~0.4%)."""
     w, h, d = grid_whd
     ih, iw = fz_texel.shape
     py, px = ih // h, iw // w
@@ -59,7 +67,7 @@ def composite_tentmm(accumulation: jax.Array, scene_color: jax.Array,
             out = jax.lax.dot_general(
                 t, rhs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [W, cp, 9C]
+                precision=PRECISIONS[precision])          # [W, cp, 9C]
             out = out.reshape(w, cellpx, 9, 4)
             out_rows.append(jnp.sum(out * weights.T[None, :, :, None], axis=2))
         return jnp.stack(out_rows)

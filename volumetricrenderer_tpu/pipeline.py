@@ -511,7 +511,8 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         fy = ((np.arange(ih) + 0.5) * (h_glob / slab.image_height_global)
               - 0.5 + slab.halo)
         return composite_rowmm(accumulation, scene_color, fz, params.grid,
-                               fy=fy, row_off=0)
+                               fy=fy, row_off=0,
+                               precision=cfg.composite_precision)
     if cfg.composite_impl in ("pallas", "tentmm", "rowmm") and iw % w == 0:
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
         if ih % h == 0 and cfg.composite_impl != "rowmm":
@@ -523,11 +524,13 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
                                         cfg.grid, interpret=interpret)
             from volumetricrenderer_tpu.ops.tent_composite import \
                 composite_tentmm
-            return composite_tentmm(accumulation, scene_color, fz, cfg.grid)
+            return composite_tentmm(accumulation, scene_color, fz, cfg.grid,
+                                    precision=cfg.composite_precision)
         from volumetricrenderer_tpu.ops.rowmm_composite import composite_rowmm
         acc_p = jnp.concatenate([accumulation[:, :1], accumulation,
                                  accumulation[:, -1:]], axis=1)
-        return composite_rowmm(acc_p, scene_color, fz, cfg.grid, row_off=1)
+        return composite_rowmm(acc_p, scene_color, fz, cfg.grid, row_off=1,
+                               precision=cfg.composite_precision)
     u = (jnp.arange(iw, dtype=jnp.float32) + 0.5) / iw
     v = (jnp.arange(ih, dtype=jnp.float32) + 0.5) / ih
     fx = (u * w)[None, :] - 0.5
