@@ -137,9 +137,11 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
         point_lights=point_lights,
         spot_lights=spot_lights,
         prev_shadow=_np(state.prev_shadow) if has_history else None,
-        prev_scatter=_np(state.prev_scatter) if has_history else None,
+        prev_scatter=_np(state.prev_scatter)
+        if has_history and state.prev_scatter is not None else None,
         prev_accumulation=_np(state.prev_accumulation) if has_history else None,
-        prev_material_a=_np(state.prev_material_a) if has_history else None,
+        prev_material_a=_np(state.prev_material_a)
+        if has_history and state.prev_material_a is not None else None,
         prev_world_to_view=_np(state.prev_world_to_view),
         scene_color=_np(scene_color),
         view_depth=_np(view_depth),

@@ -106,29 +106,32 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
                     grid_global=cfg.grid, image_height_global=ih_g)
         # H axis: 2 for prev_shadow [Nd, D, H, W]; 1 for the [D, H, W, C]
         # channel-last volumes.
+        halo1 = lambda x: None if x is None \
+            else _halo_rows(x, p, axis_name, n, 1)
         state_ext = dataclasses.replace(
             state,
             prev_shadow=_halo_rows(state.prev_shadow, p, axis_name, n, 2),
-            prev_material_a=_halo_rows(state.prev_material_a, p, axis_name, n, 1),
-            prev_scatter=_halo_rows(state.prev_scatter, p, axis_name, n, 1),
-            prev_accumulation=_halo_rows(state.prev_accumulation, p,
-                                         axis_name, n, 1))
+            prev_material_a=halo1(state.prev_material_a),
+            prev_scatter=halo1(state.prev_scatter),
+            prev_accumulation=halo1(state.prev_accumulation))
         image, _, new_state = renderer_loc.render_frame(
             state_ext, scene, time_x, scene_color=scene_color,
             view_depth=view_depth, slab=slab)
+        crop1 = lambda x: None if x is None else _crop_rows(x, p, 1)
         new_state = dataclasses.replace(
             new_state,
             prev_shadow=_crop_rows(new_state.prev_shadow, p, 2),
-            prev_material_a=_crop_rows(new_state.prev_material_a, p, 1),
-            prev_scatter=_crop_rows(new_state.prev_scatter, p, 1),
-            prev_accumulation=_crop_rows(new_state.prev_accumulation, p, 1))
+            prev_material_a=crop1(new_state.prev_material_a),
+            prev_scatter=crop1(new_state.prev_scatter),
+            prev_accumulation=crop1(new_state.prev_accumulation))
         return image, new_state
 
+    vol_spec = P(None, axis_name, None, None)
     state_specs = FrameState(
         prev_shadow=P(None, None, axis_name, None),
-        prev_material_a=P(None, axis_name, None, None),
-        prev_scatter=P(None, axis_name, None, None),
-        prev_accumulation=P(None, axis_name, None, None),
+        prev_material_a=vol_spec if cfg.temporal_blend_material else None,
+        prev_scatter=vol_spec if cfg.temporal_blend_scatter else None,
+        prev_accumulation=vol_spec,
         prev_world_to_view=P(), frame_count=P())
     fn = jax.shard_map(
         per_shard, mesh=mesh,

@@ -34,8 +34,10 @@ class VolumetricRenderer:
         self.config = config
 
     def init_state(self, num_dir_lights: int = 1) -> FrameState:
-        return FrameState.create(self.config.grid_dhw, num_dir_lights,
-                                 self.config.dtype)
+        cfg = self.config
+        return FrameState.create(cfg.grid_dhw, num_dir_lights, cfg.dtype,
+                                 with_material=cfg.temporal_blend_material,
+                                 with_scatter=cfg.temporal_blend_scatter)
 
     # ------------------------------------------------------------------ #
 
@@ -177,12 +179,16 @@ class VolumetricRenderer:
             image = pipeline.composite(cfg, params, accumulation, scene_color,
                                        view_depth, slab=slab)
 
-        # --- SaveHistory (cs:285-299) — free: new state carries the volumes ---
+        # --- SaveHistory (cs:285-299) — free: new state carries the volumes.
+        # Histories whose blends are off are not stored (None): a dead
+        # [D, H, W, 4] store costs ~1 ms/frame of HBM writes at FULL size. ---
         dt = cfg.dtype
         new_state = FrameState(
             prev_shadow=shadow_vol.astype(dt),
-            prev_material_a=mat_a.astype(dt),
-            prev_scatter=scatter.astype(dt),
+            prev_material_a=mat_a.astype(dt)
+            if cfg.temporal_blend_material else None,
+            prev_scatter=scatter.astype(dt)
+            if cfg.temporal_blend_scatter else None,
             prev_accumulation=accumulation.astype(dt),
             prev_world_to_view=world_to_view,
             frame_count=state.frame_count + 1,

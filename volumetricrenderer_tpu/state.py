@@ -7,6 +7,12 @@ selection (cs:241). FrameState carries exactly that as a pytree; SaveHistory is
 free — the previous frame's outputs simply become next frame's history fields.
 This also makes checkpoint/resume trivial: serialize the pytree.
 
+The material/scatter histories exist only for the temporal blends the reference
+dispatches with commented-out bodies (compute:228, 243) — off by default. When
+a blend is off its history field is None (an empty pytree leaf): storing a dead
+[D, H, W, 4] volume per frame costs ~67 MB of HBM writes (~1 ms/frame each at
+FULL size) for nothing.
+
 Volumes are stored [D, H, W] (+channel axis where multi-channel): Z leading for
 the scan, W minor for TPU lanes.
 """
@@ -14,7 +20,7 @@ the scan, W minor for TPU lanes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,22 +29,23 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FrameState:
-    prev_shadow: jax.Array            # [Nd, D, H, W] per-dir-light visibility history
-    prev_material_a: jax.Array        # [D, H, W, 4] (sigma_s rgb, sigma_a)
-    prev_scatter: jax.Array           # [D, H, W, 4] (L rgb, sigma_t)
-    prev_accumulation: jax.Array      # [D, H, W, 4] (L rgb, T)
-    prev_world_to_view: jax.Array     # [4, 4]
-    frame_count: jax.Array            # int32 scalar
+    prev_shadow: jax.Array                      # [Nd, D, H, W] per-dir-light visibility history
+    prev_material_a: Optional[jax.Array]        # [D, H, W, 4] (sigma_s rgb, sigma_a) or None
+    prev_scatter: Optional[jax.Array]           # [D, H, W, 4] (L rgb, sigma_t) or None
+    prev_accumulation: jax.Array                # [D, H, W, 4] (L rgb, T)
+    prev_world_to_view: jax.Array               # [4, 4]
+    frame_count: jax.Array                      # int32 scalar
 
     @staticmethod
     def create(grid_dhw: Tuple[int, int, int], num_dir_lights: int = 1,
-               dtype=jnp.float32) -> "FrameState":
+               dtype=jnp.float32, with_material: bool = False,
+               with_scatter: bool = False) -> "FrameState":
         d, h, w = grid_dhw
         nd = max(num_dir_lights, 1)
         return FrameState(
             prev_shadow=jnp.ones((nd, d, h, w), dtype),
-            prev_material_a=jnp.zeros((d, h, w, 4), dtype),
-            prev_scatter=jnp.zeros((d, h, w, 4), dtype),
+            prev_material_a=jnp.zeros((d, h, w, 4), dtype) if with_material else None,
+            prev_scatter=jnp.zeros((d, h, w, 4), dtype) if with_scatter else None,
             # InitAllVolumes seeds accumulation to (0,0,0,1) (compute:39); alpha=0
             # here marks "no history" for the first-frame reprojection test
             # (compute:257 uses prev.a != 0 as reprojection success).
