@@ -43,6 +43,12 @@ def main():
                             noise_mode="procedural")
 
     timeit_frame("full", base_cfg, scene)
+    timeit_frame("material=xla (unfused)", dataclasses.replace(
+        base_cfg, material_impl="xla"), scene)
+    timeit_frame("composite precision=high (3-pass)", dataclasses.replace(
+        base_cfg, composite_precision="high"), scene)
+    timeit_frame("composite precision=default (1-pass)", dataclasses.replace(
+        base_cfg, composite_precision="default"), scene)
     timeit_frame("no temporal blends", dataclasses.replace(
         base_cfg, temporal_blend_shadow=False,
         temporal_blend_accumulation=False), scene)

@@ -39,7 +39,8 @@ BASE = dataclasses.replace(
     accumulate_impl="xla", composite_impl="tentmm")
 
 PALLAS_KNOBS = dict(reproj_impl="pallas", scatter_impl="pallas",
-                    dir_shadow_impl="pallas", accumulate_impl="pallas")
+                    dir_shadow_impl="pallas", accumulate_impl="pallas",
+                    material_impl="fused")
 
 
 def run_frames(cfg, scene, n=2):

@@ -75,6 +75,12 @@ class RenderConfig:
     # falls back to xla otherwise).
     scatter_impl: str = "xla"
 
+    # Material evaluation: "xla" (write_material_volumes pass) or "fused"
+    # (evaluated inside the pallas scatter kernel per slice — no material
+    # volume in HBM; requires scatter_impl="pallas" active, foldable media
+    # (no noise texture) and temporal_blend_material off, else falls back).
+    material_impl: str = "xla"
+
     # Directional shadow-volume implementation: "xla" or "pallas" (fused
     # per-slice raycast kernel; raycast mode only, falls back to xla for maps).
     dir_shadow_impl: str = "xla"
@@ -136,4 +142,5 @@ FULL_CONFIG = RenderConfig(
     scatter_impl="pallas",
     dir_shadow_impl="pallas",
     accumulate_impl="pallas",
+    material_impl="fused",
 )

@@ -1,0 +1,193 @@
+"""In-kernel material evaluation for the fused scatter kernel.
+
+The XLA material pass (pipeline.write_material_volumes; the reference's
+WriteMaterialVolumeConstant[_WITH_NOISE], VolumetricCompute.compute:45-58)
+writes [D, H, W, 4] volumes that the fused scatter kernel immediately reads
+back — ~130 MB of HBM round-trip per frame at FULL size for values that are
+pure elementwise functions of the froxel world position. This module evaluates
+the same media model per z-slice INSIDE the kernel: identical semantics to
+write_material_volumes for "foldable" media (procedural or no noise; constant
+or box volumes; additive or alpha blends), enforced by equivalence tests.
+
+Mosaic constraints shaping the code (CLAUDE.md crash list):
+- uint32 <-> float/int casts are unsupported: the lattice hash runs in uint32
+  between `lax.bitcast_convert_type`s from/to int32 (verified bit-exact probe).
+- f32 iota must be int32 iota + cast (not used here; floors are fine).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def media_foldable(media: Sequence) -> bool:
+    """True when every medium can be evaluated in-kernel (no texture gather)."""
+    return all(m.noise_tex is None for m in media)
+
+
+ROW = 20  # floats per packed medium row
+
+
+def pack_media(media: Sequence, time_x) -> Tuple[jax.Array, tuple]:
+    """Pack traced medium params into an SMEM table [M, ROW] and the static
+    per-medium code-path info into a hashable tuple.
+
+    Row: sigma_s(3) sigma_a g tiling(3) offset(3 = scroll*time_x)
+         height_falloff height_base box_min(3) box_max(3) softness.
+    Static: (has_noise, octaves, period, seed, is_box, additive) per medium."""
+    rows = []
+    static = []
+    tx = jnp.asarray(time_x, jnp.float32)
+    for m in media:
+        rows.append(jnp.concatenate([
+            m.scattering_coef, m.absorption_coef[None], m.phase_g[None],
+            m.noise_tiling, m.noise_scroll * tx,
+            m.height_falloff[None], m.height_base[None],
+            m.box_min, m.box_max, m.box_softness[None]]))
+        static.append((m.noise_mode == "procedural", int(m.noise_octaves),
+                       int(m.noise_period), int(m.noise_seed),
+                       m.volume_type == "box", m.blend_type == "additive"))
+    return jnp.stack(rows), tuple(static)
+
+
+def _hash3(ix, iy, iz, seed: int):
+    """ops/noise._hash3 on int32 lattice planes -> low-4-bit hash (int32)."""
+    u = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    h = (u(ix) * np.uint32(0x8DA6B343) + u(iy) * np.uint32(0xD8163841)
+         + u(iz) * np.uint32(0xCB1AB31F)
+         + np.uint32((int(seed) * 0x9E3779B9) & 0xFFFFFFFF))
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(16))
+    return jax.lax.bitcast_convert_type(h, jnp.int32) & 15
+
+
+def _grad_dot(h, dx, dy, dz):
+    """Branchless 12-edge gradient dot (ops/noise._grad_dot)."""
+    u = jnp.where(h < 8, dx, dy)
+    v = jnp.where(h < 4, dy, jnp.where((h == 12) | (h == 14), dx, dz))
+    return jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v)
+
+
+def _fade(t):
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+
+def _perlin_single(px, py, pz, period: int, seed: int):
+    """Periodic Perlin on [h, w] coordinate planes (ops/noise._perlin_single)."""
+    p0x, p0y, p0z = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    fx, fy, fz = px - p0x, py - p0y, pz - p0z
+    i0x = p0x.astype(jnp.int32)
+    i0y = p0y.astype(jnp.int32)
+    i0z = p0z.astype(jnp.int32)
+    ux, uy, uz = _fade(fx), _fade(fy), _fade(fz)
+
+    # power-of-two periods (the octave ladder from any pow2 base) wrap with a
+    # mask — correct for negative lattice coords in two's complement, and
+    # avoids int32 division, which Mosaic may not lower
+    if period & (period - 1) == 0:
+        wrap = lambda a: a & (period - 1)
+    else:
+        wrap = lambda a: jnp.mod(a, period)
+
+    def corner(dx, dy, dz):
+        h = _hash3(wrap(i0x + dx), wrap(i0y + dy), wrap(i0z + dz), seed)
+        return _grad_dot(h, fx - dx, fy - dy, fz - dz)
+
+    n000 = corner(0, 0, 0)
+    n100 = corner(1, 0, 0)
+    n010 = corner(0, 1, 0)
+    n110 = corner(1, 1, 0)
+    n001 = corner(0, 0, 1)
+    n101 = corner(1, 0, 1)
+    n011 = corner(0, 1, 1)
+    n111 = corner(1, 1, 1)
+
+    nx00 = n000 + ux * (n100 - n000)
+    nx10 = n010 + ux * (n110 - n010)
+    nx01 = n001 + ux * (n101 - n001)
+    nx11 = n011 + ux * (n111 - n011)
+    nxy0 = nx00 + uy * (nx10 - nx00)
+    nxy1 = nx01 + uy * (nx11 - nx01)
+    return nxy0 + uz * (nxy1 - nxy0)
+
+
+def perlin_planes(ux, uy, uz, octaves: int, period: int, seed: int):
+    """Tileable fBm Perlin in [0, 1] on [h, w] uvw planes (ops/noise.perlin_3d)."""
+    total = 0.0
+    amp = 1.0
+    norm = 0.0
+    per = period
+    for o in range(octaves):
+        fper = float(per)
+        total = total + amp * _perlin_single(ux * fper, uy * fper, uz * fper,
+                                             per, seed + o)
+        norm += amp
+        amp *= 0.5
+        per *= 2
+    return jnp.clip(0.5 + 0.5 * (total / norm) * 1.5, 0.0, 1.0)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def material_planes(med_ref, media_static: tuple, wx, wy, wz):
+    """Evaluate the folded media at jittered world-pos planes [h, w].
+
+    med_ref: SMEM ref of the pack_media table. Returns (sr, sg, sb, sa, g) —
+    the per-slice material planes, matching write_material_volumes exactly."""
+    h, w = wx.shape
+    zero = jnp.zeros((h, w), jnp.float32)
+    sr = sg = sb = sa = g = zero
+
+    for mi, (has_noise, octaves, period, seed, is_box, additive) \
+            in enumerate(media_static):
+        q = lambda i: med_ref[mi, i]
+
+        factor = jnp.ones((h, w), jnp.float32)
+        if has_noise:
+            uxp = wx * q(5) + q(8)
+            uyp = wy * q(6) + q(9)
+            uzp = wz * q(7) + q(10)
+            factor = factor * perlin_planes(uxp, uyp, uzp, octaves, period, seed)
+        # exponential height falloff (extension, BASELINE config 2)
+        factor = factor * jnp.exp(-jnp.maximum(q(11), 0.0)
+                                  * jnp.maximum(wy - q(12), 0.0))
+
+        if is_box:
+            soft = jnp.maximum(q(19), 1e-6)
+            lo = jnp.minimum(jnp.minimum(
+                _smoothstep(q(13), q(13) + soft, wx),
+                _smoothstep(q(14), q(14) + soft, wy)),
+                _smoothstep(q(15), q(15) + soft, wz))
+            hi = jnp.minimum(jnp.minimum(
+                _smoothstep(-q(16), -(q(16) - soft), -wx),
+                _smoothstep(-q(17), -(q(17) - soft), -wy)),
+                _smoothstep(-q(18), -(q(18) - soft), -wz))
+            mask = lo * hi
+        else:
+            mask = jnp.ones((h, w), jnp.float32)
+
+        a_r, a_g, a_b = q(0) * factor, q(1) * factor, q(2) * factor
+        a_a = q(3) * factor
+        if additive:
+            sr = sr + a_r * mask
+            sg = sg + a_g * mask
+            sb = sb + a_b * mask
+            sa = sa + a_a * mask
+            g = g + q(4) * mask
+        else:  # alpha/overwrite (the reference's effective behavior)
+            inv = 1.0 - mask
+            sr = sr * inv + a_r * mask
+            sg = sg * inv + a_g * mask
+            sb = sb * inv + a_b * mask
+            sa = sa * inv + a_a * mask
+            g = g * inv + q(4) * mask
+
+    return sr, sg, sb, sa, g

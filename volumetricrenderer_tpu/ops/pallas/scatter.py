@@ -135,12 +135,22 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
 
 
-def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
-            planes_ref, spheres_ref, boxes_ref,
-            ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b, *,
+def _kernel(*refs,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
-            h_glob: int):
+            h_glob: int, media_static: tuple = None):
+    fuse_material = media_static is not None
+    if fuse_material:
+        # material evaluated in-kernel (ops/pallas/material.py): the sigma_s /
+        # phase-g plane inputs are replaced by the packed media table, and the
+        # directional-extinction plane becomes a 4th output
+        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+         planes_ref, spheres_ref, boxes_ref, med_ref, shadow_ref,
+         out_r, out_g, out_b, out_e) = refs
+    else:
+        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+         planes_ref, spheres_ref, boxes_ref,
+         ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b) = refs
     w, h, d = grid_whd                  # local block shape (h may be a slab)
     zi = pl.program_id(0)
 
@@ -171,10 +181,20 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
     inv_vd = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
     vdx, vdy, vdz = vdx * inv_vd, vdy * inv_vd, vdz * inv_vd
 
-    sr = ss_r[0]
-    sg = ss_g[0]
-    sb = ss_b[0]
-    phg = pg_ref[0]
+    if fuse_material:
+        # WriteMaterialVolume evaluated in-kernel at the jittered world pos
+        # (the same wx/wy/wz planes): no material volume ever touches HBM
+        from volumetricrenderer_tpu.ops.pallas.material import material_planes
+        sr, sg, sb, s_a, phg = material_planes(med_ref, media_static,
+                                               wx, wy, wz)
+        # dir-light luma extinction (compute:82) — one Rgb2Gray(sigma_s) +
+        # sigma_a per dir light; was XLA elementwise on the material volume
+        out_e[0] = (0.3 * sr + 0.59 * sg + 0.11 * sb + s_a) * float(n_dir)
+    else:
+        sr = ss_r[0]
+        sg = ss_g[0]
+        sb = ss_b[0]
+        phg = pg_ref[0]
     g2 = phg * phg
     hg_num = (1.0 - g2) / (4.0 * PI)
 
@@ -212,10 +232,12 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
         fall = fall * (1.0 - is_spot + is_spot * cone * keep_spot)
         fall = fall * (dist <= rng).astype(jnp.float32)
 
-        # HG phase at cos(view, -lightToPos)
+        # HG phase at cos(view, -lightToPos); b^-1.5 as rsqrt^3 — one rsqrt +
+        # 2 muls instead of sqrt + divide (runs per light per froxel)
         cos_t = -(vdx * ldx + vdy * ldy + vdz * ldz)
         b = 1.0 + g2 - 2.0 * phg * cos_t
-        hg = hg_num / (b * jnp.sqrt(b))
+        rb = jax.lax.rsqrt(b)
+        hg = hg_num * rb * rb * rb
 
         # any-hit shadow ray towards the light (prims from SMEM)
         occ = jnp.zeros((h, w), jnp.bool_)
@@ -289,7 +311,8 @@ def _kernel(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             q = lambda i: dirs_ref[li, i]
             cos_t = -(dvx * q(0) + dvy * q(1) + dvz * q(2))
             b = 1.0 + g2 - 2.0 * phg * cos_t
-            hg = hg_num / (b * jnp.sqrt(b))
+            rb = jax.lax.rsqrt(b)
+            hg = hg_num * rb * rb * rb
             base = shadow_ref[li, 0] * hg
             ar = ar + base * q(3) * sr
             ag = ag + base * q(4) * sg
@@ -306,12 +329,19 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          dir_lights=None, shadow_volume=None,
                          jitter_dir: bool = False,
                          interpret: bool = False,
-                         return_planes: bool = False) -> jax.Array:
+                         return_planes: bool = False,
+                         media=None, time_x=None) -> jax.Array:
     """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
     SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
     material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
-    volume [Nd, D, H, W] to fold the directional rgb scatter in too."""
+    volume [Nd, D, H, W] to fold the directional rgb scatter in too.
+
+    Pass media (+ time_x) to ALSO fold the material evaluation in
+    (ops/pallas/material.py): material_a/b are then ignored, and the return
+    gains the dir-extinction plane — planes (r, g, b, ext) with return_planes,
+    else the full [D, H, W, 4] scatter volume."""
     w, h, d = grid_whd
+    fuse_material = media is not None
     lights = pack_lights(point_lights, spot_lights)
     par = pack_params(params, view_to_world, camera_pos, jitter)
     positions = jnp.concatenate([point_lights.position, spot_lights.position])
@@ -346,10 +376,16 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
     boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
 
+    if fuse_material:
+        from volumetricrenderer_tpu.ops.pallas.material import pack_media
+        med, media_static = pack_media(media, time_x)
+    else:
+        med, media_static = None, None
+
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
-        n_boxes=n_boxes, h_glob=params.grid[1])
+        n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -360,30 +396,43 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                                memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
 
-    out_r, out_g, out_b = pl.pallas_call(
+    in_specs = [
+        smem(par.shape),
+        smem(lights.shape),
+        smem(dirs.shape),
+        pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        smem(planes.shape),
+        smem(spheres.shape),
+        smem(boxes.shape),
+    ]
+    if fuse_material:
+        in_specs += [smem(med.shape), shadow_spec]
+        inputs = (par, lights, dirs, order, count, planes, spheres, boxes,
+                  med, shadow_in)
+        n_out = 4
+    else:
+        in_specs += [plane_spec, plane_spec, plane_spec, plane_spec,
+                     shadow_spec]
+        inputs = (par, lights, dirs, order, count, planes, spheres, boxes,
+                  material_a[..., 0], material_a[..., 1], material_a[..., 2],
+                  material_b[..., 0], shadow_in)
+        n_out = 3
+
+    outs = pl.pallas_call(
         kernel,
         grid=(d,),
-        in_specs=[
-            smem(par.shape),
-            smem(lights.shape),
-            smem(dirs.shape),
-            pl.BlockSpec((1, 1, order.shape[2]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            smem(planes.shape),
-            smem(spheres.shape),
-            smem(boxes.shape),
-            plane_spec, plane_spec, plane_spec, plane_spec,
-            shadow_spec,
-        ],
-        out_specs=(plane_spec, plane_spec, plane_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=in_specs,
+        out_specs=tuple([plane_spec] * n_out),
+        out_shape=tuple([out_shape] * n_out),
         interpret=interpret,
-    )(par, lights, dirs, order, count, planes, spheres, boxes,
-      material_a[..., 0], material_a[..., 1], material_a[..., 2],
-      material_b[..., 0], shadow_in)
+    )(*inputs)
 
     if return_planes:
-        return out_r, out_g, out_b
-    return jnp.stack([out_r, out_g, out_b], axis=-1)
+        return outs
+    if fuse_material:
+        return jnp.concatenate([jnp.stack(outs[:3], axis=-1),
+                                outs[3][..., None]], axis=-1)
+    return jnp.stack(outs, axis=-1)

@@ -198,7 +198,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                          cube_shadow: Optional[shadow_lib.CubeShadowData],
                          spot_shadow: Optional[shadow_lib.SpotShadowData],
                          geometry: Optional[Geometry] = None,
-                         return_planes: bool = False):
+                         return_planes: bool = False,
+                         media: Sequence[Medium] = (), time_x=0.0):
     """Sum of all light contributions -> [D, H, W, 4] (L rgb, sigma_t).
 
     The reference's one-dispatch-per-light `+=` (compute:64-167) becomes a
@@ -236,13 +237,23 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         cfg.scatter_impl == "pallas" and cfg.shadow_mode == "raycast"
         and geometry is not None and ss == 1
         and (point_lights.count + spot_lights.count) > 0)
+    # Fold the material evaluation into the kernel too (material_impl =
+    # "fused"): the material volumes then never touch HBM — XLA DCEs the
+    # whole write_material_volumes pass when nothing else consumes it.
+    if cfg.material_impl == "fused" and use_pallas_scatter and media \
+            and not cfg.temporal_blend_material:
+        from volumetricrenderer_tpu.ops.pallas.material import media_foldable
+        use_fused_material = media_foldable(media)
+    else:
+        use_fused_material = False
 
     # Directional (compute:64-85): NOT jittered by default (quirk, compute:67).
     # The rgb part folds into the fused kernel when it runs; the luma
     # extinction (compute:82) is pure elementwise on the material and stays
-    # here either way (XLA fuses it for free).
-    for i in range(dir_lights.count):
-        extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
+    # here unless the material itself is folded in.
+    if not use_fused_material:
+        for i in range(dir_lights.count):
+            extinction = extinction + rgb_to_gray(sigma_s) + sigma_a
 
     if not use_pallas_scatter:
         wp_dir = world_j if cfg.jitter_dir_scatter else world_c
@@ -257,12 +268,17 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 
     if use_pallas_scatter:
         from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
-        pr, pg, pb = scatter_local_pallas(
+        outs = scatter_local_pallas(
             params, view_to_world, camera_pos, jitter, material_a, material_b,
             point_lights, spot_lights, geometry, cfg.grid,
             dir_lights=dir_lights, shadow_volume=shadow_volume,
             jitter_dir=cfg.jitter_dir_scatter,
-            interpret=jax.default_backend() != "tpu", return_planes=True)
+            interpret=jax.default_backend() != "tpu", return_planes=True,
+            media=media if use_fused_material else None, time_x=time_x)
+        if use_fused_material:
+            pr, pg, pb, extinction = outs
+        else:
+            pr, pg, pb = outs
         vol4 = jnp.concatenate(
             [jnp.stack([pr, pg, pb], axis=-1), extinction[..., None]], axis=-1)
         if return_planes:

@@ -157,7 +157,7 @@ class VolumetricRenderer:
                 cfg, params, view_to_world, cam.position, jitter, mat_a, mat_b,
                 shadow_vol, scene.dir_lights, scene.point_lights,
                 scene.spot_lights, cube_shadow, spot_shadow, scene.geometry,
-                return_planes=True)
+                return_planes=True, media=scene.media, time_x=time_x)
         if cfg.temporal_blend_scatter:
             scatter = pipeline.temporal_blend_scatter(
                 cfg, params, view_to_world, prev_w2v, scatter,
