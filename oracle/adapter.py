@@ -23,6 +23,27 @@ def _np(x):
     return None if x is None else np.asarray(x, np.float64)
 
 
+def _hf_dict(geom):
+    """Procedural heightfield -> oracle dict (numpy height evaluator; the
+    jax/numpy noise equivalence has its own test, tests/test_noise.py)."""
+    if not geom.hf_enabled:
+        return None
+    amp = float(geom.hf_amp)
+    base = float(geom.hf_base)
+    tiling = _np(geom.hf_tiling)
+    offset = _np(geom.hf_offset)
+
+    def height_fn(x, z):
+        uvw = np.stack([x * tiling[0] + offset[0], z * tiling[1] + offset[1],
+                        np.zeros_like(x)], axis=-1)
+        return base + amp * perlin_3d(uvw, octaves=geom.hf_octaves,
+                                      period=geom.hf_period,
+                                      seed=geom.hf_seed, xp=np)
+
+    return dict(height_fn=height_fn, hmin=base, hmax=base + amp,
+                steps=geom.hf_steps, far=geom.hf_far)
+
+
 def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
                     dir_shadow=None, cube_shadow=None, spot_shadow=None,
                     scene_color=None, view_depth=None, time_x=0.0,
@@ -130,6 +151,8 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
             sphere_radius=_np(scene.geometry.sphere_radius),
             box_min=_np(scene.geometry.box_min),
             box_max=_np(scene.geometry.box_max),
+            hf=_hf_dict(scene.geometry),
+            hf_local=cfg.heightfield_local_shadows,
         ),
         time_x=float(time_x),
         media=media,

@@ -252,11 +252,13 @@ def scatter_step(acc_l, acc_t, in_scatter, extinction, step_len):
 
 
 def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
-                     max_dist) -> np.ndarray:
+                     max_dist, include_heightfield: bool = True) -> np.ndarray:
     """Any-hit occlusion against analytic primitives (mirror of
     ops/raycast.occluded; the shadow_mode="raycast" froxel visibility path).
     geom keys: plane_normal [P,3], plane_d [P], sphere_center [S,3],
-    sphere_radius [S], box_min/box_max [B,3]. dirs unit."""
+    sphere_radius [S], box_min/box_max [B,3], optional hf (procedural
+    heightfield: height_fn(x, z), hmin, hmax, steps, far — band-clamped
+    midpoint march, SPEC "Heightfield occluder"). dirs unit."""
     eps = 1e-4
     hit = np.zeros(points.shape[:-1], bool)
     for i in range(len(geom.get("plane_normal", []))):
@@ -281,6 +283,27 @@ def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
         tmax = np.min(np.maximum(t0s, t1s), axis=-1)
         t = np.where(tmin > eps, tmin, tmax)
         hit |= (tmax >= tmin) & (t > eps) & (t < max_dist)
+    hf = geom.get("hf")
+    if hf is not None and include_heightfield:
+        oy = points[..., 1]
+        dy = np.broadcast_to(np.asarray(dirs)[..., 1], oy.shape)
+        cap = np.minimum(np.asarray(max_dist, np.float64), hf["far"])
+        safe = np.where(np.abs(dy) < 1e-7, 1e-7, dy)
+        ta = (hf["hmax"] - oy) / safe
+        tb = (hf["hmin"] - oy) / safe
+        horiz = np.abs(dy) < 1e-7
+        in_band = (oy >= hf["hmin"]) & (oy <= hf["hmax"])
+        lo = np.where(horiz, np.where(in_band, eps, cap), np.minimum(ta, tb))
+        hi = np.where(horiz, np.where(in_band, cap, 0.0), np.maximum(ta, tb))
+        lo = np.clip(lo, eps, cap)
+        hi = np.clip(hi, eps, cap)
+        valid = hi > lo
+        occ = np.zeros_like(valid)
+        for i in range(hf["steps"]):
+            t = lo + (hi - lo) * ((i + 0.5) / hf["steps"])
+            p = points + t[..., None] * dirs
+            occ |= p[..., 1] < hf["height_fn"](p[..., 0], p[..., 2])
+        hit |= occ & valid
     return hit.astype(np.float64)
 
 
@@ -527,9 +550,10 @@ def _scatter_volume(inp, p, v2w, jitter, mat_a, mat_b, shadow_vol):
         cos_t = np.sum(vdj * (-ldir), axis=-1)
         contrib = (phase_hg(g, cos_t) * fall)[..., None] \
             * np.asarray(light["color_packed"]) * sigma_s
-        if light.get("has_shadow") and inp.shadow_mode == "raycast" \
+        if light.get("has_shadow") and inp.shadow_mode in ("raycast", "map_dir") \
                 and inp.geometry is not None:
-            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05)
+            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05,
+                                   include_heightfield=inp.geometry.get("hf_local", False))
             contrib = contrib * (1.0 - occ)[..., None]
         elif light.get("has_shadow") and light.get("shadow") is not None:
             sd = light["shadow"]
@@ -553,9 +577,10 @@ def _scatter_volume(inp, p, v2w, jitter, mat_a, mat_b, shadow_vol):
         cos_t = np.sum(vdj * (-ldir), axis=-1)
         contrib = (phase_hg(g, cos_t) * fall)[..., None] \
             * np.asarray(light["color_packed"]) * sigma_s
-        if light.get("has_shadow") and inp.shadow_mode == "raycast" \
+        if light.get("has_shadow") and inp.shadow_mode in ("raycast", "map_dir") \
                 and inp.geometry is not None:
-            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05)
+            occ = occluded_raycast(inp.geometry, world_j, -ldir, dist - 0.05,
+                                   include_heightfield=inp.geometry.get("hf_local", False))
             contrib = contrib * (1.0 - occ)[..., None]
         elif light.get("has_shadow") and light.get("shadow") is not None:
             sd = light["shadow"]

@@ -7,6 +7,13 @@ framework describes occluders/scenery as analytic primitives (planes, spheres,
 axis-aligned boxes) and ray-casts them — per-pixel/per-texel closed-form
 intersections, pure elementwise math that vectorizes perfectly on the VPU.
 
+Mesh-class environment content (terrain, ground clutter) is covered by an
+optional PROCEDURAL HEIGHTFIELD: y = base + amp * fBm-Perlin(x, z) — the same
+tileable noise as ops/noise.py, so evaluating the surface is gather-free
+elementwise math usable inside the Pallas kernels, and ray queries are a
+bounded march through the [base, base+amp] band (ops/raycast.py). Tree-like
+occluders compose from sphere canopies + box trunks (models/scene.demo_scene).
+
 Used for: demo scene color + camera depth, shadow-map baking (ops/raycast.py),
 and the gather-free `shadow_mode="raycast"` froxel visibility path.
 """
@@ -39,10 +46,27 @@ class Geometry:
     box_max: jax.Array        # [B, 3]
     box_albedo: jax.Array     # [B, 3]
 
+    # Procedural heightfield y = base + amp * perlin(x*tiling+offset) in
+    # [base, base+amp]; solid below the surface. Noise params are static
+    # (they pick the compile-time fBm unroll, like Medium's).
+    hf_amp: jax.Array         # [] 0 disables nothing — hf_enabled gates
+    hf_base: jax.Array        # []
+    hf_tiling: jax.Array      # [2] (x, z) -> uv scale
+    hf_offset: jax.Array      # [2]
+    hf_albedo: jax.Array      # [3]
+    hf_enabled: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    hf_octaves: int = dataclasses.field(default=2, metadata=dict(static=True))
+    hf_period: int = dataclasses.field(default=4, metadata=dict(static=True))
+    hf_seed: int = dataclasses.field(default=11, metadata=dict(static=True))
+    hf_steps: int = dataclasses.field(default=12, metadata=dict(static=True))
+    hf_far: float = dataclasses.field(default=200.0, metadata=dict(static=True))
+
     @staticmethod
-    def create(planes=(), spheres=(), boxes=()) -> "Geometry":
+    def create(planes=(), spheres=(), boxes=(), heightfield=None) -> "Geometry":
         """planes: [(normal, d, albedo)], spheres: [(center, r, albedo)],
-        boxes: [(min, max, albedo)]."""
+        boxes: [(min, max, albedo)]; heightfield: optional dict with keys
+        amp, base, tiling, offset, albedo (+ static octaves/period/seed/
+        steps/far)."""
         def pack(items, shapes):
             if not items:
                 return [jnp.zeros((0,) + s, jnp.float32) for s in shapes]
@@ -53,7 +77,22 @@ class Geometry:
         sc, sr, sa = pack(spheres, [(3,), (), (3,)])
         bmin, bmax, ba = pack(boxes, [(3,), (3,), (3,)])
         pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-9)
-        return Geometry(pn, pd, pa, sc, sr, sa, bmin, bmax, ba)
+
+        hf = heightfield or {}
+        return Geometry(
+            pn, pd, pa, sc, sr, sa, bmin, bmax, ba,
+            hf_amp=_f32(hf.get("amp", 0.0)),
+            hf_base=_f32(hf.get("base", 0.0)),
+            hf_tiling=_f32(hf.get("tiling", (0.05, 0.05))),
+            hf_offset=_f32(hf.get("offset", (0.0, 0.0))),
+            hf_albedo=_f32(hf.get("albedo", (0.3, 0.35, 0.25))),
+            hf_enabled=heightfield is not None,
+            hf_octaves=int(hf.get("octaves", 2)),
+            hf_period=int(hf.get("period", 4)),
+            hf_seed=int(hf.get("seed", 11)),
+            hf_steps=int(hf.get("steps", 12)),
+            hf_far=float(hf.get("far", 200.0)),
+        )
 
     @staticmethod
     def empty() -> "Geometry":

@@ -85,14 +85,23 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
         noise_tex=noise_tex if with_noise else None,
         noise_scroll=(10.0, 0.0, 0.0), noise_tiling=(0.01, 0.01, 0.01))
 
+    # Environment prefab stand-ins (Assets/Prefabs/Enviornment.prefab): ground
+    # cubes + sphere as analytic primitives, the tree FBX meshes as canopy
+    # spheres on trunk boxes, and rolling terrain as a procedural heightfield.
+    trees = [(-9.0, 18.0), (7.0, 9.0), (-14.0, 25.0)]
+    tree_spheres = [((x, 3.2, z), 1.6, (0.18, 0.32, 0.12)) for x, z in trees]
+    tree_trunks = [((x - 0.25, 0.0, z - 0.25), (x + 0.25, 2.4, z + 0.25),
+                    (0.3, 0.2, 0.12)) for x, z in trees]
     geometry = Geometry.create(
         planes=[((0.0, 1.0, 0.0), 0.0, (0.22, 0.26, 0.18))],
-        spheres=[((4.0, 1.5, 6.0), 1.5, (0.6, 0.55, 0.5))],
+        spheres=[((4.0, 1.5, 6.0), 1.5, (0.6, 0.55, 0.5))] + tree_spheres,
         boxes=[
             ((-6.0, 0.0, 2.0), (-4.0, 2.0, 4.0), (0.5, 0.45, 0.4)),
             ((2.0, 0.0, 14.0), (5.0, 4.0, 17.0), (0.45, 0.5, 0.45)),
             ((-12.0, 0.0, 10.0), (-10.0, 6.0, 12.0), (0.35, 0.4, 0.3)),
-        ])
+        ] + tree_trunks,
+        heightfield=dict(amp=2.0, base=-0.3, tiling=(0.03, 0.03),
+                         offset=(0.0, 0.0), albedo=(0.24, 0.28, 0.18)))
 
     return Scene.create(camera=camera, dir_lights=sun, spot_lights=spot,
                         media=(fog,), geometry=geometry, ambient=(0.08, 0.09, 0.11))

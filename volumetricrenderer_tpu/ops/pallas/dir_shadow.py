@@ -30,9 +30,11 @@ def pack_dir_lights(dir_lights) -> jax.Array:
     return jnp.stack(rows)
 
 
-def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, out_ref,
+def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, hf_ref,
+            out_ref,
             *, grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
-            n_spheres: int, n_boxes: int, max_dist: float, h_glob: int):
+            n_spheres: int, n_boxes: int, max_dist: float, h_glob: int,
+            hf_static: tuple = None):
     w, h, d = grid_whd                  # local block shape (h may be a slab)
     zi = pl.program_id(0)
 
@@ -94,6 +96,11 @@ def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, out_ref,
                                    jnp.maximum(t0z, t1z))
                 t = jnp.where(tmin > 1e-4, tmin, tmax)
                 occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_dist)
+        if hf_static is not None:
+            from volumetricrenderer_tpu.ops.pallas.material import \
+                heightfield_occluded
+            occ |= heightfield_occluded(hf_ref, hf_static, wx, wy, wz,
+                                        ldx, ldy, ldz, jnp.float32(max_dist))
 
         vis = strength_r + (1.0 - strength_r) * (1.0 - occ.astype(jnp.float32))
         vis = vis * vis                  # shadowCompute:17
@@ -126,10 +133,16 @@ def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
     spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
     boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
 
+    from volumetricrenderer_tpu.ops.pallas.material import pack_heightfield
+    hf = pack_heightfield(geometry)
+    hf_static = (geometry.hf_octaves, geometry.hf_period, geometry.hf_seed,
+                 geometry.hf_steps, geometry.hf_far) \
+        if geometry.hf_enabled else None
+
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=nd, n_planes=n_planes,
         n_spheres=n_spheres, n_boxes=n_boxes, max_dist=1e4,
-        h_glob=params.grid[1])
+        h_glob=params.grid[1], hf_static=hf_static)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -137,9 +150,9 @@ def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
         kernel,
         grid=(d,),
         in_specs=[smem(par.shape), smem(lights.shape), smem(planes.shape),
-                  smem(spheres.shape), smem(boxes.shape)],
+                  smem(spheres.shape), smem(boxes.shape), smem(hf.shape)],
         out_specs=pl.BlockSpec((nd, 1, h, w), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nd, d, h, w), jnp.float32),
         interpret=interpret,
-    )(par, lights, planes, spheres, boxes)
+    )(par, lights, planes, spheres, boxes, hf)

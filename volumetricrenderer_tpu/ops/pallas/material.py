@@ -132,6 +132,49 @@ def perlin_planes(ux, uy, uz, octaves: int, period: int, seed: int):
     return jnp.clip(0.5 + 0.5 * (total / norm) * 1.5, 0.0, 1.0)
 
 
+def pack_heightfield(geom) -> jax.Array:
+    """SMEM row [1, 6]: amp, base, tiling(2), offset(2)."""
+    return jnp.concatenate([
+        geom.hf_amp[None], geom.hf_base[None],
+        geom.hf_tiling, geom.hf_offset])[None].astype(jnp.float32)
+
+
+def heightfield_occluded(hf_ref, hf_static: tuple, wx, wy, wz,
+                         ldx, ldy, ldz, max_t):
+    """In-kernel terrain any-hit march (mirror of ops/raycast.occluded's
+    heightfield branch: same band clamp + midpoint sampling, so the XLA and
+    Pallas paths agree sample-for-sample). hf_static = (octaves, period,
+    seed, steps, far). ld* may be scalars or [h, w] planes."""
+    octaves, period, seed, steps, far = hf_static
+    amp = hf_ref[0, 0]
+    base = hf_ref[0, 1]
+    hmax = base + amp
+    eps = 1e-4
+    cap = jnp.minimum(max_t, far)
+    safe = jnp.where(jnp.abs(ldy) < 1e-7, 1e-7, ldy)
+    ta = (hmax - wy) / safe
+    tb = (base - wy) / safe
+    horiz = jnp.abs(ldy) < 1e-7
+    in_band = (wy >= base) & (wy <= hmax)
+    lo = jnp.where(horiz, jnp.where(in_band, eps, cap), jnp.minimum(ta, tb))
+    hi = jnp.where(horiz, jnp.where(in_band, cap, 0.0), jnp.maximum(ta, tb))
+    lo = jnp.clip(lo, eps, cap)
+    hi = jnp.clip(hi, eps, cap)
+    valid = hi > lo
+    occ = jnp.zeros_like(wx, dtype=jnp.bool_)
+    for i in range(steps):
+        t = lo + (hi - lo) * ((i + 0.5) / steps)
+        px = wx + t * ldx
+        py = wy + t * ldy
+        pz = wz + t * ldz
+        u = px * hf_ref[0, 2] + hf_ref[0, 4]
+        v = pz * hf_ref[0, 3] + hf_ref[0, 5]
+        h = base + amp * perlin_planes(u, v, jnp.zeros_like(u),
+                                       octaves, period, seed)
+        occ |= py < h
+    return occ & valid
+
+
 def _smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)

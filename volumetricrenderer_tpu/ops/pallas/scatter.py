@@ -138,18 +138,18 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
 def _kernel(*refs,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
-            h_glob: int, media_static: tuple = None):
+            h_glob: int, media_static: tuple = None, hf_static: tuple = None):
     fuse_material = media_static is not None
     if fuse_material:
         # material evaluated in-kernel (ops/pallas/material.py): the sigma_s /
         # phase-g plane inputs are replaced by the packed media table, and the
         # directional-extinction plane becomes a 4th output
         (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
-         planes_ref, spheres_ref, boxes_ref, med_ref, shadow_ref,
+         planes_ref, spheres_ref, boxes_ref, hf_ref, med_ref, shadow_ref,
          out_r, out_g, out_b, out_e) = refs
     else:
         (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
-         planes_ref, spheres_ref, boxes_ref,
+         planes_ref, spheres_ref, boxes_ref, hf_ref,
          ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b) = refs
     w, h, d = grid_whd                  # local block shape (h may be a slab)
     zi = pl.program_id(0)
@@ -278,6 +278,11 @@ def _kernel(*refs,
                                    jnp.maximum(t0z, t1z))
                 t = jnp.where(tmin > 1e-4, tmin, tmax)
                 occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_t)
+        if hf_static is not None:
+            from volumetricrenderer_tpu.ops.pallas.material import \
+                heightfield_occluded
+            occ |= heightfield_occluded(hf_ref, hf_static, wx, wy, wz,
+                                        -ldx, -ldy, -ldz, max_t)
         shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
 
         base = hg * fall * shadow
@@ -330,7 +335,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          jitter_dir: bool = False,
                          interpret: bool = False,
                          return_planes: bool = False,
-                         media=None, time_x=None) -> jax.Array:
+                         media=None, time_x=None,
+                         heightfield_shadows: bool = False) -> jax.Array:
     """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
     SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
     material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
@@ -381,11 +387,17 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         med, media_static = pack_media(media, time_x)
     else:
         med, media_static = None, None
+    from volumetricrenderer_tpu.ops.pallas.material import pack_heightfield
+    hf = pack_heightfield(geometry)
+    hf_static = (geometry.hf_octaves, geometry.hf_period, geometry.hf_seed,
+                 geometry.hf_steps, geometry.hf_far) \
+        if (geometry.hf_enabled and heightfield_shadows) else None
 
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
-        n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static)
+        n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
+        hf_static=hf_static)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -407,16 +419,17 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         smem(planes.shape),
         smem(spheres.shape),
         smem(boxes.shape),
+        smem(hf.shape),
     ]
     if fuse_material:
         in_specs += [smem(med.shape), shadow_spec]
         inputs = (par, lights, dirs, order, count, planes, spheres, boxes,
-                  med, shadow_in)
+                  hf, med, shadow_in)
         n_out = 4
     else:
         in_specs += [plane_spec, plane_spec, plane_spec, plane_spec,
                      shadow_spec]
-        inputs = (par, lights, dirs, order, count, planes, spheres, boxes,
+        inputs = (par, lights, dirs, order, count, planes, spheres, boxes, hf,
                   material_a[..., 0], material_a[..., 1], material_a[..., 2],
                   material_b[..., 0], shadow_in)
         n_out = 3

@@ -22,6 +22,38 @@ BIG = 1e9
 EPS = 1e-4
 
 
+# --------------------------------------------------------------------------- #
+# Procedural heightfield (terrain stand-in for the reference's mesh
+# environment, Assets/Prefabs/Enviornment.prefab). The surface is the same
+# tileable fBm Perlin as ops/noise.py — gather-free elementwise math — and ray
+# queries march only the [base, base+amp] band the ray can actually cross.
+# --------------------------------------------------------------------------- #
+
+def heightfield_height(geom: Geometry, x: jax.Array, z: jax.Array) -> jax.Array:
+    """Terrain height y(x, z) = base + amp * fBm(x, z) in [base, base+amp]."""
+    from volumetricrenderer_tpu.ops.noise import perlin_3d
+    u = x * geom.hf_tiling[0] + geom.hf_offset[0]
+    v = z * geom.hf_tiling[1] + geom.hf_offset[1]
+    uvw = jnp.stack([u, v, jnp.zeros_like(u)], axis=-1)
+    return geom.hf_base + geom.hf_amp * perlin_3d(
+        uvw, octaves=geom.hf_octaves, period=geom.hf_period, seed=geom.hf_seed)
+
+
+def _hf_band(geom: Geometry, oy, dy, max_t):
+    """March interval [lo, hi] (in ray-t units) where y(t) crosses the
+    terrain band [base, base+amp]; empty (hi <= lo) when it cannot."""
+    hmin = geom.hf_base
+    hmax = geom.hf_base + geom.hf_amp
+    safe = jnp.where(jnp.abs(dy) < 1e-7, 1e-7, dy)
+    ta = (hmax - oy) / safe
+    tb = (hmin - oy) / safe
+    horiz = jnp.abs(dy) < 1e-7
+    in_band = (oy >= hmin) & (oy <= hmax)
+    lo = jnp.where(horiz, jnp.where(in_band, EPS, max_t), jnp.minimum(ta, tb))
+    hi = jnp.where(horiz, jnp.where(in_band, max_t, 0.0), jnp.maximum(ta, tb))
+    return jnp.clip(lo, EPS, max_t), jnp.clip(hi, EPS, max_t)
+
+
 def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest hit along each ray.
@@ -90,17 +122,75 @@ def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
         normal = normal / jnp.maximum(nl, 1e-9)
         state = closer(t, jnp.broadcast_to(geom.box_albedo[i], origins.shape), normal, state)
 
+    if geom.hf_enabled:
+        oy = origins[..., 1]
+        dy = dirs[..., 1]
+        lo, hi = _hf_band(geom, oy, dy, jnp.float32(geom.hf_far))
+        valid = hi > lo
+
+        def below(t):
+            p = origins + t[..., None] * dirs
+            return p[..., 1] < heightfield_height(geom, p[..., 0], p[..., 2])
+
+        # Fixed march over the band + bisection refine (primary/bake rays use
+        # 4x the shadow-march density; cost is off the froxel frame path).
+        # lax.fori_loop, NOT Python unroll: unrolled, each step inlines a full
+        # fBm eval and the whole-frame graph hits ~7.5 MB MLIR, which gets
+        # the remote TPU compile helper SIGKILLed (CLAUDE.md Mosaic list).
+        k = geom.hf_steps * 4
+        in_prev0 = below(lo)
+        found0 = in_prev0 & valid          # started inside: hit at lo
+
+        def march(i, c):
+            found, t_lo, t_hi, t_prev, in_prev = c
+            t = lo + (hi - lo) * (i.astype(jnp.float32) / k)
+            inside = below(t)
+            new = valid & ~found & ~in_prev & inside
+            t_lo = jnp.where(new, t_prev, t_lo)
+            t_hi = jnp.where(new, t, t_hi)
+            return found | new, t_lo, t_hi, t, inside
+
+        found, t_lo, t_hi, _, _ = jax.lax.fori_loop(
+            1, k + 1, march, (found0, lo, lo, lo, in_prev0))
+
+        def bisect(_, c):                  # bisection: ~(band/k)/256 accuracy
+            t_lo, t_hi = c
+            tm = 0.5 * (t_lo + t_hi)
+            im = below(tm)
+            return (jnp.where(found & ~im, tm, t_lo),
+                    jnp.where(found & im, tm, t_hi))
+
+        t_lo, t_hi = jax.lax.fori_loop(0, 8, bisect, (t_lo, t_hi))
+        t = jnp.where(found, t_hi, BIG)
+
+        hitp = origins + t_hi[..., None] * dirs
+        e = 0.1
+        n = jnp.stack([
+            heightfield_height(geom, hitp[..., 0] - e, hitp[..., 2])
+            - heightfield_height(geom, hitp[..., 0] + e, hitp[..., 2]),
+            jnp.full_like(t_hi, 2.0 * e),
+            heightfield_height(geom, hitp[..., 0], hitp[..., 2] - e)
+            - heightfield_height(geom, hitp[..., 0], hitp[..., 2] + e)],
+            axis=-1)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        state = closer(t, jnp.broadcast_to(geom.hf_albedo, origins.shape), n,
+                       state)
+
     return state
 
 
 def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
-             max_dist: jax.Array) -> jax.Array:
+             max_dist: jax.Array, include_heightfield: bool = True
+             ) -> jax.Array:
     """1.0 where the segment point -> point + to_light*max_dist hits geometry.
 
     to_light unit [..., 3] (or broadcastable); max_dist [...]. Used by the
     gather-free `shadow_mode="raycast"` froxel visibility path. Any-hit only:
     skips the albedo/normal bookkeeping of intersect() (this runs per light
-    per froxel — the hot path of raycast shadowing)."""
+    per froxel — the hot path of raycast shadowing). include_heightfield=False
+    skips the hf_steps-sample terrain march (cfg.heightfield_local_shadows:
+    local-light rays pay hf_steps noise evals each, the dir light always
+    includes it)."""
     origins, dirs = points, to_light
     hit = jnp.zeros(points.shape[:-1], bool)
 
@@ -131,6 +221,24 @@ def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
             tmax = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
             t = jnp.where(tmin > EPS, tmin, tmax)
             hit |= (tmax >= tmin) & (t > EPS) & (t < max_dist)
+
+    if geom.hf_enabled and include_heightfield:
+        oy = origins[..., 1]
+        dy = jnp.broadcast_to(dirs[..., 1], oy.shape)
+        cap = jnp.minimum(jnp.asarray(max_dist, jnp.float32),
+                          jnp.float32(geom.hf_far))
+        lo, hi = _hf_band(geom, oy, dy, cap)
+        valid = hi > lo
+        def step(i, occ):                  # fori_loop: keep the graph O(1)
+            t = lo + (hi - lo) * ((i.astype(jnp.float32) + 0.5)
+                                  / geom.hf_steps)
+            p = origins + t[..., None] * dirs
+            return occ | (p[..., 1]
+                          < heightfield_height(geom, p[..., 0], p[..., 2]))
+
+        occ = jax.lax.fori_loop(0, geom.hf_steps, step,
+                                jnp.zeros_like(valid))
+        hit |= occ & valid
 
     return hit.astype(jnp.float32)
 
