@@ -45,6 +45,9 @@ class DirShadowData:
     split_sq_radii: jax.Array   # [N, C]
     strength_r: jax.Array       # [N] = 1 - shadow_strength (_LightShadowData.r)
     bias: jax.Array             # [N] normalized-depth bias
+    # True when baked with the camera-aligned light basis (u independent of
+    # froxel y) — the precondition of the fused Pallas PCF sampler.
+    aligned: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -69,9 +72,26 @@ class SpotShadowData:
     bias: jax.Array             # [N] normalized-depth bias
 
 
-def _light_basis(direction: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Orthonormal basis with lz = direction."""
+def _light_basis(direction: jax.Array, align_up=None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Orthonormal basis with lz = direction.
+
+    align_up: optional camera up axis (view_to_world column 1). When given,
+    lx = normalize(lz x align_up), which makes dot(lx, camera_up) = 0 — the
+    froxel->atlas u coordinate then depends on froxel x only (per slice), the
+    property the Pallas cascaded-PCF kernel needs (ops/pallas/pcf_shadow.py).
+    Sampling is basis-agnostic (data flows through world_to_uv), so the gather
+    path and the oracle are unaffected by the choice."""
     lz = direction / jnp.linalg.norm(direction)
+    if align_up is not None:
+        lx = jnp.cross(lz, align_up)
+        n = jnp.linalg.norm(lx)
+        # degenerate (light along camera up): any perpendicular will do
+        fallback = jnp.cross(lz, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        lx = jnp.where(n > 1e-5, lx / jnp.maximum(n, 1e-9),
+                       fallback / jnp.maximum(jnp.linalg.norm(fallback), 1e-9))
+        ly = jnp.cross(lz, lx)
+        return lx, ly, lz
     up = jnp.where(jnp.abs(lz[1]) > 0.99,
                    jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
                    jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
@@ -114,8 +134,13 @@ def fit_cascades(camera_pos, camera_forward, fov_y, aspect, near,
 def bake_dir_shadows(geom: Geometry, directions, strengths,
                      camera_pos, camera_forward, fov_y, aspect, near,
                      shadow_distance, splits, map_size: int,
-                     bias: float = 2e-3) -> DirShadowData:
-    """Bake the 2x2 cascade atlas for each directional light."""
+                     bias: float = 2e-3, align_up=None) -> DirShadowData:
+    """Bake the 2x2 cascade atlas for each directional light.
+
+    align_up: camera up axis — bakes in the camera-aligned light basis (see
+    _light_basis), enabling the fused Pallas PCF sampler. Alignment rotates
+    the atlas with the camera, so the texel snap stabilizes translation but
+    not camera roll/yaw; the default basis keeps Unity's fixed-basis snap."""
     num_lights = directions.shape[0]
     num_c = len(splits)
     s = map_size
@@ -126,7 +151,7 @@ def bake_dir_shadows(geom: Geometry, directions, strengths,
     atlases = []
     mats = []
     for li in range(num_lights):
-        lx, ly, lz = _light_basis(directions[li])
+        lx, ly, lz = _light_basis(directions[li], align_up)
         quads = []
         lmats = []
         for ci in range(num_c):
@@ -177,6 +202,7 @@ def bake_dir_shadows(geom: Geometry, directions, strengths,
         split_sq_radii=jnp.broadcast_to(radii * radii, (num_lights, num_c)),
         strength_r=1.0 - strengths,
         bias=jnp.full((num_lights,), bias, jnp.float32),
+        aligned=align_up is not None,
     )
 
 
