@@ -26,7 +26,8 @@ def main():
 
     cfg = FULL_CONFIG
     r = VolumetricRenderer(cfg)
-    scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height)
+    scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
+                            noise_mode="procedural")
     state = r.init_state(scene.dir_lights.count)
 
     @jax.jit

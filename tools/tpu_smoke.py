@@ -97,6 +97,35 @@ def main():
 
     ok = check("all-pallas frame", dataclasses.replace(BASE, **PALLAS_KNOBS),
                scene, ref)
+    # the reference's cascaded-PCF technique: fused sampler vs the gather
+    # sampler, both on map_dir (dir maps + raycast locals); same aligned bake
+    ref_md = run_frames(dataclasses.replace(
+        BASE, shadow_mode="map_dir", dir_shadow_impl="pallas",
+        scatter_impl="pallas"), scene)
+    print(f"ok   map_dir pallas frame: checksum={ref_md.sum():.3f}")
+    ok &= check("map_dir gather vs pallas",
+                dataclasses.replace(BASE, shadow_mode="map_dir"), scene,
+                ref_md)
+    # heightfield-occluder branch of the fused kernels (terrain march inside
+    # scatter + dir-shadow; benchmark_scene has no heightfield so this is the
+    # only TPU compile of that branch). Cheap march (2 lights, 4 steps,
+    # 1 octave): the full-size XLA reference frame unrolls to a ~6 MB MLIR
+    # graph that gets the remote compile helper SIGKILLed — the kernel branch
+    # under test is identical, only the unroll counts shrink.
+    from volumetricrenderer_tpu.models.geometry import Geometry
+    hf_scene = benchmark_scene(aspect=BASE.image_width / BASE.image_height,
+                               num_local_lights=2, noise_mode="procedural")
+    hf_scene = dataclasses.replace(
+        hf_scene, geometry=Geometry.create(
+            planes=[((0.0, 1.0, 0.0), 0.0, (0.22, 0.26, 0.18))],
+            spheres=[((4.0, 1.5, 6.0), 1.5, (0.6, 0.55, 0.5))],
+            heightfield=dict(amp=2.0, base=-0.3, tiling=(0.03, 0.03),
+                             steps=4, octaves=1)))
+    hf_base = dataclasses.replace(BASE, heightfield_local_shadows=True)
+    hf_ref = run_frames(hf_base, hf_scene)
+    print(f"ok   heightfield xla frame: checksum={hf_ref.sum():.3f}")
+    ok &= check("heightfield pallas vs xla",
+                dataclasses.replace(hf_base, **PALLAS_KNOBS), hf_scene, hf_ref)
     # the non-default fused composite kernel (needs IH % H == 0: 1080/135).
     # rel_tol 1e-2: this kernel has a KNOWN ~2e-3 bf16 hi/lo residual vs the
     # exact-trilinear tentmm (PERF.md composite post-mortem) — the smoke pins

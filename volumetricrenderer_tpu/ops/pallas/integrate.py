@@ -125,9 +125,12 @@ def _kernel(par_ref, r_ref, g_ref, b_ref, e_ref,
 
 def accumulate_fused_pallas(planes, jitter, params,
                             grid_whd: Tuple[int, int, int],
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            return_planes: bool = False) -> jax.Array:
     """planes: (r, g, b, extinction) each [D, H, W]; jitter (3,) with
-    z-offset in [0, 1). Returns the accumulation volume [D, H, W, 4]."""
+    z-offset in [0, 1). Returns the accumulation volume [D, H, W, 4], or the
+    raw (L_r, L_g, L_b, T) planes with return_planes (skips the interleave —
+    for the fused temporal blend)."""
     w, h, d = grid_whd
     r, g, b, e = planes
     par = jnp.stack([jitter[0], jitter[1], jitter[2],
@@ -155,5 +158,7 @@ def accumulate_fused_pallas(planes, jitter, params,
         scratch_shapes=scratch,
         interpret=interpret,
     )(par, r, g, b, e)
+    if return_planes:
+        return lr, lg, lb, tt
     return jnp.concatenate([jnp.stack([lr, lg, lb], axis=-1),
                             tt[..., None]], axis=-1)

@@ -1,0 +1,215 @@
+"""Fully-fused temporal blend kernels (reprojection + windowed warp + lerp).
+
+The reproj_impl="pallas" path used to run, per blended volume: an XLA texel
+computation (three full [D, H, W] coordinate volumes through froxel->world->
+prev-view->froxel), then THREE sequential Pallas warp passes (z, y, x — one
+HBM read+write each), then the lerp (fused into the x pass). This kernel does
+the whole blend in ONE sequential pass over z:
+
+- the reprojection texel coords are recomputed in-register from the packed
+  scalar params (froxel -> view is slice-local math; world->prev-view
+  collapses into ONE combined 3x4 matrix on the host) — no coordinate volume
+  ever exists;
+- the z tent taps come from a VMEM ring buffer of the previous 2k+2 history
+  slices (TPU grids run sequentially; each history plane is read from HBM
+  exactly once);
+- the y/x tents are in-VMEM static-shift stencils (ops/pallas/warp.py's
+  scheme), applied per channel plane (no [.., W*C] interleaving, no channel
+  repeat of the targets);
+- the temporal lerp (weight mode for the shadow volume, prev.a != 0 alpha
+  mode for accumulation, compute:205-219 / 246-258) happens before the single
+  output write.
+
+Semantics identical to pipeline._reproject_texel + ops/warp.py's separable
+windowed warp + the blend formulas (SPEC "Reprojection sampling"), pinned by
+tests/test_temporal_fused.py against the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_blend_params(params, view_to_world, prev_world_to_view, jitter,
+                      alpha, uvw_epsilon: float) -> jax.Array:
+    """[1, 24]: combined prev-view matrix (12), fp x/y/z/w/near (5),
+    jitter (3), alpha, eps, y0, pad."""
+    m = jnp.matmul(prev_world_to_view, view_to_world,
+                   precision=jax.lax.Precision.HIGHEST)
+    vals = [m[0, 0], m[0, 1], m[0, 2], m[0, 3],
+            m[1, 0], m[1, 1], m[1, 2], m[1, 3],
+            m[2, 0], m[2, 1], m[2, 2], m[2, 3],
+            params.x, params.y, params.z, params.w, params.near,
+            jitter[0], jitter[1], jitter[2],
+            alpha, jnp.float32(uvw_epsilon), params.y0, jnp.float32(0.0)]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
+
+
+def _edge_pad(x, axis, k):
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(0, 1)
+    hi[axis] = slice(x.shape[axis] - 1, x.shape[axis])
+    return jnp.concatenate([x[tuple(lo)]] * k + [x] + [x[tuple(hi)]] * k,
+                           axis=axis)
+
+
+def _tent_pass(plane, off, axis, k):
+    """1D windowed tent along `axis` of an [H, W] plane; off pre-clipped."""
+    padded = _edge_pad(plane, axis, k + 1)
+    n = plane.shape[axis]
+    acc = jnp.zeros_like(plane)
+    for dd in range(-k, k + 2):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(off - dd))
+        idx = [slice(None)] * 2
+        idx[axis] = slice(k + 1 + dd, k + 1 + dd + n)
+        acc = acc + padded[tuple(idx)] * w
+    return acc
+
+
+def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
+            n_ch: int, mode: str, h_glob: int, use_jitter: bool):
+    prevs = refs[:n_ch]
+    curs = refs[n_ch:2 * n_ch]
+    outs = refs[2 * n_ch:3 * n_ch]
+    rings = refs[3 * n_ch:]
+    w, h, d = grid_whd
+    j = pl.program_id(0)
+    ring_n = 2 * k + 2
+
+    # load this step's history slice into the ring (slice min(j, d-1) via the
+    # BlockSpec index map; slot j mod ring_n — see the slot proof in the
+    # module tests)
+    slot = jnp.mod(j, ring_n)
+    for c in range(n_ch):
+        rings[c][pl.ds(slot, 1)] = prevs[c][:]
+
+    @pl.when(j > k)
+    def _():
+        z = j - (k + 1)
+        p = lambda i: par_ref[0, i]
+        fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+        jx, jy, jz = p(17), p(18), p(19)
+        alpha, eps, y0 = p(20), p(21), p(22)
+
+        # current froxel center (UNJITTERED, _reproject_texel) -> view
+        zf = z.astype(jnp.float32)
+        vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+        ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+        vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
+        vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
+
+        # combined view -> prev-view (rigid: no w divide)
+        pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+        pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+        pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+        # prev-view -> prev froxel (GLOBAL grid coords, helper:142-151)
+        pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
+            / jnp.log(fpz)
+        pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
+        pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
+        if use_jitter:
+            pfx = pfx + jx
+            pfy = pfy + jy
+            pfz = pfz + jz
+
+        # texel = (prev_pos/dims + eps)*dims - 0.5, y made slab-local
+        tx = pfx + eps * w - 0.5
+        ty = pfy + eps * h_glob - 0.5 - y0
+        tz = pfz + eps * d - 0.5
+
+        # xy reprojection success on the GLOBAL uvw (helper:165-171)
+        ux = pfx / w + eps
+        uy = pfy / h_glob + eps
+        success = ((ux >= 0.0) & (ux <= 1.0) & (uy >= 0.0)
+                   & (uy <= 1.0)).astype(jnp.float32)
+
+        # warp clamps (windowed_warp: targets clipped to the LOCAL volume)
+        tz = jnp.clip(tz, 0.0, d - 1.0)
+        ty = jnp.clip(ty, 0.0, h - 1.0)
+        tx = jnp.clip(tx, 0.0, w - 1.0)
+        off_z = jnp.clip(tz - zf, -k, k)
+        base_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) \
+            .astype(jnp.float32)
+        base_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) \
+            .astype(jnp.float32)
+        off_y = jnp.clip(ty - base_y, -k, k)
+        off_x = jnp.clip(tx - base_x, -k, k)
+
+        warped = []
+        for c in range(n_ch):
+            # z tent from the ring: tap slice clip(z+dd, 0, d-1), slot proof:
+            # slice s lives in slot s % ring_n from step s until s + ring_n,
+            # and every tap needed at step j = z+k+1 is within that window
+            acc = jnp.zeros((h, w), jnp.float32)
+            for dd in range(-k, k + 2):
+                s = jnp.clip(z + dd, 0, d - 1)
+                wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
+                tap = rings[c][pl.ds(jnp.mod(s, ring_n), 1)][0]
+                acc = acc + tap * wz
+            acc = _tent_pass(acc, off_y, 0, k)
+            acc = _tent_pass(acc, off_x, 1, k)
+            warped.append(acc)
+
+        if mode == "weight":
+            wgt = alpha * success
+            for c in range(n_ch):
+                cur = curs[c][0]
+                outs[c][0] = cur + wgt * (warped[c] - cur)
+        else:  # "alpha": success = warped alpha channel != 0 (compute:257)
+            wgt = alpha * (warped[n_ch - 1] != 0.0).astype(jnp.float32)
+            for c in range(n_ch):
+                cur = curs[c][0]
+                outs[c][0] = cur + wgt * (warped[c] - cur)
+
+
+def fused_temporal_blend(params, view_to_world, prev_world_to_view, jitter,
+                         alpha, prev_planes: Sequence[jax.Array],
+                         cur_planes: Sequence[jax.Array],
+                         grid_whd: Tuple[int, int, int], k: int, mode: str,
+                         uvw_epsilon: float = 0.0,
+                         interpret: bool = False) -> Tuple[jax.Array, ...]:
+    """Blend cur with the reprojection-warped prev, one fused pass.
+
+    prev_planes / cur_planes: per-channel [D, H, W] volumes (same length).
+    mode "weight": out = cur + alpha*success*(warped - cur) (shadow blend;
+    pass jitter + uvw_epsilon=1e-4). mode "alpha": weight =
+    alpha*(warped_last != 0) with the LAST plane as the success alpha
+    (accumulation blend; zero jitter, eps 0). Returns blended planes."""
+    w, h, d = grid_whd
+    n_ch = len(prev_planes)
+    use_jitter = mode == "weight"
+    jit = jitter if use_jitter else jnp.zeros((3,), jnp.float32)
+    par = pack_blend_params(params, view_to_world, prev_world_to_view, jit,
+                            alpha, uvw_epsilon)
+
+    kernel = functools.partial(_kernel, grid_whd=grid_whd, k=k, n_ch=n_ch,
+                               mode=mode, h_glob=params.grid[1],
+                               use_jitter=use_jitter)
+
+    prev_spec = pl.BlockSpec((1, h, w), lambda j: (jnp.minimum(j, d - 1), 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, h, w),
+                            lambda j: (jnp.maximum(j - (k + 1), 0), 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(par.shape, lambda j: (0, 0), memory_space=pltpu.SMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(d + k + 1,),
+        in_specs=[smem] + [prev_spec] * n_ch + [out_spec] * n_ch,
+        out_specs=tuple([out_spec] * n_ch),
+        out_shape=tuple([jax.ShapeDtypeStruct((d, h, w), jnp.float32)] * n_ch),
+        scratch_shapes=[pltpu.VMEM((2 * k + 2, h, w), jnp.float32)] * n_ch,
+        interpret=interpret,
+    )(par, *prev_planes, *cur_planes)
+    return outs if isinstance(outs, tuple) else (outs,)

@@ -165,6 +165,21 @@ def write_shadow_volume_dir(cfg: RenderConfig, params: FroxelParams,
                                  geometry, cfg.grid,
                                  interpret=jax.default_backend() != "tpu")
 
+    whole_grid = isinstance(params.y0, (int, float)) and params.y0 == 0
+    if (cfg.dir_shadow_impl == "pallas"
+            and cfg.shadow_mode in ("map", "map_dir")
+            and dir_shadow is not None and dir_shadow.aligned
+            and dir_lights.count > 0 and whole_grid
+            and dir_shadow.atlas.shape[-1] % 128 == 0):
+        # the reference's cascaded-PCF technique at TPU speed: fused
+        # windowed-gather sampler (ops/pallas/pcf_shadow.py); requires the
+        # camera-aligned bake (renderer passes align_up when this impl is on)
+        from volumetricrenderer_tpu.ops.pallas.pcf_shadow import \
+            pcf_dir_shadow_pallas
+        return pcf_dir_shadow_pallas(params, view_to_world, jitter,
+                                     dir_lights, dir_shadow, cfg.grid,
+                                     interpret=jax.default_backend() != "tpu")
+
     world_j = froxel_world_positions(cfg, params, view_to_world, jitter)
 
     channels = []
@@ -222,7 +237,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         d2s = froxel.dot3(to_pos, to_pos)
         inv = jax.lax.rsqrt(d2s + 1e-18)
         occ = raycast.occluded(geometry, wp, -(to_pos * inv[..., None]),
-                               d2s * inv - 0.05)
+                               d2s * inv - 0.05,
+                               include_heightfield=cfg.heightfield_local_shadows)
         if ss > 1:
             occ = jnp.repeat(jnp.repeat(occ, ss, axis=1), ss, axis=2)
             occ = occ[:, :h, :w]
@@ -233,8 +249,9 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     light_rgb = jnp.zeros((d, h, w, 3), jnp.float32)
     extinction = jnp.zeros((d, h, w), jnp.float32)
 
+    local_raycast = cfg.shadow_mode in ("raycast", "map_dir")
     use_pallas_scatter = (
-        cfg.scatter_impl == "pallas" and cfg.shadow_mode == "raycast"
+        cfg.scatter_impl == "pallas" and local_raycast
         and geometry is not None and ss == 1
         and (point_lights.count + spot_lights.count) > 0)
     # Fold the material evaluation into the kernel too (material_impl =
@@ -274,7 +291,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
             dir_lights=dir_lights, shadow_volume=shadow_volume,
             jitter_dir=cfg.jitter_dir_scatter,
             interpret=jax.default_backend() != "tpu", return_planes=True,
-            media=media if use_fused_material else None, time_x=time_x)
+            media=media if use_fused_material else None, time_x=time_x,
+            heightfield_shadows=cfg.heightfield_local_shadows)
         if use_fused_material:
             pr, pg, pb, extinction = outs
         else:
@@ -306,7 +324,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         cos_theta = jnp.sum(view_dir_j * (-ldir), axis=-1)
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * point_colors[i] * sigma_s
-        if cfg.shadow_mode == "raycast" and geometry is not None:
+        if local_raycast and geometry is not None:
             s = shadow_ray(point_lights.position[i], point_lights.has_shadow[i])
             contrib = contrib * s[..., None]
         elif cube_shadow is not None:
@@ -332,7 +350,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                                      spot_lights.intensity_multiplier[i])
         hg = henyey_greenstein(phase_g, cos_theta)
         contrib = (hg * falloff)[..., None] * spot_colors[i] * sigma_s
-        if cfg.shadow_mode == "raycast" and geometry is not None:
+        if local_raycast and geometry is not None:
             s = shadow_ray(spot_lights.position[i], spot_lights.has_shadow[i])
             contrib = contrib * s[..., None]
         elif spot_shadow is not None:
@@ -352,25 +370,39 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 # --------------------------------------------------------------------------- #
 
 def accumulate(cfg: RenderConfig, params: FroxelParams, jitter: jax.Array,
-               scatter: jax.Array, planes=None) -> jax.Array:
+               scatter: jax.Array, planes=None, return_planes: bool = False):
     """Front-to-back integration (compute:172-200) as an associative scan.
 
     The in-kernel trilinear fetch at the jittered froxel pos (compute:187-188)
     is a constant-offset stencil -> gather-free shift_sample_3d; with
     `accumulate_impl="pallas"` and scatter planes available, the sample and
-    the scan fuse into one sequential Pallas pass (ops/pallas/integrate.py)."""
+    the scan fuse into one sequential Pallas pass (ops/pallas/integrate.py).
+
+    return_planes=True additionally returns the (L_r, L_g, L_b, T) channel
+    planes so the fused accumulation blend can consume them without the
+    channel-interleave round-trip (the interleaved volume is DCEd if the
+    blend's output is what the frame consumes)."""
     if cfg.accumulate_impl == "pallas" and planes is not None:
         from volumetricrenderer_tpu.ops.pallas.integrate import \
             accumulate_fused_pallas
-        return accumulate_fused_pallas(
+        out_planes = accumulate_fused_pallas(
             planes, jitter, params, cfg.grid,
-            interpret=jax.default_backend() != "tpu")
-    # Texel coord of jittered center i+0.5+j is i+j -> offset = jitter.
-    sampled = shift_sample_3d(scatter, jitter)
-    in_scatter = sampled[..., :3]
-    extinction = sampled[..., 3]
-    steps = step_lengths(cfg, params)
-    return accumulate_blocked(in_scatter, extinction, steps)
+            interpret=jax.default_backend() != "tpu", return_planes=True)
+        vol = jnp.concatenate([jnp.stack(out_planes[:3], axis=-1),
+                               out_planes[3][..., None]], axis=-1)
+    else:
+        # Texel coord of jittered center i+0.5+j is i+j -> offset = jitter.
+        sampled = shift_sample_3d(scatter, jitter)
+        in_scatter = sampled[..., :3]
+        extinction = sampled[..., 3]
+        steps = step_lengths(cfg, params)
+        vol = accumulate_blocked(in_scatter, extinction, steps)
+        out_planes = None
+    if return_planes:
+        if out_planes is None:
+            out_planes = tuple(vol[..., c] for c in range(4))
+        return vol, out_planes
+    return vol
 
 
 # --------------------------------------------------------------------------- #
@@ -427,22 +459,22 @@ def temporal_blend_shadow(cfg: RenderConfig, params: FroxelParams,
                           prev_shadow: jax.Array, alpha) -> jax.Array:
     """TemporalBlendShadowVolume (compute:205-219): reproject + jitter + the
     reference's 1e-4 uvw nudge; blend weight alpha * reprojSuccess."""
+    nd = shadow_volume.shape[0]
+    if cfg.reproj_impl == "pallas":
+        # fully-fused blend: in-kernel reprojection texels + one-pass ring
+        # warp + lerp — no coordinate volumes, one HBM read per history plane
+        from volumetricrenderer_tpu.ops.pallas.temporal import \
+            fused_temporal_blend
+        outs = fused_temporal_blend(
+            params, view_to_world, prev_world_to_view, jitter, alpha,
+            tuple(prev_shadow[i] for i in range(nd)),
+            tuple(shadow_volume[i] for i in range(nd)),
+            cfg.grid, cfg.reproj_window, "weight", uvw_epsilon=1e-4,
+            interpret=jax.default_backend() != "tpu")
+        return jnp.stack(outs)
     texel, success = _reproject_texel(cfg, params, view_to_world,
                                       prev_world_to_view, jitter, 1e-4)
-    nd = shadow_volume.shape[0]
     out = []
-    if cfg.reproj_impl == "pallas":
-        # fused lerp in the warp's final pass: the warped history never
-        # round-trips HBM
-        from volumetricrenderer_tpu.ops.pallas.warp import windowed_warp_pallas
-        tx, ty, tz = texel[..., 0], texel[..., 1], texel[..., 2]
-        w = alpha * success
-        for i in range(nd):
-            out.append(windowed_warp_pallas(
-                prev_shadow[i], tx, ty, tz, cfg.reproj_window,
-                interpret=jax.default_backend() != "tpu",
-                blend_cur=shadow_volume[i], blend_weight=w))
-        return jnp.stack(out)
     for i in range(nd):
         prev = _sample_prev(cfg, prev_shadow[i], texel)
         out.append(shadow_volume[i] + (prev - shadow_volume[i]) * (alpha * success))
@@ -477,17 +509,26 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
                                 view_to_world: jax.Array,
                                 prev_world_to_view: jax.Array,
                                 accumulation: jax.Array,
-                                prev_accumulation: jax.Array, alpha) -> jax.Array:
+                                prev_accumulation: jax.Array, alpha,
+                                planes=None) -> jax.Array:
     """TemporalBlendAccumulationVolume (compute:246-258): success test is
-    prev.a != 0 (not the uv bound test)."""
+    prev.a != 0 (not the uv bound test). planes: the accumulation's channel
+    planes (from accumulate(return_planes=True)) — lets the fused blend skip
+    the pre-blend channel interleave."""
+    if cfg.reproj_impl == "pallas":
+        from volumetricrenderer_tpu.ops.pallas.temporal import \
+            fused_temporal_blend
+        cur = planes if planes is not None \
+            else tuple(accumulation[..., c] for c in range(4))
+        prev = tuple(prev_accumulation[..., c] for c in range(4))
+        outs = fused_temporal_blend(
+            params, view_to_world, prev_world_to_view, None, alpha,
+            prev, cur, cfg.grid, cfg.reproj_window, "alpha",
+            interpret=jax.default_backend() != "tpu")
+        return jnp.concatenate([jnp.stack(outs[:3], axis=-1),
+                                outs[3][..., None]], axis=-1)
     texel, _ = _reproject_texel(cfg, params, view_to_world,
                                 prev_world_to_view, None, 0.0)
-    if cfg.reproj_impl == "pallas":
-        from volumetricrenderer_tpu.ops.pallas.warp import windowed_warp_pallas
-        return windowed_warp_pallas(
-            prev_accumulation, texel[..., 0], texel[..., 1], texel[..., 2],
-            cfg.reproj_window, interpret=jax.default_backend() != "tpu",
-            blend_cur=accumulation, blend_alpha=alpha)
     prev = _sample_prev(cfg, prev_accumulation, texel)
     success = (prev[..., 3] != 0.0).astype(jnp.float32)
     return accumulation + (prev - accumulation) * (alpha * success)[..., None]

@@ -49,12 +49,19 @@ class VolumetricRenderer:
         dir_shadow = cube_shadow = spot_shadow = None
         if cfg.shadow_mode == "raycast":
             return dir_shadow, cube_shadow, spot_shadow
-        if scene.dir_lights.count and cfg.shadow_mode == "map":
+        if scene.dir_lights.count and cfg.shadow_mode in ("map", "map_dir"):
+            # pallas PCF sampling needs the camera-aligned light basis; use it
+            # for all of map_dir so impl choice never changes the bake
+            aligned = (cfg.dir_shadow_impl == "pallas"
+                       or cfg.shadow_mode == "map_dir")
+            align_up = cam.view_to_world()[:3, 1] if aligned else None
             dir_shadow = shadow_lib.bake_dir_shadows(
                 scene.geometry, scene.dir_lights.direction,
                 scene.dir_lights.shadow_strength, cam.position, cam.forward,
                 cam.fov_y, cam.aspect, cam.near, cfg.shadow_distance,
-                cfg.cascade_splits, cfg.shadow_map_size)
+                cfg.cascade_splits, cfg.shadow_map_size, align_up=align_up)
+        if cfg.shadow_mode == "map_dir":     # local lights use raycast
+            return dir_shadow, cube_shadow, spot_shadow
         if scene.point_lights.count:
             cube_shadow = shadow_lib.bake_cube_shadows(
                 scene.geometry, scene.point_lights.position,
@@ -166,13 +173,15 @@ class VolumetricRenderer:
 
         # --- Accumulate (cs:641-647) + blend (cs:276) ---
         with jax.named_scope("accumulate"):
-            accumulation = pipeline.accumulate(cfg, params, jitter, scatter,
-                                               planes=scatter_planes)
+            accumulation, acc_planes = pipeline.accumulate(
+                cfg, params, jitter, scatter, planes=scatter_planes,
+                return_planes=True)
         if cfg.temporal_blend_accumulation:
             with jax.named_scope("temporal_blend_accumulation"):
                 accumulation = pipeline.temporal_blend_accumulation(
                     cfg, params, view_to_world, prev_w2v, accumulation,
-                    state.prev_accumulation.astype(jnp.float32), alpha)
+                    state.prev_accumulation.astype(jnp.float32), alpha,
+                    planes=acc_planes)
 
         # --- Composite (cs:118, shader:69-93) ---
         with jax.named_scope("composite"):
