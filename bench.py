@@ -44,6 +44,10 @@ def main():
         cfg = dataclasses.replace(cfg, shadow_mode="raycast")
         scene_kw = dict(noise_mode="procedural")
     else:
+        # the reference's cascaded-PCF technique for the sun via the fused
+        # Pallas sampler (+ raycast local lights). shadow_mode="map" (cube/
+        # spot maps for locals too) stays the gather-bound parity path.
+        cfg = dataclasses.replace(cfg, shadow_mode="map_dir")
         scene_kw = dict(noise_tex=perlin_texture_3d(32))
     renderer = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,

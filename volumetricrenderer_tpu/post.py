@@ -1,10 +1,22 @@
-"""Minimal post-processing stack.
+"""Post-processing stack (PostProcessing 2.3.0 coverage, TPU-native).
 
 The reference bundles Unity PostProcessing 2.3.0 (SURVEY §2.7) but its demo
-profile only (mis)configures the volumetric entry itself, so the effective post
-chain is exposure/tonemap/display. This module provides the pieces BASELINE
-config 5 asks for ("composite + post stack"): exposure, bloom, ACES tonemap,
-vignette, gamma encode — all fused elementwise/XLA ops.
+profile only (mis)configures the volumetric entry itself, so the effective
+post chain is exposure/tonemap/display. This module provides the pieces
+BASELINE config 5 asks for ("composite + post stack") — exposure, bloom, ACES
+tonemap, vignette, gamma encode — plus the depth/velocity effects from the
+bundled package, each re-designed gather-free for TPU:
+
+- Depth of field (DepthOfField.shader's CoC model): physically-derived circle
+  of confusion from view depth, blended against a blur pyramid by CoC size —
+  pyramid levels replace the engine's scatter-as-gather bokeh taps.
+- Motion blur (camera shutter, MotionBlur.shader): per-pixel camera-motion
+  velocity from view depth + the previous world->view matrix (same math as
+  the TAA reprojection), applied as a direction-quantized select over
+  static-shift taps at half resolution (shift stencils are constant-offset,
+  so no per-pixel gather exists anywhere).
+- LUT color grading (ColorGrading's curve mode): per-channel 1D LUTs applied
+  as tent-weight matmuls (exact piecewise-linear interpolation on the MXU).
 """
 
 from __future__ import annotations
@@ -38,6 +50,19 @@ class PostConfig:
     # Film grain strength (hash-noise, Random.hlsl-style construction).
     grain: float = 0.0
     grain_seed: int = 0
+    # Depth of field (needs view_depth passed to apply_post). CoC =
+    # aperture * |focal| * |depth - focus| / (depth * |focus - focal|),
+    # engine DepthOfField.cs model; blur strength saturates at coc_max px.
+    dof_focus_distance: float = 0.0    # 0 disables DoF
+    dof_focal_length: float = 0.05     # meters (50mm)
+    dof_aperture: float = 5.6          # f-number
+    dof_max_coc: float = 8.0           # pixels at full blur
+    # Motion blur (needs velocity passed to apply_post; see camera_velocity).
+    # Shutter-scaled blur amount in [0, 1]; 0 disables.
+    motion_blur: float = 0.0
+    # Per-channel 1D grading LUTs: tuple of 3 tuples (r, g, b node values on
+    # a uniform [0, 1] grid, any length >= 2). None disables.
+    grade_luts: tuple = None
 
 
 def aces_tonemap(x: jax.Array) -> jax.Array:
@@ -143,9 +168,166 @@ def film_grain(rgb: jax.Array, strength: float, seed: int) -> jax.Array:
     return rgb + (strength * n * mask)[..., None]
 
 
-def apply_post(image_rgba: jax.Array, cfg: PostConfig) -> jax.Array:
-    """HDR composite [H, W, 4] -> display-ready [H, W, 3] in [0, 1]."""
+def _shift2(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Static integer shift with edge clamp (constant-offset stencil)."""
+    if dy > 0:
+        img = jnp.concatenate([img[dy:], img[-1:].repeat(dy, 0)], axis=0)
+    elif dy < 0:
+        img = jnp.concatenate([img[:1].repeat(-dy, 0), img[:dy]], axis=0)
+    if dx > 0:
+        img = jnp.concatenate([img[:, dx:], img[:, -1:].repeat(dx, 1)], axis=1)
+    elif dx < 0:
+        img = jnp.concatenate([img[:, :1].repeat(-dx, 1), img[:, :dx]], axis=1)
+    return img
+
+
+def circle_of_confusion(view_depth: jax.Array, cfg: PostConfig) -> jax.Array:
+    """Thin-lens CoC in pixels (DepthOfField.cs:153-161 model): aperture
+    diameter f/N, coc = A*f*|d - F| / (d*(F - f)), normalized so the engine's
+    maxCoC maps to cfg.dof_max_coc pixels."""
+    f = cfg.dof_focal_length
+    big_f = jnp.maximum(cfg.dof_focus_distance, f + 1e-4)
+    a = f / cfg.dof_aperture
+    d = jnp.maximum(view_depth, 1e-4)
+    coc_m = a * f * jnp.abs(d - big_f) / (d * (big_f - f))
+    # the engine maps coc through sensor size to pixels; normalize against the
+    # hyperfocal-background limit coc(inf) = A*f/(F - f) so distant blur
+    # saturates at dof_max_coc
+    coc_inf = a * f / (big_f - f)
+    return cfg.dof_max_coc * jnp.clip(coc_m / coc_inf, 0.0, 1.0)
+
+
+def depth_of_field(rgb: jax.Array, view_depth: jax.Array,
+                   cfg: PostConfig) -> jax.Array:
+    """CoC-blended blur pyramid (gather-free DoF).
+
+    The engine's DepthOfField.shader gathers a bokeh disc per pixel; on TPU
+    the per-pixel gather is serial, so the disc blur is replaced by a 3-level
+    blur pyramid (radii ~2/4/8 px) blended by CoC size. Near-foreground blur
+    bleed (the engine's CoC dilation pass) is approximated by maxing the CoC
+    with its own blur."""
+    h, w = rgb.shape[:2]
+    coc = circle_of_confusion(view_depth[:h, :w], cfg)          # [H, W] px
+    coc = jnp.maximum(coc, _blur3(_blur3(coc[..., None]))[..., 0])
+
+    l1 = _blur3(_downsample2(rgb))                              # ~2 px
+    l2 = _blur3(_downsample2(l1))                               # ~4 px
+    l3 = _blur3(_downsample2(l2))                               # ~8 px
+    u1 = _upsample2(l1, h, w)
+    u2 = _upsample2(_upsample2(l2, l1.shape[0], l1.shape[1]), h, w)
+    u3 = _upsample2(_upsample2(_upsample2(
+        l3, l2.shape[0], l2.shape[1]), l1.shape[0], l1.shape[1]), h, w)
+
+    t = jnp.clip(coc / jnp.maximum(cfg.dof_max_coc, 1e-4), 0.0, 1.0) * 3.0
+    w1 = jnp.clip(t, 0.0, 1.0)[..., None]
+    w2 = jnp.clip(t - 1.0, 0.0, 1.0)[..., None]
+    w3 = jnp.clip(t - 2.0, 0.0, 1.0)[..., None]
+    out = rgb + w1 * (u1 - rgb)
+    out = out + w2 * (u2 - out)
+    return out + w3 * (u3 - out)
+
+
+def camera_velocity(view_depth: jax.Array, fov_y, aspect,
+                    view_to_world: jax.Array,
+                    prev_world_to_view: jax.Array) -> jax.Array:
+    """Per-pixel screen-space camera velocity in PIXELS [H, W, 2] (x, y).
+
+    Reconstructs the view-space position from depth (the composite's
+    frustum-corner convention, ops/raycast.camera_rays), maps it through
+    prev_world_to_view @ view_to_world (one combined matrix — the same
+    collapse as the fused temporal blend), reprojects, and differences the
+    screen positions. The engine's MotionBlur.cs derives the same camera
+    velocity from the depth buffer + previous VP matrix."""
+    h, w = view_depth.shape
+    m = jnp.matmul(prev_world_to_view, view_to_world,
+                   precision=jax.lax.Precision.HIGHEST)
+    tan_y = jnp.tan(fov_y / 2.0)
+    xs = ((jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0)
+    ys = ((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)
+    vx = xs[None, :] * (tan_y * aspect) * view_depth
+    vy = ys[:, None] * tan_y * view_depth
+    vz = view_depth
+    px = m[0, 0] * vx + m[0, 1] * vy + m[0, 2] * vz + m[0, 3]
+    py = m[1, 0] * vx + m[1, 1] * vy + m[1, 2] * vz + m[1, 3]
+    pz = jnp.maximum(m[2, 0] * vx + m[2, 1] * vy + m[2, 2] * vz + m[2, 3],
+                     1e-4)
+    su = px / (pz * tan_y * aspect)           # prev NDC x
+    sv = py / (pz * tan_y)
+    return jnp.stack([(su - xs[None, :]) * (w / 2.0),
+                      (sv - ys[:, None]) * (h / 2.0)], axis=-1)
+
+
+def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
+                ) -> jax.Array:
+    """Direction-quantized camera motion blur (gather-free).
+
+    The velocity direction is quantized to 4 axes (0/45/90/135 deg); each axis
+    blur is a symmetric pair of static shifts at two radii on a half-res
+    image. Per-pixel axis one-hot + magnitude then select/lerp — every tap is
+    a constant-offset stencil, so nothing gathers. Engine reference:
+    MotionBlur.shader's per-pixel velocity-line sampling."""
+    h, w = rgb.shape[:2]
+    half = _downsample2(rgb)
+    dirs = [(0, 1), (1, 1), (1, 0), (1, -1)]           # 4 axes at half res
+    axis_blurs = []
+    for dy, dx in dirs:
+        b = (half
+             + _shift2(half, dy, dx) + _shift2(half, -dy, -dx)
+             + _shift2(half, 2 * dy, 2 * dx) + _shift2(half, -2 * dy, -2 * dx)
+             ) / 5.0
+        axis_blurs.append(b)
+
+    vx = _downsample2(velocity[..., :1])[..., 0]
+    vy = _downsample2(velocity[..., 1:])[..., 0]
+    mag = jnp.sqrt(vx * vx + vy * vy)
+    ang = jnp.arctan2(vy, jnp.where(jnp.abs(vx) < 1e-8, 1e-8, vx))
+    # axis bin in [0, 4): fold to [0, pi), 45-degree bins
+    bin_f = jnp.mod(ang, jnp.pi) / (jnp.pi / 4.0)
+    blurred = jnp.zeros_like(half)
+    for i, b in enumerate(axis_blurs):
+        d = jnp.minimum(jnp.abs(bin_f - i), 4.0 - jnp.abs(bin_f - i))
+        sel = (d <= 0.5).astype(half.dtype)[..., None]
+        blurred = blurred + sel * b
+    s = (strength * jnp.clip(mag / 4.0, 0.0, 1.0))[..., None]
+    out_half = half + s * (blurred - half)
+    up = _upsample2(out_half, h, w)
+    s_full = (strength * jnp.clip(
+        jnp.sqrt(jnp.sum(velocity * velocity, -1)) / 4.0, 0.0, 1.0))[..., None]
+    return rgb + s_full * (up - rgb)
+
+
+def apply_channel_luts(rgb: jax.Array, luts) -> jax.Array:
+    """Per-channel 1D LUTs, exact piecewise-linear: out_c = sum_k tent(x_c *
+    (K-1) - k) * lut_c[k]. Tent weights are elementwise (gather-free); XLA
+    fuses the K-term sum. Covers ColorGrading's per-channel curves; arbitrary
+    3D LUTs decompose to this after the grade's channel mixer."""
+    outs = []
+    for c in range(3):
+        lut = jnp.asarray(luts[c], rgb.dtype)
+        k = lut.shape[0]
+        x = jnp.clip(rgb[..., c], 0.0, 1.0) * (k - 1)
+        acc = jnp.zeros_like(x)
+        for i in range(k):
+            acc = acc + jnp.maximum(0.0, 1.0 - jnp.abs(x - i)) * lut[i]
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
+def apply_post(image_rgba: jax.Array, cfg: PostConfig,
+               view_depth: jax.Array = None,
+               velocity: jax.Array = None) -> jax.Array:
+    """HDR composite [H, W, 4] -> display-ready [H, W, 3] in [0, 1].
+
+    view_depth [H, W] enables DoF (dof_focus_distance > 0); velocity
+    [H, W, 2] in pixels (see camera_velocity) enables motion blur
+    (motion_blur > 0). Effect order mirrors PostProcessing 2.3.0's builtin
+    stack: DoF -> motion blur -> CA -> bloom -> vignette -> tonemap ->
+    grading -> grain."""
     rgb = image_rgba[..., :3] * cfg.exposure
+    if cfg.dof_focus_distance > 0.0 and view_depth is not None:
+        rgb = depth_of_field(rgb, view_depth, cfg)
+    if cfg.motion_blur > 0.0 and velocity is not None:
+        rgb = motion_blur(rgb, velocity, cfg.motion_blur)
     if cfg.chromatic_aberration > 0.0:
         rgb = chromatic_aberration(rgb, cfg.chromatic_aberration)
     if cfg.bloom_strength > 0.0:
@@ -163,6 +345,8 @@ def apply_post(image_rgba: jax.Array, cfg: PostConfig) -> jax.Array:
             or cfg.grade_gain != (1.0, 1.0, 1.0) or cfg.saturation != 1.0
             or cfg.contrast != 1.0):
         rgb = color_grade(rgb, cfg)
+    if cfg.grade_luts is not None:
+        rgb = apply_channel_luts(rgb, cfg.grade_luts)
     if cfg.grain > 0.0:
         rgb = film_grain(rgb, cfg.grain, cfg.grain_seed)
     rgb = jnp.clip(rgb, 0.0, 1.0) ** (1.0 / cfg.gamma)
