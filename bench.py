@@ -47,8 +47,10 @@ def main():
         # the reference's cascaded-PCF technique for the sun via the fused
         # Pallas sampler (+ raycast local lights). shadow_mode="map" (cube/
         # spot maps for locals too) stays the gather-bound parity path.
+        # Noise stays procedural: texture-mode noise is an orthogonal
+        # (gather-bound, ~260 ms) axis that would drown the shadow delta.
         cfg = dataclasses.replace(cfg, shadow_mode="map_dir")
-        scene_kw = dict(noise_tex=perlin_texture_3d(32))
+        scene_kw = dict(noise_mode="procedural")
     renderer = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
                             num_local_lights=16, **scene_kw)

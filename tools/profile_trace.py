@@ -24,15 +24,26 @@ def main():
     from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer
     from volumetricrenderer_tpu.models.scene import benchmark_scene
 
+    import dataclasses
     cfg = FULL_CONFIG
+    if "--map-dir" in sys.argv:      # profile the cascaded-PCF sampler path
+        cfg = dataclasses.replace(cfg, shadow_mode="map_dir")
+        sys.argv.remove("--map-dir")
     r = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
                             noise_mode="procedural")
     state = r.init_state(scene.dir_lights.count)
+    # engine-owned precomputes (bench.py scoping): bake + G-buffer stay out
+    # of the traced frame
+    shadow_data = jax.block_until_ready(
+        jax.jit(lambda sc: r.bake_shadow_data(sc))(scene))
+    sc_col, vd = jax.block_until_ready(
+        jax.jit(lambda sc: r.render_scene_inputs(sc))(scene))
 
     @jax.jit
     def frame(state, scene, t):
-        img, _, new_state = r.render_frame(state, scene, t)
+        img, _, new_state = r.render_frame(state, scene, t, sc_col, vd,
+                                           shadow_data)
         return jnp.sum(img), new_state
 
     s, state = frame(state, scene, jnp.float32(0.0))
