@@ -55,6 +55,74 @@ def _scene_with_params(scene: Scene, params: FogParams) -> Scene:
     return dataclasses.replace(scene, media=media)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LightParams:
+    """Optimizable light appearance: positions free-space, color*intensity
+    jointly in log-space (positive; the reference's gamma-2.2 packing is
+    monotonic so the decomposition into color vs intensity is irrelevant to
+    the image). Gradients w.r.t. positions flow through falloff, phase, and
+    cone terms; the boolean any-hit shadow test contributes none (a correct
+    subgradient — visibility is piecewise constant)."""
+    point_position: jax.Array   # [P, 3]
+    point_log_ci: jax.Array     # [P, 3]
+    spot_position: jax.Array    # [S, 3]
+    spot_log_ci: jax.Array      # [S, 3]
+    dir_log_ci: jax.Array       # [Nd, 3]
+
+    @staticmethod
+    def from_scene(scene: Scene) -> "LightParams":
+        lci = lambda lights: jnp.log(jnp.maximum(
+            lights.color * lights.intensity[:, None], 1e-6))
+        return LightParams(
+            point_position=scene.point_lights.position,
+            point_log_ci=lci(scene.point_lights),
+            spot_position=scene.spot_lights.position,
+            spot_log_ci=lci(scene.spot_lights),
+            dir_log_ci=lci(scene.dir_lights),
+        )
+
+    def apply(self, scene: Scene) -> Scene:
+        ones = lambda n: jnp.ones((n,), jnp.float32)
+        pl = dataclasses.replace(
+            scene.point_lights, position=self.point_position,
+            color=jnp.exp(self.point_log_ci),
+            intensity=ones(scene.point_lights.count))
+        sl = dataclasses.replace(
+            scene.spot_lights, position=self.spot_position,
+            color=jnp.exp(self.spot_log_ci),
+            intensity=ones(scene.spot_lights.count))
+        dl = dataclasses.replace(
+            scene.dir_lights, color=jnp.exp(self.dir_log_ci),
+            intensity=ones(scene.dir_lights.count))
+        return dataclasses.replace(scene, point_lights=pl, spot_lights=sl,
+                                   dir_lights=dl)
+
+
+def make_train_step(renderer: VolumetricRenderer, optimizer, apply_fn):
+    """Generic single-device inverse step over ANY parameter pytree.
+
+    apply_fn(params, scene) -> Scene reconfigures the scene from the
+    parameters (e.g. FogParams/_scene_with_params, LightParams.apply).
+    Returns a jittable step(params, opt_state, scene, state, target,
+    scene_color, view_depth) -> (params, opt_state, loss)."""
+    def loss_fn(params, scene, state, target, scene_color, view_depth):
+        img, _, _ = renderer.render_frame(state, apply_fn(params, scene), 0.0,
+                                          scene_color, view_depth)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, scene, state, target, scene_color, view_depth):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, state,
+                                                  target, scene_color,
+                                                  view_depth)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def render_loss(renderer: VolumetricRenderer, params: FogParams, scene: Scene,
                 state: FrameState, target: jax.Array, scene_color, view_depth
                 ) -> jax.Array:
