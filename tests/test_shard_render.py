@@ -102,3 +102,32 @@ def test_shardmap_xla_impls_match_single_device():
     for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
                                    err_msg=f"frame {i}")
+
+
+def test_shardmap_map_dir_pcf_matches_single_device():
+    """The cascaded-PCF Pallas sampler under H-sharded slabs (params.y0 != 0
+    enters the affine atlas coords) == the same config single-device."""
+    cfg = dataclasses.replace(CFG, shadow_mode="map_dir", shadow_map_size=128)
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, _, new_state = renderer.render_frame(state, scene, t,
+                                                  scene_color=sc,
+                                                  view_depth=vd)
+        return img, new_state
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:4], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"frame {i}")

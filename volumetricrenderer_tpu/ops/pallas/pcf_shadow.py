@@ -85,9 +85,12 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
     (a_u, b_u, c_u), (a_v, b_v, c_v), (a_r, b_r, c_r) = coefs
     c_r = c_r - data.bias[li]
 
+    y0 = jnp.asarray(params.y0, jnp.float32)   # slab row offset (0 whole-grid)
+
     def window(a, b, c):
-        corners = jnp.stack([c, c + a * (w - 1), c + b * (h - 1),
-                             c + a * (w - 1) + b * (h - 1)])           # [4,D,C]
+        cy = c + b * y0
+        corners = jnp.stack([cy, cy + a * (w - 1), cy + b * (h - 1),
+                             cy + a * (w - 1) + b * (h - 1)])          # [4,D,C]
         lo = jnp.clip(jnp.floor(jnp.min(corners, 0)), 0, s2 - 1)
         hi = jnp.clip(jnp.floor(jnp.max(corners, 0)) + 1, 0, s2 - 1)
         ctr = 0.5 * (lo + hi)
@@ -101,7 +104,7 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
     z0 = jnp.clip(zs - 0.5, 0.0, float(d))
     z1 = jnp.clip(zs + 1.5, 0.0, float(d))
     xs = jnp.asarray([0.0, float(w)])
-    ys = jnp.asarray([0.0, float(h_glob)])
+    ys = jnp.stack([y0, y0 + h])               # this slab's global row extent
     fx, fy = jnp.meshgrid(xs, ys, indexing="ij")
     fx = jnp.broadcast_to(fx.reshape(1, 4), (d, 4))
     fy = jnp.broadcast_to(fy.reshape(1, 4), (d, 4))
@@ -136,7 +139,7 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
          view_to_world[0, 3], view_to_world[1, 0], view_to_world[1, 1],
          view_to_world[1, 2], view_to_world[1, 3], view_to_world[2, 0],
          view_to_world[2, 1], view_to_world[2, 2], view_to_world[2, 3],
-         data.strength_r[li], 0.0, 0.0, 0.0]])[None]
+         data.strength_r[li], y0, 0.0, 0.0]])[None]
     spheres = jnp.concatenate([sph, sqr[:, None]], axis=-1)           # [C, 4]
     return par, coef, winb, order[:, None, :], count[:, None, None], spheres
 
@@ -163,12 +166,15 @@ def _kernel(par_ref, coef_ref, win_ref, order_ref, count_ref, sph_ref,
     fpx, fpy, fpz, fpw, near = p(0), p(1), p(2), p(3), p(4)
     jx, jy, jz = p(5), p(6), p(7)
     strength_r = p(20)
+    y0 = p(21)                         # slab row offset (0 when whole-grid)
 
     # jittered world position planes (for the split-sphere cascade pick)
     fz = zi.astype(jnp.float32) + 0.5 + jz
     vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    # global rows, clamped (halo rows replicate the edge row, cf. dir_shadow)
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
     vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
     vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
     wx = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
@@ -223,6 +229,7 @@ def _kernel(par_ref, coef_ref, win_ref, order_ref, count_ref, sph_ref,
             for m in range(yp // 128):
                 y_l = (jax.lax.broadcasted_iota(jnp.int32, (xp, 128), 1)
                        + 128 * m).astype(jnp.float32)
+                y_l = jnp.clip(y_l + y0, 0.0, h_glob - 1.0)   # global rows
                 v_t = a_v * x_of_r + b_v * y_l + c_v
                 gv = jnp.clip(jnp.floor(v_t).astype(jnp.int32) + dy, 0, s2 - 1)
                 idx_v = jnp.clip(gv - vst, 0, win - 1)
@@ -286,7 +293,8 @@ def pcf_dir_shadow_pallas(params, view_to_world, jitter, dir_lights, data,
     """[Nd, D, H, W] map-mode directional shadow volume (visibility squared,
     gated) — the fused equivalent of shadow.sample_dir_shadow + the squaring
     in pipeline.write_shadow_volume_dir. Requires data.aligned (camera-aligned
-    bake) and whole-grid rendering (params.y0 == 0)."""
+    bake); H-sharded slabs supported via params.y0 (global-row offsets enter
+    the affine atlas coords and the split-sphere world positions)."""
     w, h, d = grid_whd
     s2 = data.atlas.shape[-1]
     assert data.aligned, "pcf kernel needs the camera-aligned bake"

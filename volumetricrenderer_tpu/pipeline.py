@@ -165,11 +165,10 @@ def write_shadow_volume_dir(cfg: RenderConfig, params: FroxelParams,
                                  geometry, cfg.grid,
                                  interpret=jax.default_backend() != "tpu")
 
-    whole_grid = isinstance(params.y0, (int, float)) and params.y0 == 0
     if (cfg.dir_shadow_impl == "pallas"
             and cfg.shadow_mode in ("map", "map_dir")
             and dir_shadow is not None and dir_shadow.aligned
-            and dir_lights.count > 0 and whole_grid
+            and dir_lights.count > 0
             and dir_shadow.atlas.shape[-1] % 128 == 0):
         # the reference's cascaded-PCF technique at TPU speed: fused
         # windowed-gather sampler (ops/pallas/pcf_shadow.py); requires the
