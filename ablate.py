@@ -72,6 +72,15 @@ def main():
         dir_lights=dataclasses.replace(
             scene.dir_lights, has_shadow=jnp.zeros((1,), bool)))
     timeit_frame("lights, no shadow rays", base_cfg, scene_noshadowlights)
+    from volumetricrenderer_tpu.models.lights import DirectionalLights
+    scene_nodir = dataclasses.replace(scene,
+                                      dir_lights=DirectionalLights.empty())
+    timeit_frame("no dir light", base_cfg, scene_nodir)
+    scene_nolights = dataclasses.replace(
+        scene_nodir, point_lights=PointLights.empty(),
+        spot_lights=SpotLights.empty())
+    timeit_frame("no lights at all (material+integrate+composite)",
+                 base_cfg, scene_nolights)
     timeit_frame("scatter=xla (unfused)", dataclasses.replace(
         base_cfg, scatter_impl="xla", dir_shadow_impl="xla",
         accumulate_impl="xla"), scene)
