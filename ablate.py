@@ -45,10 +45,11 @@ def main():
     timeit_frame("full", base_cfg, scene)
     timeit_frame("material=xla (unfused)", dataclasses.replace(
         base_cfg, material_impl="xla"), scene)
-    timeit_frame("composite precision=high (3-pass)", dataclasses.replace(
-        base_cfg, composite_precision="high"), scene)
-    timeit_frame("composite precision=default (1-pass)", dataclasses.replace(
-        base_cfg, composite_precision="default"), scene)
+    timeit_frame("tentmm precision=high (3-pass)", dataclasses.replace(
+        base_cfg, composite_impl="tentmm", composite_precision="high"), scene)
+    timeit_frame("tentmm precision=default (1-pass)", dataclasses.replace(
+        base_cfg, composite_impl="tentmm",
+        composite_precision="default"), scene)
     timeit_frame("no temporal blends", dataclasses.replace(
         base_cfg, temporal_blend_shadow=False,
         temporal_blend_accumulation=False), scene)
@@ -59,6 +60,8 @@ def main():
         scene, media=(dataclasses.replace(scene.media[0], noise_mode="texture",
                                           noise_tex=None),) + scene.media[1:])
     timeit_frame("no noise", base_cfg, scene_nonoise)
+    timeit_frame("composite=tentmm (mxu dots)", dataclasses.replace(
+        base_cfg, composite_impl="tentmm"), scene)
     timeit_frame("composite=xla-gather", dataclasses.replace(
         base_cfg, composite_impl="xla"), scene)
     timeit_frame("reproj window k=2", dataclasses.replace(

@@ -1,0 +1,67 @@
+"""zgather composite (ops/pallas/zg_composite.py) == tentmm / gather paths."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu import (Camera, DirectionalLights, Medium,
+                                    PointLights, RenderConfig, Scene,
+                                    VolumetricRenderer, demo_scene)
+from volumetricrenderer_tpu import froxel
+from volumetricrenderer_tpu.ops.pallas.zg_composite import composite_zgather
+from volumetricrenderer_tpu.ops.tent_composite import composite_tentmm
+
+# 8x8 px cells (the FULL config's ratio), h % 3 == 0
+CFG = RenderConfig(volume_width=16, volume_height=9, volume_depth=8,
+                   image_width=128, image_height=72, shadow_mode="raycast",
+                   composite_impl="zgather")
+
+
+def test_unit_matches_tentmm():
+    rng = np.random.RandomState(3)
+    w, h, d = CFG.grid
+    acc = jnp.asarray(rng.rand(d, h, w, 4).astype(np.float32))
+    sc = jnp.asarray(rng.rand(CFG.image_height, CFG.image_width, 3)
+                     .astype(np.float32))
+    fz = jnp.asarray((rng.rand(CFG.image_height, CFG.image_width)
+                      * (d - 1.0)).astype(np.float32))
+    ref = composite_tentmm(acc, sc, fz, CFG.grid, precision="highest")
+    planes = tuple(acc[..., c] for c in range(4))
+    got = composite_zgather(planes, sc, fz, CFG.grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_full_frame_matches_tentmm():
+    scene = demo_scene(aspect=CFG.image_width / CFG.image_height)
+
+    def run(impl):
+        cfg = dataclasses.replace(CFG, composite_impl=impl)
+        r = VolumetricRenderer(cfg)
+        state = r.init_state(scene.dir_lights.count)
+        img = None
+        for i in range(2):
+            img, _, state = jax.jit(
+                lambda s, sc, t: r.render_frame(s, sc, t))(
+                    state, scene, jnp.float32(0.1 * i))
+        return np.asarray(img)
+
+    a = run("tentmm")
+    b = run("zgather")
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_ineligible_ratio_falls_back():
+    # 4x4 px cells (cp=16): the zgather gate must fall back to tentmm
+    cfg = dataclasses.replace(CFG, image_width=64, image_height=36)
+    scene = demo_scene(aspect=64 / 36)
+    r = VolumetricRenderer(cfg)
+    state = r.init_state(scene.dir_lights.count)
+    img, _, _ = jax.jit(lambda s, sc: r.render_frame(s, sc, 0.0))(state, scene)
+    r2 = VolumetricRenderer(dataclasses.replace(cfg, composite_impl="tentmm"))
+    img2, _, _ = jax.jit(lambda s, sc: r2.render_frame(s, sc, 0.0))(
+        r2.init_state(scene.dir_lights.count), scene)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
+                               rtol=1e-6, atol=1e-6)

@@ -126,6 +126,11 @@ def main():
     print(f"ok   heightfield xla frame: checksum={hf_ref.sum():.3f}")
     ok &= check("heightfield pallas vs xla",
                 dataclasses.replace(hf_base, **PALLAS_KNOBS), hf_scene, hf_ref)
+    # the production zgather composite kernel (exact f32 trilinear via
+    # cells-as-rows take_along_axis; FULL_CONFIG default)
+    ok &= check("zgather composite",
+                dataclasses.replace(BASE, composite_impl="zgather"), scene,
+                ref)
     # the non-default fused composite kernel (needs IH % H == 0: 1080/135).
     # rel_tol 1e-2: this kernel has a KNOWN ~2e-3 bf16 hi/lo residual vs the
     # exact-trilinear tentmm (PERF.md composite post-mortem) — the smoke pins

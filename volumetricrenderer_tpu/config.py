@@ -109,7 +109,10 @@ class RenderConfig:
     # the pixel-row variant below automatically), "rowmm" (pixel-row tent
     # matmuls, any IH/H ratio, ops/rowmm_composite.py), "xla" (per-pixel
     # gather — reference-shaped, slow on TPU; the fallback when IW % W != 0),
-    # or "pallas" (fused kernel, documented dead end — see PERF.md).
+    # "zgather" (cells-as-rows take_along_axis Pallas kernel — requires
+    # 64 px/cell + D <= 128, falls back to tentmm otherwise;
+    # ops/pallas/zg_composite.py), or "pallas" (selection-matrix kernel,
+    # documented dead end — see PERF.md).
     composite_impl: str = "tentmm"
 
     # MXU precision of the composite tent matmuls. f32 dots on the TPU MXU
@@ -156,7 +159,11 @@ FULL_CONFIG = RenderConfig(
     dir_shadow_impl="pallas",
     accumulate_impl="pallas",
     material_impl="fused",
-    # 3-pass bf16 dots: ~1e-6 rel error vs exact trilinear (far below the 1e-3
-    # oracle tolerance), ~0.8 ms/frame cheaper than "highest" (ablate.py).
+    # take_along_axis Pallas kernel: EXACT f32 trilinear (no MXU passes) and
+    # ~2.5 ms/frame faster than tentmm at FULL size (ablate.py); ineligible
+    # shapes fall back to tentmm at the precision below.
+    composite_impl="zgather",
+    # tentmm fallback: 3-pass bf16 dots, ~1e-6 rel error vs exact trilinear,
+    # ~0.8 ms/frame cheaper than "highest" (ablate.py).
     composite_precision="high",
 )

@@ -1,0 +1,176 @@
+"""Pallas z-gather composite (composite_impl="zgather").
+
+The tentmm composite (ops/tent_composite.py) expresses the per-pixel z-lerp
+as [cp, D] x [D, 36] MXU dots — 4.59 ms/frame in-kernel at FULL size, ~60%
+of it rhs concatenation traffic and idle MXU lanes (PERF.md). This kernel
+replaces the dots with the gather Mosaic is actually good at:
+
+- Cells are SUBLANE rows, the full D axis is the 128 LANES: each froxel
+  cell's depth profile is one row of a [cells, 128] matrix (built by one
+  in-VMEM transpose of the D-major input block).
+- Per cell, ONE `take_along_axis` of width exactly 128 (the only width
+  Mosaic supports, CLAUDE.md) gathers all 64 pixels' two z-taps at once:
+  lane l < 64 is pixel l's floor(fz) tap, lane l >= 64 is its +1 tap.
+- The 3x3 XY neighbor taps are STATIC row-offset slices of the same
+  transposed matrix (cells enumerate y-major x-minor with a fixed row
+  stride of 256 columns, so neighbor (dy, dx) is a flat offset of
+  dy*256 + dx rows) — the x/y edge clamps are baked by host-side padding.
+- The z-lerp folds into per-lane weights; the two tap halves combine with
+  one `pltpu.roll` by 64 lanes (lane-slicing a computed array into 128-wide
+  chunks is the g6 layout crash, CLAUDE.md — roll+add avoids it).
+- Layouts are chosen for the (8, 128) tiling rule: planes are reshaped to
+  2D [128, Hp*256] so row blocks are [128, 2048] (16x128 lanes); one
+  pallas_call per channel keeps the pipelined block VMEM under the 16 MB
+  scoped budget.
+- Output stays in cell-blocked planes [H, W, cp]; a small batched XLA map
+  does the (x <-> py) unshuffle fused (the same trick that removed the
+  1.6 ms whole-image copy from tentmm), and the scene blend is elementwise
+  on the free-bitcast screen planes.
+
+Constraints: integer pixel/cell ratios with py*px == 64 (the FULL 1080p
+config: 8x8) and D <= 128 (padded to the 128 lanes). pipeline.composite
+falls back to tentmm otherwise. Reference: VolumetricRenderer.shader:69-93.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volumetricrenderer_tpu.ops.pallas.composite import _cell_weights
+
+DLANES = 128
+HB = 8          # froxel rows per grid step (8 x 256 = a (8,128)-clean block)
+WSTRIDE = 256   # padded cell-row stride (1 left edge col + W + right pads)
+
+
+def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
+            cp: int):
+    """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; blk_a/blk_b [128, HB*256]
+    (padded rows [i*HB, (i+2)*HB)); out [HB, W, cp]."""
+    cells = HB * WSTRIDE
+
+    fzc = fz_ref[...].reshape(cells, cp)                 # leading-dim merge
+    z0f = jnp.floor(fzc)
+    f = fzc - z0f
+    z0 = jnp.clip(z0f.astype(jnp.int32), 0, d - 1)
+    z1 = jnp.clip(z0 + 1, 0, d - 1)
+    idx = jnp.concatenate([z0, z1], axis=1)              # [cells, 128]
+    wz = jnp.concatenate([1.0 - f, f], axis=1)           # z-lerp per lane
+
+    stack = jnp.concatenate([blk_a[...], blk_b[...]], axis=1)
+    t = stack.T                                          # [2*cells, 128]
+    acc = jnp.zeros((cells, DLANES), jnp.float32)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            # out cell (rb, xp) = actual (row i*HB + rb, col xp); src row
+            # (rb + dy)*WSTRIDE + xp + dx = padded (row + dy-1, col + dx-1)
+            # (the +1 paddings bake the neighbor offsets and edge clamps)
+            start = dy * WSTRIDE + dx
+            src = jax.lax.slice_in_dim(t, start, start + cells, axis=0)
+            g = jnp.take_along_axis(src, idx, axis=1)
+            n = dy * 3 + dx
+            acc = acc + g * w9_ref[n:n + 1, :]           # [1,128] broadcast
+    accw = acc * wz
+    comb = accw + pltpu.roll(accw, 64, 1)                # tap0+tap1 in 0-63
+    comb3 = comb.reshape(HB, WSTRIDE, DLANES)
+    out_ref[...] = comb3[:, :w, :cp]
+
+
+def composite_zgather_planes(planes, fz_texel: jax.Array,
+                             grid_whd: Tuple[int, int, int],
+                             interpret: bool = False):
+    """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T).
+    fz_texel [IH, IW] froxel-z per pixel. Returns per-channel SCREEN planes
+    [IH, IW] (trilinear accumulation sample per pixel, shader:69-93)."""
+    w, h, d = grid_whd
+    ih, iw = fz_texel.shape
+    py, px = ih // h, iw // w
+    cp = py * px
+    assert cp == 64 and d <= DLANES and ih % h == 0 and iw % w == 0
+    assert w + 1 <= WSTRIDE
+
+    nblk = -(-h // HB)
+    hout = nblk * HB
+    # padded plane rows: padded row r = global clamp(r - 1, 0, h - 1); the
+    # two-block window of step i reads rows [i*HB, (i+2)*HB) -> Hp rows
+    hp = (nblk + 1) * HB
+
+    def prep(p):
+        p = jnp.pad(p, ((0, DLANES - d), (0, 0), (0, 0)))
+        # cols: 1 left edge + W + right edge pads to WSTRIDE
+        p = jnp.concatenate([p[:, :, :1], p]
+                            + [p[:, :, -1:]] * (WSTRIDE - w - 1), axis=2)
+        # rows: 1 top edge + H + bottom edge pads to hp
+        p = jnp.concatenate([p[:, :1], p] + [p[:, -1:]] * (hp - h - 1),
+                            axis=1)
+        return p.reshape(DLANES, hp * WSTRIDE)
+
+    planes_p = [prep(p) for p in planes]
+
+    # cell-blocked fz at the WSTRIDE cell stride (cell xp = actual column xp;
+    # pad cells junk, sliced away in-kernel); rows padded to hout
+    fz = jnp.clip(fz_texel, 0.0, d - 1.0)
+    fz_c = fz.reshape(h, py, w, px).transpose(0, 2, 1, 3).reshape(h, w, cp)
+    fz_c = jnp.concatenate([fz_c] + [fz_c[:, -1:]] * (WSTRIDE - w), axis=1)
+    if hout > h:
+        fz_c = jnp.concatenate([fz_c] + [fz_c[-1:]] * (hout - h), axis=0)
+
+    w9 = _cell_weights(py, px)                           # [9, cp]
+    w9d = jnp.asarray(np.concatenate([w9, w9], axis=1), jnp.float32)
+
+    kernel = functools.partial(_kernel, w=w, d=d, cp=cp)
+    outs = []
+    for p in planes_p:
+        o = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((HB, WSTRIDE, cp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, 2 * cp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i + 1),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HB, w, cp), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hout, w, cp), jnp.float32),
+            interpret=interpret,
+        )(fz_c, w9d, p, p)
+        outs.append(o[:h])
+
+    # cell -> screen unshuffle for all channels in ONE batched map (the
+    # per-step transposes fuse; a whole-image moveaxis is a ~1.6 ms strided
+    # copy, PERF.md)
+    nb = 5 if h % 5 == 0 else (3 if h % 3 == 0 else 1)
+
+    def rows(y0):
+        outs_r = []
+        for o in outs:
+            b = jax.lax.dynamic_slice_in_dim(o, y0 * nb, nb, 0)
+            b = b.reshape(nb, w, py, px).transpose(0, 2, 1, 3)
+            outs_r.append(b.reshape(nb, py, w * px))
+        return tuple(outs_r)
+
+    shuffled = jax.lax.map(rows, jnp.arange(h // nb))
+    return tuple(s.reshape(ih, iw) for s in shuffled)
+
+
+def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
+                      grid_whd: Tuple[int, int, int],
+                      interpret: bool = False) -> jax.Array:
+    """Full composite: per-pixel trilinear accumulation sample + scene blend
+    (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W]."""
+    lr, lg, lb, tt = composite_zgather_planes(planes, fz_texel, grid_whd,
+                                              interpret=interpret)
+    rgb = scene_color * tt[..., None] + jnp.stack([lr, lg, lb], axis=-1)
+    return jnp.concatenate([rgb, tt[..., None]], axis=-1)

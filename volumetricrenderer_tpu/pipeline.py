@@ -509,11 +509,12 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
                                 prev_world_to_view: jax.Array,
                                 accumulation: jax.Array,
                                 prev_accumulation: jax.Array, alpha,
-                                planes=None) -> jax.Array:
+                                planes=None, return_planes: bool = False):
     """TemporalBlendAccumulationVolume (compute:246-258): success test is
     prev.a != 0 (not the uv bound test). planes: the accumulation's channel
     planes (from accumulate(return_planes=True)) — lets the fused blend skip
-    the pre-blend channel interleave."""
+    the pre-blend channel interleave. return_planes=True additionally
+    returns the BLENDED channel planes (for the zgather composite)."""
     if cfg.reproj_impl == "pallas":
         from volumetricrenderer_tpu.ops.pallas.temporal import \
             fused_temporal_blend
@@ -524,13 +525,17 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
             params, view_to_world, prev_world_to_view, None, alpha,
             prev, cur, cfg.grid, cfg.reproj_window, "alpha",
             interpret=jax.default_backend() != "tpu")
-        return jnp.concatenate([jnp.stack(outs[:3], axis=-1),
-                                outs[3][..., None]], axis=-1)
+        vol = jnp.concatenate([jnp.stack(outs[:3], axis=-1),
+                               outs[3][..., None]], axis=-1)
+        return (vol, tuple(outs)) if return_planes else vol
     texel, _ = _reproject_texel(cfg, params, view_to_world,
                                 prev_world_to_view, None, 0.0)
     prev = _sample_prev(cfg, prev_accumulation, texel)
     success = (prev[..., 3] != 0.0).astype(jnp.float32)
-    return accumulation + (prev - accumulation) * (alpha * success)[..., None]
+    vol = accumulation + (prev - accumulation) * (alpha * success)[..., None]
+    if return_planes:
+        return vol, tuple(vol[..., c] for c in range(4))
+    return vol
 
 
 # --------------------------------------------------------------------------- #
@@ -539,7 +544,7 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
 
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
               scene_color: jax.Array, view_depth: jax.Array,
-              slab=None) -> jax.Array:
+              slab=None, planes=None) -> jax.Array:
     """Fullscreen composite (VolumetricRenderer.shader:69-93).
 
     Screen u,v map to froxel x = W*u, y = H*v analytically (the reference's
@@ -569,8 +574,22 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         return composite_rowmm(accumulation, scene_color, fz, params.grid,
                                fy=fy, row_off=0,
                                precision=cfg.composite_precision)
-    if cfg.composite_impl in ("pallas", "tentmm", "rowmm") and iw % w == 0:
+    if (cfg.composite_impl == "zgather" and iw % w == 0 and ih % h == 0
+            and (ih // h) * (iw // w) == 64 and d <= 128
+            and (h % 3 == 0 or h % 5 == 0)):
+        # cells-as-rows take_along_axis kernel (ops/pallas/zg_composite.py);
+        # consumes the accumulation channel planes directly
+        from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+            composite_zgather
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+        pl4 = planes if planes is not None \
+            else tuple(accumulation[..., c] for c in range(4))
+        return composite_zgather(pl4, scene_color, fz, cfg.grid,
+                                 interpret=jax.default_backend() != "tpu")
+    if cfg.composite_impl in ("pallas", "tentmm", "rowmm", "zgather") \
+            and iw % w == 0:
+        fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+        # an ineligible-zgather config falls back to tentmm here
         if ih % h == 0 and cfg.composite_impl != "rowmm":
             if cfg.composite_impl == "pallas":
                 from volumetricrenderer_tpu.ops.pallas.composite import \

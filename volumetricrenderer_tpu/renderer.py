@@ -178,15 +178,16 @@ class VolumetricRenderer:
                 return_planes=True)
         if cfg.temporal_blend_accumulation:
             with jax.named_scope("temporal_blend_accumulation"):
-                accumulation = pipeline.temporal_blend_accumulation(
+                accumulation, acc_planes = pipeline.temporal_blend_accumulation(
                     cfg, params, view_to_world, prev_w2v, accumulation,
                     state.prev_accumulation.astype(jnp.float32), alpha,
-                    planes=acc_planes)
+                    planes=acc_planes, return_planes=True)
 
         # --- Composite (cs:118, shader:69-93) ---
         with jax.named_scope("composite"):
             image = pipeline.composite(cfg, params, accumulation, scene_color,
-                                       view_depth, slab=slab)
+                                       view_depth, slab=slab,
+                                       planes=acc_planes)
 
         # --- SaveHistory (cs:285-299) — free: new state carries the volumes.
         # Histories whose blends are off are not stored (None): a dead
