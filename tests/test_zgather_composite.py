@@ -65,3 +65,27 @@ def test_ineligible_ratio_falls_back():
         r2.init_state(scene.dir_lights.count), scene)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_prepadded_blend_path_matches_tentmm():
+    """reproj=pallas + temporal blends: the blend emits pre-padded planes
+    straight into the zgather composite; must equal the tentmm frame."""
+    cfg = dataclasses.replace(CFG, reproj_impl="pallas",
+                              temporal_blend_alpha=0.7)
+    scene = demo_scene(aspect=CFG.image_width / CFG.image_height)
+
+    def run(impl):
+        c = dataclasses.replace(cfg, composite_impl=impl)
+        r = VolumetricRenderer(c)
+        state = r.init_state(scene.dir_lights.count)
+        img = None
+        for i in range(3):      # frame >= 1 exercises the padded blend
+            img, _, state = jax.jit(
+                lambda s, sc, t: r.render_frame(s, sc, t))(
+                    state, scene, jnp.float32(0.1 * i))
+        return np.asarray(img), np.asarray(state.prev_accumulation)
+
+    a, sa = run("tentmm")
+    b, sb = run("zgather")
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sb, sa, rtol=1e-5, atol=1e-6)

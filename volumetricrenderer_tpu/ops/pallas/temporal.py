@@ -73,8 +73,22 @@ def _tent_pass(plane, off, axis, k):
     return acc
 
 
+def _pad_plane(res, hp: int, wstride: int):
+    """Edge-extend an [H, W] plane to the zgather composite's padded cell
+    layout [hp, wstride] (padded row/col = clamp(r-1) — ops/pallas/
+    zg_composite.py): 3-piece concats with broadcast edge blocks."""
+    h, w = res.shape
+    res = jnp.concatenate(
+        [res[0:1], res,
+         jnp.broadcast_to(res[h - 1:h], (hp - h - 1, w))], axis=0)
+    return jnp.concatenate(
+        [res[:, 0:1], res,
+         jnp.broadcast_to(res[:, w - 1:w], (hp, wstride - w - 1))], axis=1)
+
+
 def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
-            n_ch: int, mode: str, h_glob: int, use_jitter: bool):
+            n_ch: int, mode: str, h_glob: int, use_jitter: bool,
+            padded_out=None):
     prevs = refs[:n_ch]
     curs = refs[n_ch:2 * n_ch]
     outs = refs[2 * n_ch:3 * n_ch]
@@ -162,14 +176,14 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
 
         if mode == "weight":
             wgt = alpha * success
-            for c in range(n_ch):
-                cur = curs[c][0]
-                outs[c][0] = cur + wgt * (warped[c] - cur)
         else:  # "alpha": success = warped alpha channel != 0 (compute:257)
             wgt = alpha * (warped[n_ch - 1] != 0.0).astype(jnp.float32)
-            for c in range(n_ch):
-                cur = curs[c][0]
-                outs[c][0] = cur + wgt * (warped[c] - cur)
+        for c in range(n_ch):
+            cur = curs[c][0]
+            res = cur + wgt * (warped[c] - cur)
+            if padded_out is not None:
+                res = _pad_plane(res, *padded_out)
+            outs[c][0] = res
 
 
 def fused_temporal_blend(params, view_to_world, prev_world_to_view, jitter,
@@ -177,14 +191,21 @@ def fused_temporal_blend(params, view_to_world, prev_world_to_view, jitter,
                          cur_planes: Sequence[jax.Array],
                          grid_whd: Tuple[int, int, int], k: int, mode: str,
                          uvw_epsilon: float = 0.0,
-                         interpret: bool = False) -> Tuple[jax.Array, ...]:
+                         interpret: bool = False,
+                         padded_out=None) -> Tuple[jax.Array, ...]:
     """Blend cur with the reprojection-warped prev, one fused pass.
 
     prev_planes / cur_planes: per-channel [D, H, W] volumes (same length).
     mode "weight": out = cur + alpha*success*(warped - cur) (shadow blend;
     pass jitter + uvw_epsilon=1e-4). mode "alpha": weight =
     alpha*(warped_last != 0) with the LAST plane as the success alpha
-    (accumulation blend; zero jitter, eps 0). Returns blended planes."""
+    (accumulation blend; zero jitter, eps 0). Returns blended planes.
+
+    padded_out=(hp, wstride): emit planes edge-extended to the zgather
+    composite's padded cell layout [DLANES, hp, wstride] (slices >= d stay
+    unwritten and are never gathered — the composite's z-taps clamp to
+    d-1); the edge fill happens in VMEM per slice, replacing ~1.3 ms of
+    XLA pad concats (PERF.md)."""
     w, h, d = grid_whd
     n_ch = len(prev_planes)
     use_jitter = mode == "weight"
@@ -194,21 +215,29 @@ def fused_temporal_blend(params, view_to_world, prev_world_to_view, jitter,
 
     kernel = functools.partial(_kernel, grid_whd=grid_whd, k=k, n_ch=n_ch,
                                mode=mode, h_glob=params.grid[1],
-                               use_jitter=use_jitter)
+                               use_jitter=use_jitter, padded_out=padded_out)
 
     prev_spec = pl.BlockSpec((1, h, w), lambda j: (jnp.minimum(j, d - 1), 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, h, w),
-                            lambda j: (jnp.maximum(j - (k + 1), 0), 0, 0),
-                            memory_space=pltpu.VMEM)
+    out_idx = lambda j: (jnp.maximum(j - (k + 1), 0), 0, 0)
+    cur_spec = pl.BlockSpec((1, h, w), out_idx, memory_space=pltpu.VMEM)
+    if padded_out is not None:
+        from volumetricrenderer_tpu.ops.pallas.zg_composite import DLANES
+        hp, wstride = padded_out
+        out_spec = pl.BlockSpec((1, hp, wstride), out_idx,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((DLANES, hp, wstride), jnp.float32)
+    else:
+        out_spec = cur_spec
+        out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
     smem = pl.BlockSpec(par.shape, lambda j: (0, 0), memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
         kernel,
         grid=(d + k + 1,),
-        in_specs=[smem] + [prev_spec] * n_ch + [out_spec] * n_ch,
+        in_specs=[smem] + [prev_spec] * n_ch + [cur_spec] * n_ch,
         out_specs=tuple([out_spec] * n_ch),
-        out_shape=tuple([jax.ShapeDtypeStruct((d, h, w), jnp.float32)] * n_ch),
+        out_shape=tuple([out_shape] * n_ch),
         scratch_shapes=[pltpu.VMEM((2 * k + 2, h, w), jnp.float32)] * n_ch,
         interpret=interpret,
     )(par, *prev_planes, *cur_planes)

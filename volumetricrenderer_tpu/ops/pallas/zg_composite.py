@@ -50,6 +50,13 @@ HB = 8          # froxel rows per grid step (8 x 256 = a (8,128)-clean block)
 WSTRIDE = 256   # padded cell-row stride (1 left edge col + W + right pads)
 
 
+def padded_dims(h: int) -> Tuple[int, int]:
+    """(hp, wstride) of the padded-plane layout — producers (the fused
+    temporal blend) can emit planes pre-padded to skip the XLA pad concats."""
+    nblk = -(-h // HB)
+    return (nblk + 1) * HB, WSTRIDE
+
+
 def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
             cp: int):
     """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; blk_a/blk_b [128, HB*256]
@@ -85,8 +92,11 @@ def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
 
 def composite_zgather_planes(planes, fz_texel: jax.Array,
                              grid_whd: Tuple[int, int, int],
-                             interpret: bool = False):
-    """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T).
+                             interpret: bool = False,
+                             prepadded: bool = False):
+    """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T)
+    — or, with prepadded=True, [DLANES, hp, wstride] planes already in the
+    padded cell layout (padded_dims; the fused temporal blend emits these).
     fz_texel [IH, IW] froxel-z per pixel. Returns per-channel SCREEN planes
     [IH, IW] (trilinear accumulation sample per pixel, shader:69-93)."""
     w, h, d = grid_whd
@@ -112,7 +122,10 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                             axis=1)
         return p.reshape(DLANES, hp * WSTRIDE)
 
-    planes_p = [prep(p) for p in planes]
+    if prepadded:
+        planes_p = [p.reshape(DLANES, hp * WSTRIDE) for p in planes]
+    else:
+        planes_p = [prep(p) for p in planes]
 
     # cell-blocked fz at the WSTRIDE cell stride (cell xp = actual column xp;
     # pad cells junk, sliced away in-kernel); rows padded to hout
@@ -144,6 +157,11 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
             out_specs=pl.BlockSpec((HB, w, cp), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((hout, w, cp), jnp.float32),
+            # peak scoped VMEM sits right at the default 16 MB limit and
+            # scheduling makes it flaky (observed 16.62M); v5e has 128 MB —
+            # give the scheduler headroom
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
         )(fz_c, w9d, p, p)
         outs.append(o[:h])
@@ -167,10 +185,12 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
 
 def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
                       grid_whd: Tuple[int, int, int],
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      prepadded: bool = False) -> jax.Array:
     """Full composite: per-pixel trilinear accumulation sample + scene blend
     (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W]."""
     lr, lg, lb, tt = composite_zgather_planes(planes, fz_texel, grid_whd,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              prepadded=prepadded)
     rgb = scene_color * tt[..., None] + jnp.stack([lr, lg, lb], axis=-1)
     return jnp.concatenate([rgb, tt[..., None]], axis=-1)

@@ -509,24 +509,32 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
                                 prev_world_to_view: jax.Array,
                                 accumulation: jax.Array,
                                 prev_accumulation: jax.Array, alpha,
-                                planes=None, return_planes: bool = False):
+                                planes=None, return_planes: bool = False,
+                                padded_for=None):
     """TemporalBlendAccumulationVolume (compute:246-258): success test is
     prev.a != 0 (not the uv bound test). planes: the accumulation's channel
     planes (from accumulate(return_planes=True)) — lets the fused blend skip
     the pre-blend channel interleave. return_planes=True additionally
-    returns the BLENDED channel planes (for the zgather composite)."""
+    returns the BLENDED channel planes (for the zgather composite);
+    padded_for=(hp, wstride) makes those planes come out in the zgather
+    padded layout (in-kernel edge fill; pallas path only)."""
     if cfg.reproj_impl == "pallas":
         from volumetricrenderer_tpu.ops.pallas.temporal import \
             fused_temporal_blend
+        w, h, d = cfg.grid
         cur = planes if planes is not None \
             else tuple(accumulation[..., c] for c in range(4))
         prev = tuple(prev_accumulation[..., c] for c in range(4))
         outs = fused_temporal_blend(
             params, view_to_world, prev_world_to_view, None, alpha,
             prev, cur, cfg.grid, cfg.reproj_window, "alpha",
-            interpret=jax.default_backend() != "tpu")
-        vol = jnp.concatenate([jnp.stack(outs[:3], axis=-1),
-                               outs[3][..., None]], axis=-1)
+            interpret=jax.default_backend() != "tpu", padded_out=padded_for)
+        if padded_for is not None:
+            un = [o[:d, 1:h + 1, 1:w + 1] for o in outs]
+        else:
+            un = list(outs)
+        vol = jnp.concatenate([jnp.stack(un[:3], axis=-1),
+                               un[3][..., None]], axis=-1)
         return (vol, tuple(outs)) if return_planes else vol
     texel, _ = _reproject_texel(cfg, params, view_to_world,
                                 prev_world_to_view, None, 0.0)
@@ -542,9 +550,21 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
 # Composite
 # --------------------------------------------------------------------------- #
 
+def zgather_eligible(cfg: RenderConfig) -> bool:
+    """Whether the zgather composite kernel handles this config (64 px/cell,
+    D <= 128, integer ratios, a 3- or 5-divisible grid height for the
+    unshuffle batching)."""
+    w, h, d = cfg.grid
+    return (cfg.composite_impl == "zgather"
+            and cfg.image_width % w == 0 and cfg.image_height % h == 0
+            and (cfg.image_height // h) * (cfg.image_width // w) == 64
+            and d <= 128 and (h % 3 == 0 or h % 5 == 0))
+
+
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
               scene_color: jax.Array, view_depth: jax.Array,
-              slab=None, planes=None) -> jax.Array:
+              slab=None, planes=None,
+              planes_prepadded: bool = False) -> jax.Array:
     """Fullscreen composite (VolumetricRenderer.shader:69-93).
 
     Screen u,v map to froxel x = W*u, y = H*v analytically (the reference's
@@ -574,18 +594,18 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         return composite_rowmm(accumulation, scene_color, fz, params.grid,
                                fy=fy, row_off=0,
                                precision=cfg.composite_precision)
-    if (cfg.composite_impl == "zgather" and iw % w == 0 and ih % h == 0
-            and (ih // h) * (iw // w) == 64 and d <= 128
-            and (h % 3 == 0 or h % 5 == 0)):
+    if zgather_eligible(cfg):
         # cells-as-rows take_along_axis kernel (ops/pallas/zg_composite.py);
-        # consumes the accumulation channel planes directly
+        # consumes the accumulation channel planes directly (pre-padded ones
+        # straight from the fused temporal blend when available)
         from volumetricrenderer_tpu.ops.pallas.zg_composite import \
             composite_zgather
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
         pl4 = planes if planes is not None \
             else tuple(accumulation[..., c] for c in range(4))
         return composite_zgather(pl4, scene_color, fz, cfg.grid,
-                                 interpret=jax.default_backend() != "tpu")
+                                 interpret=jax.default_backend() != "tpu",
+                                 prepadded=planes_prepadded)
     if cfg.composite_impl in ("pallas", "tentmm", "rowmm", "zgather") \
             and iw % w == 0:
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5

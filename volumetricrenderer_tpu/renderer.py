@@ -176,18 +176,30 @@ class VolumetricRenderer:
             accumulation, acc_planes = pipeline.accumulate(
                 cfg, params, jitter, scatter, planes=scatter_planes,
                 return_planes=True)
+        acc_prepadded = False
         if cfg.temporal_blend_accumulation:
+            # blend emits planes pre-padded for the zgather composite when
+            # both fused paths are active (saves the XLA pad concats)
+            padded_for = None
+            if (slab is None and cfg.reproj_impl == "pallas"
+                    and pipeline.zgather_eligible(cfg)):
+                from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                    padded_dims
+                padded_for = padded_dims(cfg.volume_height)
+                acc_prepadded = True
             with jax.named_scope("temporal_blend_accumulation"):
                 accumulation, acc_planes = pipeline.temporal_blend_accumulation(
                     cfg, params, view_to_world, prev_w2v, accumulation,
                     state.prev_accumulation.astype(jnp.float32), alpha,
-                    planes=acc_planes, return_planes=True)
+                    planes=acc_planes, return_planes=True,
+                    padded_for=padded_for)
 
         # --- Composite (cs:118, shader:69-93) ---
         with jax.named_scope("composite"):
             image = pipeline.composite(cfg, params, accumulation, scene_color,
                                        view_depth, slab=slab,
-                                       planes=acc_planes)
+                                       planes=acc_planes,
+                                       planes_prepadded=acc_prepadded)
 
         # --- SaveHistory (cs:285-299) — free: new state carries the volumes.
         # Histories whose blends are off are not stored (None): a dead
