@@ -16,7 +16,13 @@ bundled package, each re-designed gather-free for TPU:
   static-shift taps at half resolution (shift stencils are constant-offset,
   so no per-pixel gather exists anywhere).
 - LUT color grading (ColorGrading's curve mode): per-channel 1D LUTs applied
-  as tent-weight matmuls (exact piecewise-linear interpolation on the MXU).
+  as exact piecewise-linear tent sums.
+
+LAYOUT: the whole chain runs CHANNEL-PLANAR ([H, W] per channel). A
+channels-minor [H, W, 3] tensor tiles its 3-wide lane dim to 128 on TPU —
+~42x padded traffic on every op — which made the packed chain cost 9.5 ms
+at 1080p; planar it is a few hundred microseconds of real traffic. The
+public entry points still take/return packed images (one split, one stack).
 """
 
 from __future__ import annotations
@@ -65,96 +71,138 @@ class PostConfig:
     grade_luts: tuple = None
 
 
+def _split(rgb: jax.Array):
+    return [rgb[..., c] for c in range(3)]
+
+
+def _merge(planes) -> jax.Array:
+    return jnp.stack(planes, axis=-1)
+
+
 def aces_tonemap(x: jax.Array) -> jax.Array:
-    """Narkowicz ACES fit."""
+    """Narkowicz ACES fit (elementwise — works packed or planar)."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
-def _downsample2(img: jax.Array) -> jax.Array:
-    h, w, c = img.shape
-    h2, w2 = h // 2, w // 2
-    img = img[:h2 * 2, :w2 * 2]
-    return img.reshape(h2, 2, w2, 2, c).mean(axis=(1, 3))
+# --------------------------------------------------------------------------- #
+# Planar primitives
+# --------------------------------------------------------------------------- #
+
+def _down2_p(p: jax.Array) -> jax.Array:
+    h2, w2 = p.shape[0] // 2, p.shape[1] // 2
+    p = p[:h2 * 2, :w2 * 2]
+    p = (p[0::2] + p[1::2]) * 0.5
+    return (p[:, 0::2] + p[:, 1::2]) * 0.5
 
 
-def _upsample2(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+def _up2_p(p: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    up = jnp.repeat(jnp.repeat(p, 2, axis=0), 2, axis=1)
     pad_h = max(0, out_h - up.shape[0])
     pad_w = max(0, out_w - up.shape[1])
-    if pad_h or pad_w:
-        up = jnp.pad(up, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    if pad_h:
+        up = jnp.concatenate([up] + [up[-1:]] * pad_h, axis=0)
+    if pad_w:
+        up = jnp.concatenate([up] + [up[:, -1:]] * pad_w, axis=1)
     return up[:out_h, :out_w]
 
 
-def _blur3(img: jax.Array) -> jax.Array:
+def _blur3_p(p: jax.Array) -> jax.Array:
     """Separable [1,2,1]/4 blur with edge clamp."""
-    k = jnp.asarray([0.25, 0.5, 0.25], img.dtype)
-    p = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    img = p[:-2] * k[0] + p[1:-1] * k[1] + p[2:] * k[2]
-    p = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    return p[:, :-2] * k[0] + p[:, 1:-1] * k[1] + p[:, 2:] * k[2]
+    q = jnp.concatenate([p[:1], p, p[-1:]], axis=0)
+    p = q[:-2] * 0.25 + q[1:-1] * 0.5 + q[2:] * 0.25
+    q = jnp.concatenate([p[:, :1], p, p[:, -1:]], axis=1)
+    return q[:, :-2] * 0.25 + q[:, 1:-1] * 0.5 + q[:, 2:] * 0.25
+
+
+def _shift2_p(p: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Static integer shift with edge clamp (constant-offset stencil)."""
+    if dy > 0:
+        p = jnp.concatenate([p[dy:], p[-1:].repeat(dy, 0)], axis=0)
+    elif dy < 0:
+        p = jnp.concatenate([p[:1].repeat(-dy, 0), p[:dy]], axis=0)
+    if dx > 0:
+        p = jnp.concatenate([p[:, dx:], p[:, -1:].repeat(dx, 1)], axis=1)
+    elif dx < 0:
+        p = jnp.concatenate([p[:, :1].repeat(-dx, 1), p[:, :dx]], axis=1)
+    return p
+
+
+# --------------------------------------------------------------------------- #
+# Effects (planar cores; packed public wrappers keep the original API)
+# --------------------------------------------------------------------------- #
+
+def _bloom_p(planes, threshold: float, levels: int):
+    outs = []
+    for p in planes:
+        bright = jnp.maximum(p - threshold, 0.0)
+        pyr = []
+        cur = bright
+        for _ in range(levels):
+            cur = _blur3_p(_down2_p(cur))
+            pyr.append(cur)
+        out = pyr[-1]
+        for lvl in reversed(pyr[:-1]):
+            out = lvl + _up2_p(out, lvl.shape[0], lvl.shape[1])
+        outs.append(_up2_p(out, p.shape[0], p.shape[1]))
+    return outs
 
 
 def bloom(rgb: jax.Array, threshold: float, levels: int) -> jax.Array:
     """Threshold -> downsample pyramid -> blur -> additive upsample chain."""
-    bright = jnp.maximum(rgb - threshold, 0.0)
-    pyr = []
-    cur = bright
-    for _ in range(levels):
-        cur = _blur3(_downsample2(cur))
-        pyr.append(cur)
-    out = pyr[-1]
-    for lvl in reversed(pyr[:-1]):
-        out = lvl + _upsample2(out, lvl.shape[0], lvl.shape[1])
-    return _upsample2(out, rgb.shape[0], rgb.shape[1])
+    return _merge(_bloom_p(_split(rgb), threshold, levels))
 
 
-def chromatic_aberration(rgb: jax.Array, strength_px: float) -> jax.Array:
+def _ca_p(planes, strength_px: float):
     """Radial R/B shift approximated by one static pixel shift per half:
     R shifts outward, B inward, scaled by a radial mask (gather-free; the
     engine effect warps along the radius with a spectral LUT)."""
-    h, w = rgb.shape[:2]
-    yy = (jnp.arange(h, dtype=rgb.dtype) + 0.5) / h - 0.5
-    xx = (jnp.arange(w, dtype=rgb.dtype) + 0.5) / w - 0.5
+    r, g, b = planes
+    h, w = r.shape
+    yy = (jnp.arange(h, dtype=r.dtype) + 0.5) / h - 0.5
+    xx = (jnp.arange(w, dtype=r.dtype) + 0.5) / w - 0.5
     r2 = jnp.minimum((xx[None, :] ** 2 + yy[:, None] ** 2) * 4.0, 1.0)
-    amt = jnp.clip(strength_px, 0.0, 8.0) * r2[..., None]
+    amt = jnp.clip(strength_px, 0.0, 8.0) * r2
 
-    def shifted(img, s):
-        # shift towards the center by s pixels along each axis' sign
-        left = jnp.concatenate([img[:, s:], img[:, -1:].repeat(s, 1)], axis=1)
-        right = jnp.concatenate([img[:, :1].repeat(s, 1), img[:, :-s]], axis=1)
-        xs = jnp.where(xx[None, :, None] > 0, left, right)
+    def shifted(p, s):
+        left = jnp.concatenate([p[:, s:], p[:, -1:].repeat(s, 1)], axis=1)
+        right = jnp.concatenate([p[:, :1].repeat(s, 1), p[:, :-s]], axis=1)
+        xs = jnp.where(xx[None, :] > 0, left, right)
         up = jnp.concatenate([xs[s:], xs[-1:].repeat(s, 0)], axis=0)
         dn = jnp.concatenate([xs[:1].repeat(s, 0), xs[:-s]], axis=0)
-        return jnp.where(yy[:, None, None] > 0, up, dn)
+        return jnp.where(yy[:, None] > 0, up, dn)
 
-    r_in = shifted(rgb[..., :1], 1)
-    b_in = shifted(rgb[..., 2:3], 2)
-    frac = amt  # blend amount toward the shifted sample
-    r = rgb[..., :1] + frac[..., :1] * 0.5 * (r_in - rgb[..., :1])
-    b = rgb[..., 2:3] + frac[..., :1] * 0.5 * (b_in - rgb[..., 2:3])
-    return jnp.concatenate([r, rgb[..., 1:2], b], axis=-1)
+    r_in = shifted(r, 1)
+    b_in = shifted(b, 2)
+    frac = amt * 0.5
+    return [r + frac * (r_in - r), g, b + frac * (b_in - b)]
+
+
+def chromatic_aberration(rgb: jax.Array, strength_px: float) -> jax.Array:
+    return _merge(_ca_p(_split(rgb), strength_px))
+
+
+def _grade_p(planes, cfg: PostConfig):
+    """Lift/gamma/gain (ASC CDL-style) + saturation + contrast around 0.5."""
+    out = []
+    for c, p in enumerate(planes):
+        x = jnp.clip(p, 0.0, None)
+        x = jnp.clip(x * cfg.grade_gain[c] + cfg.grade_lift[c] * (1.0 - x),
+                     0.0, None)
+        out.append(x ** (1.0 / max(cfg.grade_gamma[c], 1e-4)))
+    luma = 0.2126 * out[0] + 0.7152 * out[1] + 0.0722 * out[2]
+    out = [luma + cfg.saturation * (x - luma) for x in out]
+    if cfg.contrast != 1.0:
+        out = [0.5 + cfg.contrast * (x - 0.5) for x in out]
+    return out
 
 
 def color_grade(rgb: jax.Array, cfg: PostConfig) -> jax.Array:
-    """Lift/gamma/gain (ASC CDL-style) + saturation + contrast around 0.5."""
-    lift = jnp.asarray(cfg.grade_lift, rgb.dtype)
-    gamma = jnp.asarray(cfg.grade_gamma, rgb.dtype)
-    gain = jnp.asarray(cfg.grade_gain, rgb.dtype)
-    x = jnp.clip(rgb, 0.0, None)
-    x = jnp.clip(x * gain + lift * (1.0 - x), 0.0, None)
-    x = x ** (1.0 / jnp.maximum(gamma, 1e-4))
-    luma = (0.2126 * x[..., 0] + 0.7152 * x[..., 1]
-            + 0.0722 * x[..., 2])[..., None]
-    x = luma + cfg.saturation * (x - luma)
-    return 0.5 + cfg.contrast * (x - 0.5) if cfg.contrast != 1.0 else x
+    return _merge(_grade_p(_split(rgb), cfg))
 
 
-def film_grain(rgb: jax.Array, strength: float, seed: int) -> jax.Array:
-    """Hash-noise grain (JenkinsHash-style integer mix, Random.hlsl:9-51),
-    luminance-masked so shadows carry more grain (engine behavior)."""
-    h, w = rgb.shape[:2]
+def _grain_noise(h: int, w: int, seed: int) -> jax.Array:
+    """Hash-noise plane (JenkinsHash-style integer mix, Random.hlsl:9-51)."""
     ix = jnp.arange(w, dtype=jnp.uint32)[None, :]
     iy = jnp.arange(h, dtype=jnp.uint32)[:, None]
     hsh = (ix * jnp.uint32(0x8da6b343) + iy * jnp.uint32(0xd8163841)
@@ -162,23 +210,16 @@ def film_grain(rgb: jax.Array, strength: float, seed: int) -> jax.Array:
     hsh = hsh ^ (hsh >> jnp.uint32(13))
     hsh = hsh * jnp.uint32(0x85ebca6b)
     hsh = hsh ^ (hsh >> jnp.uint32(16))
-    n = hsh.astype(jnp.float32) * (1.0 / 4294967295.0) - 0.5
+    return hsh.astype(jnp.float32) * (1.0 / 4294967295.0) - 0.5
+
+
+def film_grain(rgb: jax.Array, strength: float, seed: int) -> jax.Array:
+    """Hash-noise grain, luminance-masked so shadows carry more grain."""
+    h, w = rgb.shape[:2]
+    n = _grain_noise(h, w, seed)
     luma = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
     mask = 1.0 - jnp.clip(luma, 0.0, 1.0) * 0.5
     return rgb + (strength * n * mask)[..., None]
-
-
-def _shift2(img: jax.Array, dy: int, dx: int) -> jax.Array:
-    """Static integer shift with edge clamp (constant-offset stencil)."""
-    if dy > 0:
-        img = jnp.concatenate([img[dy:], img[-1:].repeat(dy, 0)], axis=0)
-    elif dy < 0:
-        img = jnp.concatenate([img[:1].repeat(-dy, 0), img[:dy]], axis=0)
-    if dx > 0:
-        img = jnp.concatenate([img[:, dx:], img[:, -1:].repeat(dx, 1)], axis=1)
-    elif dx < 0:
-        img = jnp.concatenate([img[:, :1].repeat(-dx, 1), img[:, :dx]], axis=1)
-    return img
 
 
 def circle_of_confusion(view_depth: jax.Array, cfg: PostConfig) -> jax.Array:
@@ -190,15 +231,11 @@ def circle_of_confusion(view_depth: jax.Array, cfg: PostConfig) -> jax.Array:
     a = f / cfg.dof_aperture
     d = jnp.maximum(view_depth, 1e-4)
     coc_m = a * f * jnp.abs(d - big_f) / (d * (big_f - f))
-    # the engine maps coc through sensor size to pixels; normalize against the
-    # hyperfocal-background limit coc(inf) = A*f/(F - f) so distant blur
-    # saturates at dof_max_coc
     coc_inf = a * f / (big_f - f)
     return cfg.dof_max_coc * jnp.clip(coc_m / coc_inf, 0.0, 1.0)
 
 
-def depth_of_field(rgb: jax.Array, view_depth: jax.Array,
-                   cfg: PostConfig) -> jax.Array:
+def _dof_p(planes, view_depth: jax.Array, cfg: PostConfig):
     """CoC-blended blur pyramid (gather-free DoF).
 
     The engine's DepthOfField.shader gathers a bokeh disc per pixel; on TPU
@@ -206,25 +243,32 @@ def depth_of_field(rgb: jax.Array, view_depth: jax.Array,
     blur pyramid (radii ~2/4/8 px) blended by CoC size. Near-foreground blur
     bleed (the engine's CoC dilation pass) is approximated by maxing the CoC
     with its own blur."""
-    h, w = rgb.shape[:2]
-    coc = circle_of_confusion(view_depth[:h, :w], cfg)          # [H, W] px
-    coc = jnp.maximum(coc, _blur3(_blur3(coc[..., None]))[..., 0])
-
-    l1 = _blur3(_downsample2(rgb))                              # ~2 px
-    l2 = _blur3(_downsample2(l1))                               # ~4 px
-    l3 = _blur3(_downsample2(l2))                               # ~8 px
-    u1 = _upsample2(l1, h, w)
-    u2 = _upsample2(_upsample2(l2, l1.shape[0], l1.shape[1]), h, w)
-    u3 = _upsample2(_upsample2(_upsample2(
-        l3, l2.shape[0], l2.shape[1]), l1.shape[0], l1.shape[1]), h, w)
-
+    h, w = planes[0].shape
+    coc = circle_of_confusion(view_depth[:h, :w], cfg)
+    coc = jnp.maximum(coc, _blur3_p(_blur3_p(coc)))
     t = jnp.clip(coc / jnp.maximum(cfg.dof_max_coc, 1e-4), 0.0, 1.0) * 3.0
-    w1 = jnp.clip(t, 0.0, 1.0)[..., None]
-    w2 = jnp.clip(t - 1.0, 0.0, 1.0)[..., None]
-    w3 = jnp.clip(t - 2.0, 0.0, 1.0)[..., None]
-    out = rgb + w1 * (u1 - rgb)
-    out = out + w2 * (u2 - out)
-    return out + w3 * (u3 - out)
+    w1 = jnp.clip(t, 0.0, 1.0)
+    w2 = jnp.clip(t - 1.0, 0.0, 1.0)
+    w3 = jnp.clip(t - 2.0, 0.0, 1.0)
+
+    outs = []
+    for p in planes:
+        l1 = _blur3_p(_down2_p(p))                          # ~2 px
+        l2 = _blur3_p(_down2_p(l1))                         # ~4 px
+        l3 = _blur3_p(_down2_p(l2))                         # ~8 px
+        u1 = _up2_p(l1, h, w)
+        u2 = _up2_p(_up2_p(l2, l1.shape[0], l1.shape[1]), h, w)
+        u3 = _up2_p(_up2_p(_up2_p(
+            l3, l2.shape[0], l2.shape[1]), l1.shape[0], l1.shape[1]), h, w)
+        out = p + w1 * (u1 - p)
+        out = out + w2 * (u2 - out)
+        outs.append(out + w3 * (u3 - out))
+    return outs
+
+
+def depth_of_field(rgb: jax.Array, view_depth: jax.Array,
+                   cfg: PostConfig) -> jax.Array:
+    return _merge(_dof_p(_split(rgb), view_depth, cfg))
 
 
 def camera_velocity(view_depth: jax.Array, fov_y, aspect,
@@ -257,8 +301,7 @@ def camera_velocity(view_depth: jax.Array, fov_y, aspect,
                       (sv - ys[:, None]) * (h / 2.0)], axis=-1)
 
 
-def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
-                ) -> jax.Array:
+def _motion_blur_p(planes, velocity: jax.Array, strength: float):
     """Direction-quantized camera motion blur (gather-free).
 
     The velocity direction is quantized to 4 axes (0/45/90/135 deg); each axis
@@ -266,51 +309,62 @@ def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
     image. Per-pixel axis one-hot + magnitude then select/lerp — every tap is
     a constant-offset stencil, so nothing gathers. Engine reference:
     MotionBlur.shader's per-pixel velocity-line sampling."""
-    h, w = rgb.shape[:2]
-    half = _downsample2(rgb)
-    dirs = [(0, 1), (1, 1), (1, 0), (1, -1)]           # 4 axes at half res
-    axis_blurs = []
-    for dy, dx in dirs:
-        b = (half
-             + _shift2(half, dy, dx) + _shift2(half, -dy, -dx)
-             + _shift2(half, 2 * dy, 2 * dx) + _shift2(half, -2 * dy, -2 * dx)
-             ) / 5.0
-        axis_blurs.append(b)
-
-    vx = _downsample2(velocity[..., :1])[..., 0]
-    vy = _downsample2(velocity[..., 1:])[..., 0]
+    h, w = planes[0].shape
+    vx = _down2_p(velocity[..., 0])
+    vy = _down2_p(velocity[..., 1])
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, jnp.where(jnp.abs(vx) < 1e-8, 1e-8, vx))
-    # axis bin in [0, 4): fold to [0, pi), 45-degree bins
     bin_f = jnp.mod(ang, jnp.pi) / (jnp.pi / 4.0)
-    blurred = jnp.zeros_like(half)
-    for i, b in enumerate(axis_blurs):
+    s_half = (strength * jnp.clip(mag / 4.0, 0.0, 1.0))
+    s_full = strength * jnp.clip(
+        jnp.sqrt(jnp.sum(velocity * velocity, -1)) / 4.0, 0.0, 1.0)
+
+    dirs = [(0, 1), (1, 1), (1, 0), (1, -1)]
+    sels = []
+    for i in range(4):
         d = jnp.minimum(jnp.abs(bin_f - i), 4.0 - jnp.abs(bin_f - i))
-        sel = (d <= 0.5).astype(half.dtype)[..., None]
-        blurred = blurred + sel * b
-    s = (strength * jnp.clip(mag / 4.0, 0.0, 1.0))[..., None]
-    out_half = half + s * (blurred - half)
-    up = _upsample2(out_half, h, w)
-    s_full = (strength * jnp.clip(
-        jnp.sqrt(jnp.sum(velocity * velocity, -1)) / 4.0, 0.0, 1.0))[..., None]
-    return rgb + s_full * (up - rgb)
+        sels.append((d <= 0.5).astype(planes[0].dtype))
+
+    outs = []
+    for p in planes:
+        half = _down2_p(p)
+        blurred = jnp.zeros_like(half)
+        for (dy, dx), sel in zip(dirs, sels):
+            b = (half
+                 + _shift2_p(half, dy, dx) + _shift2_p(half, -dy, -dx)
+                 + _shift2_p(half, 2 * dy, 2 * dx)
+                 + _shift2_p(half, -2 * dy, -2 * dx)) / 5.0
+            blurred = blurred + sel * b
+        out_half = half + s_half * (blurred - half)
+        up = _up2_p(out_half, h, w)
+        outs.append(p + s_full * (up - p))
+    return outs
 
 
-def apply_channel_luts(rgb: jax.Array, luts) -> jax.Array:
+def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
+                ) -> jax.Array:
+    return _merge(_motion_blur_p(_split(rgb), velocity, strength))
+
+
+def _luts_p(planes, luts):
     """Per-channel 1D LUTs, exact piecewise-linear: out_c = sum_k tent(x_c *
     (K-1) - k) * lut_c[k]. Tent weights are elementwise (gather-free); XLA
     fuses the K-term sum. Covers ColorGrading's per-channel curves; arbitrary
     3D LUTs decompose to this after the grade's channel mixer."""
     outs = []
-    for c in range(3):
-        lut = jnp.asarray(luts[c], rgb.dtype)
-        k = lut.shape[0]
-        x = jnp.clip(rgb[..., c], 0.0, 1.0) * (k - 1)
+    for c, p in enumerate(planes):
+        lut = [float(v) for v in luts[c]]
+        k = len(lut)
+        x = jnp.clip(p, 0.0, 1.0) * (k - 1)
         acc = jnp.zeros_like(x)
         for i in range(k):
             acc = acc + jnp.maximum(0.0, 1.0 - jnp.abs(x - i)) * lut[i]
         outs.append(acc)
-    return jnp.stack(outs, axis=-1)
+    return outs
+
+
+def apply_channel_luts(rgb: jax.Array, luts) -> jax.Array:
+    return _merge(_luts_p(_split(rgb), luts))
 
 
 def apply_post(image_rgba: jax.Array, cfg: PostConfig,
@@ -322,32 +376,39 @@ def apply_post(image_rgba: jax.Array, cfg: PostConfig,
     [H, W, 2] in pixels (see camera_velocity) enables motion blur
     (motion_blur > 0). Effect order mirrors PostProcessing 2.3.0's builtin
     stack: DoF -> motion blur -> CA -> bloom -> vignette -> tonemap ->
-    grading -> grain."""
-    rgb = image_rgba[..., :3] * cfg.exposure
+    grading -> grain. The chain is channel-planar throughout (one split,
+    one final stack)."""
+    planes = [image_rgba[..., c] * cfg.exposure for c in range(3)]
+    h, w = planes[0].shape
     if cfg.dof_focus_distance > 0.0 and view_depth is not None:
-        rgb = depth_of_field(rgb, view_depth, cfg)
+        planes = _dof_p(planes, view_depth, cfg)
     if cfg.motion_blur > 0.0 and velocity is not None:
-        rgb = motion_blur(rgb, velocity, cfg.motion_blur)
+        planes = _motion_blur_p(planes, velocity, cfg.motion_blur)
     if cfg.chromatic_aberration > 0.0:
-        rgb = chromatic_aberration(rgb, cfg.chromatic_aberration)
+        planes = _ca_p(planes, cfg.chromatic_aberration)
     if cfg.bloom_strength > 0.0:
-        rgb = rgb + cfg.bloom_strength * bloom(rgb, cfg.bloom_threshold,
-                                               cfg.bloom_levels)
+        bl = _bloom_p(planes, cfg.bloom_threshold, cfg.bloom_levels)
+        planes = [p + cfg.bloom_strength * b for p, b in zip(planes, bl)]
     if cfg.vignette > 0.0:
-        h, w = rgb.shape[:2]
-        yy = (jnp.arange(h, dtype=rgb.dtype) + 0.5) / h - 0.5
-        xx = (jnp.arange(w, dtype=rgb.dtype) + 0.5) / w - 0.5
+        yy = (jnp.arange(h, dtype=planes[0].dtype) + 0.5) / h - 0.5
+        xx = (jnp.arange(w, dtype=planes[0].dtype) + 0.5) / w - 0.5
         r2 = (xx[None, :] ** 2 + yy[:, None] ** 2) * 2.0
-        rgb = rgb * (1.0 - cfg.vignette * r2)[..., None]
+        vig = 1.0 - cfg.vignette * r2
+        planes = [p * vig for p in planes]
     if cfg.tonemap == "aces":
-        rgb = aces_tonemap(rgb)
+        planes = [aces_tonemap(p) for p in planes]
     if (cfg.grade_lift != (0.0, 0.0, 0.0) or cfg.grade_gamma != (1.0, 1.0, 1.0)
             or cfg.grade_gain != (1.0, 1.0, 1.0) or cfg.saturation != 1.0
             or cfg.contrast != 1.0):
-        rgb = color_grade(rgb, cfg)
+        planes = _grade_p(planes, cfg)
     if cfg.grade_luts is not None:
-        rgb = apply_channel_luts(rgb, cfg.grade_luts)
+        planes = _luts_p(planes, cfg.grade_luts)
     if cfg.grain > 0.0:
-        rgb = film_grain(rgb, cfg.grain, cfg.grain_seed)
-    rgb = jnp.clip(rgb, 0.0, 1.0) ** (1.0 / cfg.gamma)
-    return rgb
+        n = _grain_noise(h, w, cfg.grain_seed)
+        luma = (0.2126 * planes[0] + 0.7152 * planes[1]
+                + 0.0722 * planes[2])
+        mask = 1.0 - jnp.clip(luma, 0.0, 1.0) * 0.5
+        gn = cfg.grain * n * mask
+        planes = [p + gn for p in planes]
+    planes = [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]
+    return _merge(planes)
