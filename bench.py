@@ -97,9 +97,11 @@ def main():
     jax.block_until_ready(probe)
 
     # The chip is pooled: take the best batch median over a few batches to
-    # reduce external-contention bias (PERF.md "Measurement hygiene").
+    # reduce external-contention bias (PERF.md "Measurement hygiene"). 12
+    # batches x ~30 frames spread over ~20 s — a quiet window inside that
+    # usually exists (quiet-state is ~13.6 ms, ablate.py).
     batch_medians = []
-    for _ in range(5):
+    for _ in range(12):
         times = []
         for i in range(n_meas):
             t0 = time.perf_counter()
