@@ -2,6 +2,11 @@
 """Render the demo scene (the reference's VolumetricRenderer.unity) to PNGs.
 
 Usage: python demo.py [--frames N] [--out DIR] [--small] [--debug-slice Z]
+                      [--showcase]
+
+--showcase: full post chain (bloom, DoF on the scene depth, camera motion
+blur from the temporal matrices, grading, chromatic aberration, grain) with
+a slowly orbiting camera — the depth/velocity effects need a moving view.
 """
 
 import argparse
@@ -25,6 +30,7 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--debug-slice", type=int, default=-1)
+    ap.add_argument("--showcase", action="store_true")
     args = ap.parse_args()
 
     cfg = DEMO_CONFIG
@@ -36,18 +42,42 @@ def main():
     noise = perlin_texture_3d(32) if args.noise else None
     scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
                        with_noise=args.noise, noise_tex=noise)
-    post = PostConfig(exposure=1.0, vignette=0.15)
+    if args.showcase:
+        post = PostConfig(exposure=1.1, bloom_strength=0.25,
+                          bloom_threshold=0.8, vignette=0.25,
+                          chromatic_aberration=1.0, grain=0.02,
+                          saturation=1.1, contrast=1.05,
+                          dof_focus_distance=20.0, dof_aperture=11.0,
+                          dof_max_coc=3.0, motion_blur=0.4)
+    else:
+        post = PostConfig(exposure=1.0, vignette=0.15)
     state = renderer.init_state(scene.dir_lights.count)
 
     @jax.jit
     def frame(state, scene, t):
+        from volumetricrenderer_tpu.post import camera_velocity
         image, aux, new_state = renderer.render_frame(state, scene, t)
-        return apply_post(image, post), aux["accumulation"], new_state
+        vd = aux["view_depth"]
+        cam = scene.camera
+        vel = camera_velocity(vd, cam.fov_y, cam.aspect, cam.view_to_world(),
+                              state.prev_world_to_view)
+        out = apply_post(image, post, view_depth=vd, velocity=vel)
+        return out, aux["accumulation"], new_state
+
+    def orbit(scene, i):
+        if not args.showcase:
+            return scene
+        ang = 0.04 * i
+        cam = scene.camera
+        pos = jnp.asarray([-0.4 + 4.0 * jnp.sin(ang), 1.9,
+                           -15.8 + 2.0 * (1 - jnp.cos(ang))], jnp.float32)
+        return dataclasses.replace(
+            scene, camera=dataclasses.replace(cam, position=pos))
 
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.frames):
         t0 = time.perf_counter()
-        rgb, acc, state = frame(state, scene, jnp.float32(i / 20.0))
+        rgb, acc, state = frame(state, orbit(scene, i), jnp.float32(i / 20.0))
         jax.block_until_ready(rgb)
         dt = (time.perf_counter() - t0) * 1e3
         path = os.path.join(args.out, f"frame_{i:03d}.png")
