@@ -89,3 +89,18 @@ def test_prepadded_blend_path_matches_tentmm():
     b, sb = run("zgather")
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(sb, sa, rtol=1e-5, atol=1e-6)
+
+
+def test_unit_16x16_cells_matches_tentmm():
+    """4K-class cell size (16x16 px) via the sub-image decomposition."""
+    rng = np.random.RandomState(5)
+    w, h, d = 16, 9, 8
+    ih, iw = 16 * h, 16 * w
+    acc = jnp.asarray(rng.rand(d, h, w, 4).astype(np.float32))
+    sc = jnp.asarray(rng.rand(ih, iw, 3).astype(np.float32))
+    fz = jnp.asarray((rng.rand(ih, iw) * (d - 1.0)).astype(np.float32))
+    ref = composite_tentmm(acc, sc, fz, (w, h, d), precision="highest")
+    planes = tuple(acc[..., c] for c in range(4))
+    got = composite_zgather(planes, sc, fz, (w, h, d), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

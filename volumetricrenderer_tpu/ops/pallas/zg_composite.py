@@ -93,7 +93,8 @@ def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
 def composite_zgather_planes(planes, fz_texel: jax.Array,
                              grid_whd: Tuple[int, int, int],
                              interpret: bool = False,
-                             prepadded: bool = False):
+                             prepadded: bool = False,
+                             w9_override=None):
     """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T)
     — or, with prepadded=True, [DLANES, hp, wstride] planes already in the
     padded cell layout (padded_dims; the fused temporal blend emits these).
@@ -102,9 +103,50 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     w, h, d = grid_whd
     ih, iw = fz_texel.shape
     py, px = ih // h, iw // w
-    cp = py * px
-    assert cp == 64 and d <= DLANES and ih % h == 0 and iw % w == 0
+    assert d <= DLANES and ih % h == 0 and iw % w == 0
     assert w + 1 <= WSTRIDE
+
+    if py * px != 64:
+        # larger cells (e.g. 4K over the FULL grid: 16x16 px) decompose into
+        # ky*kx sub-images of 8x8-px cells — each sub-image is one plain
+        # zgather pass over the SAME froxel planes; reassembly is 8-row/-col
+        # band interleaves (pure reshapes + one stack each)
+        assert py % 8 == 0 and px % 8 == 0, (py, px)
+        ky, kx = py // 8, px // 8
+        fz4 = fz_texel.reshape(h, ky, 8, w, kx, 8)
+        # tent weights stay those of the PARENT py x px cell: sub-image
+        # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
+        w_full = np.zeros((3, 3, py, px), np.float32)
+        fy = (np.arange(py) + 0.5) / py - 0.5
+        fx = (np.arange(px) + 0.5) / px - 0.5
+        for dd in (-1, 0, 1):
+            wy = np.maximum(0.0, 1.0 - np.abs(fy - dd))
+            for e in (-1, 0, 1):
+                wx = np.maximum(0.0, 1.0 - np.abs(fx - e))
+                w_full[dd + 1, e + 1] = np.outer(wy, wx)
+        subs = []
+        for a in range(ky):
+            row = []
+            for b in range(kx):
+                sub_fz = fz4[:, a, :, :, b, :].reshape(h * 8, w * 8)
+                w9_sub = w_full[:, :, a * 8:(a + 1) * 8,
+                                b * 8:(b + 1) * 8].reshape(9, 64)
+                row.append(composite_zgather_planes(
+                    planes, sub_fz, grid_whd, interpret=interpret,
+                    prepadded=prepadded, w9_override=w9_sub))
+            subs.append(row)
+        outs = []
+        for c in range(len(planes)):
+            rows = []
+            for a in range(ky):
+                cols = [subs[a][b][c].reshape(h * 8, w, 8) for b in range(kx)]
+                rows.append(jnp.stack(cols, axis=2).reshape(h * 8, iw))
+            full = jnp.stack([r.reshape(h, 8, iw) for r in rows],
+                             axis=1).reshape(ih, iw)
+            outs.append(full)
+        return tuple(outs)
+
+    cp = py * px
 
     nblk = -(-h // HB)
     hout = nblk * HB
@@ -135,7 +177,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     if hout > h:
         fz_c = jnp.concatenate([fz_c] + [fz_c[-1:]] * (hout - h), axis=0)
 
-    w9 = _cell_weights(py, px)                           # [9, cp]
+    w9 = _cell_weights(py, px) if w9_override is None else w9_override
     w9d = jnp.asarray(np.concatenate([w9, w9], axis=1), jnp.float32)
 
     kernel = functools.partial(_kernel, w=w, d=d, cp=cp)

@@ -551,14 +551,17 @@ def temporal_blend_accumulation(cfg: RenderConfig, params: FroxelParams,
 # --------------------------------------------------------------------------- #
 
 def zgather_eligible(cfg: RenderConfig) -> bool:
-    """Whether the zgather composite kernel handles this config (64 px/cell,
+    """Whether the zgather composite kernel handles this config (8x8 px
+    cells, or any multiple-of-8 cell size via sub-image decomposition;
     D <= 128, integer ratios, a 3- or 5-divisible grid height for the
     unshuffle batching)."""
     w, h, d = cfg.grid
-    return (cfg.composite_impl == "zgather"
+    if not (cfg.composite_impl == "zgather"
             and cfg.image_width % w == 0 and cfg.image_height % h == 0
-            and (cfg.image_height // h) * (cfg.image_width // w) == 64
-            and d <= 128 and (h % 3 == 0 or h % 5 == 0))
+            and d <= 128 and (h % 3 == 0 or h % 5 == 0)):
+        return False
+    py, px = cfg.image_height // h, cfg.image_width // w
+    return py * px == 64 or (py % 8 == 0 and px % 8 == 0)
 
 
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
