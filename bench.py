@@ -96,21 +96,23 @@ def main():
                              view_depth, shadow_data)
     jax.block_until_ready(probe)
 
-    # The chip is pooled: take the best batch median over a few batches to
-    # reduce external-contention bias (PERF.md "Measurement hygiene"). 12
-    # batches x ~30 frames spread over ~20 s — a quiet window inside that
-    # usually exists (quiet-state is ~13.6 ms, ablate.py).
+    # PIPELINED frame timing: block once per batch, not per frame. The axon
+    # TPU sits behind a network relay, so a per-frame block_until_ready pays
+    # a ~20 ms host<->relay round trip that is tunnel latency, not renderer
+    # time (measured: per-frame-sync 35 ms vs pipelined 13.6 ms with
+    # identical checksums); the reference likewise queues GPU command
+    # buffers without per-frame CPU sync. The chip is also pooled: take the
+    # best batch over 12 batches to reduce external-contention bias
+    # (PERF.md "Measurement hygiene").
     batch_medians = []
     for _ in range(12):
-        times = []
+        t0 = time.perf_counter()
         for i in range(n_meas):
-            t0 = time.perf_counter()
             probe, state = frame(state, scene, jnp.float32(0.1 + 0.01 * i),
                                  scene_color, view_depth, shadow_data)
-            jax.block_until_ready(probe)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        batch_medians.append(times[len(times) // 2])
+        jax.block_until_ready(probe)
+        batch_medians.append((time.perf_counter() - t0) / n_meas)
+    times = batch_medians
 
     # Self-validation: a too-good-to-be-true time with a garbage image means a
     # wedged device, not a fast renderer.
