@@ -133,11 +133,13 @@ def main():
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / median_ms, 3),
     }))
-    post = jax.jit(lambda i: apply_post(i, post_cfg))
-    jax.block_until_ready(post(img))
+    # vary the input per call: the axon relay dedups identical (executable,
+    # inputs) executions (CLAUDE.md measurement trap)
+    post = jax.jit(lambda i, s: apply_post(i * s, post_cfg))
+    jax.block_until_ready(post(img, jnp.float32(1.0)))
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = post(img)
+    for k in range(10):
+        out = post(img, jnp.float32(1.0 + 1e-6 * k))
     jax.block_until_ready(out)
     post_ms = (time.perf_counter() - t0) / 10 * 1e3
 
