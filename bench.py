@@ -104,15 +104,14 @@ def main():
     # buffers without per-frame CPU sync. The chip is also pooled: take the
     # best batch over 12 batches to reduce external-contention bias
     # (PERF.md "Measurement hygiene").
-    batch_medians = []
+    batch_means = []
     for _ in range(12):
         t0 = time.perf_counter()
         for i in range(n_meas):
             probe, state = frame(state, scene, jnp.float32(0.1 + 0.01 * i),
                                  scene_color, view_depth, shadow_data)
         jax.block_until_ready(probe)
-        batch_medians.append((time.perf_counter() - t0) / n_meas)
-    times = batch_medians
+        batch_means.append((time.perf_counter() - t0) / n_meas)
 
     # Self-validation: a too-good-to-be-true time with a garbage image means a
     # wedged device, not a fast renderer.
@@ -122,28 +121,31 @@ def main():
     assert bool(jnp.isfinite(img).all()), "non-finite frame output"
     assert float(jnp.std(img[..., :3])) > 1e-4, "degenerate frame output"
 
-    median_ms = min(batch_medians) * 1e3
-    best_ms = min(times) * 1e3
+    # Estimator: the best pipelined-batch MEAN over 12 batches — best batch
+    # because the chip pool's contention only adds time (PERF.md measurement
+    # hygiene); the "timing" field records the estimator for the driver.
+    frame_ms = min(batch_means) * 1e3
 
     print(json.dumps({
         "metric": "ms/frame (inject+scatter+integrate+composite) at "
                   f"{cfg.image_width}x{cfg.image_height}, "
                   f"{cfg.volume_width}x{cfg.volume_height}x{cfg.volume_depth} froxels, 16 lights",
-        "value": round(median_ms, 3),
+        "value": round(frame_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(TARGET_MS / median_ms, 3),
+        "vs_baseline": round(TARGET_MS / frame_ms, 3),
+        "timing": "pipelined-best-batch-mean",
     }))
-    # vary the input per call: the axon relay dedups identical (executable,
-    # inputs) executions (CLAUDE.md measurement trap)
+    # vary the input per call — INCLUDING vs the warmup call: the axon relay
+    # dedups identical (executable, inputs) executions (CLAUDE.md trap)
     post = jax.jit(lambda i, s: apply_post(i * s, post_cfg))
     jax.block_until_ready(post(img, jnp.float32(1.0)))
     t0 = time.perf_counter()
     for k in range(10):
-        out = post(img, jnp.float32(1.0 + 1e-6 * k))
+        out = post(img, jnp.float32(1.0 + 1e-6 * (k + 1)))
     jax.block_until_ready(out)
     post_ms = (time.perf_counter() - t0) / 10 * 1e3
 
-    print(f"# best={best_ms:.3f}ms post={post_ms:.3f}ms compile={compile_s:.1f}s "
+    print(f"# best={frame_ms:.3f}ms post={post_ms:.3f}ms compile={compile_s:.1f}s "
           f"checksum={checksum:.1f} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 

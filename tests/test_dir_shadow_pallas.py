@@ -54,3 +54,37 @@ def test_pallas_dir_shadow_map_mode_falls_back():
     img, _, _ = jax.jit(lambda s, sc: r.render_frame(
         s, sc, 0.0, shadow_data=shadow_data))(r.init_state(1), scene)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_pcf_window_overflow_guard():
+    """A cascade quad wider than the 512-texel gather window (atlas > 1024)
+    must trip the overflow flag when a slice footprint exceeds the window —
+    fail-loud instead of silently clamped shadows (pcf_shadow._schedule)."""
+    import jax.numpy as jnp
+
+    from volumetricrenderer_tpu import froxel
+    from volumetricrenderer_tpu.ops.pallas import pcf_shadow as P
+
+    scene = _scene()
+
+    def overflow_any(cfg):
+        r = VolumetricRenderer(cfg)
+        dir_shadow, _, _ = r.bake_shadow_data(scene)
+        params = froxel.make_froxel_params(
+            scene.camera.fov_y, scene.camera.aspect, scene.camera.near,
+            cfg.volume_distance, cfg.depth_distribution, cfg.grid)
+        v2w = scene.camera.view_to_world()
+        grid = (cfg.volume_width, cfg.volume_height, cfg.volume_depth)
+        win = min(P.MAX_WIN, dir_shadow.atlas.shape[-1])
+        return any(
+            bool(P._schedule(params, v2w, jnp.zeros(3), dir_shadow, li,
+                             grid, win)[-1])
+            for li in range(scene.dir_lights.count))
+
+    base = dataclasses.replace(CFG, shadow_mode="map",
+                               dir_shadow_impl="pallas")
+    # production envelope (quad width == window): guard must stay quiet
+    assert not overflow_any(base)
+    # atlas 2048 -> 1024-wide quads vs the 512 window: slices whose footprint
+    # spans more than the window must be flagged
+    assert overflow_any(dataclasses.replace(base, shadow_map_size=1024))

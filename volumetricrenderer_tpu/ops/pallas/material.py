@@ -154,7 +154,10 @@ def heightfield_occluded(hf_ref, hf_static: tuple, wx, wy, wz,
     safe = jnp.where(jnp.abs(ldy) < 1e-7, 1e-7, ldy)
     ta = (hmax - wy) / safe
     tb = (base - wy) / safe
-    horiz = jnp.abs(ldy) < 1e-7
+    # ld* may be SMEM scalars (dir-shadow kernel): broadcast the condition to
+    # plane shape — a scalar-cond select over vectors fails to legalize in
+    # Mosaic (arith.select, CLAUDE.md crash list)
+    horiz = jnp.broadcast_to(jnp.abs(ldy) < 1e-7, wx.shape)
     in_band = (wy >= base) & (wy <= hmax)
     lo = jnp.where(horiz, jnp.where(in_band, eps, cap), jnp.minimum(ta, tb))
     hi = jnp.where(horiz, jnp.where(in_band, cap, 0.0), jnp.maximum(ta, tb))

@@ -26,8 +26,10 @@ transposes — tools/probe_taa.py):
 
 Window caveat: each (slice, cascade) visit gathers from a 512x512 atlas
 window centered on the slice's footprint (host-computed, 128-aligned). A
-footprint wider than 512 texels (extreme shear/scale) clamps to the window
-edge; the equivalence tests bound the configs this path ships for.
+footprint wider than 512 texels (extreme shear/scale) would clamp to the
+window edge — _schedule detects any active (slice, cascade) whose corner tap
+indices exceed its window and the caller NaN-poisons the output, so an
+out-of-envelope config fails loudly instead of rendering wrong shadows.
 """
 
 from __future__ import annotations
@@ -87,18 +89,53 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
 
     y0 = jnp.asarray(params.y0, jnp.float32)   # slab row offset (0 whole-grid)
 
-    def window(a, b, c):
+    # Only froxels INSIDE cascade ci's split sphere contribute (the in-kernel
+    # one-hot mask zeroes the rest), and the bake maps the sphere into its own
+    # s2/2-wide atlas quad: clip the slice footprint to the sphere's quad
+    # bounds (from the sphere center, layout-agnostic) so the window centers
+    # on the region that matters. Margin covers the texel snap + the +1 tap.
+    sph_c = data.split_spheres[li]                                    # [C, 3]
+    margin = 4.0
+    quad = []
+    qctr = []
+    for row in (0, 1):                                                # u, v
+        m3 = mats[:, row, :3]
+        ctr = s2 * (jnp.sum(m3 * sph_c, axis=1) + mats[:, row, 3]) - 0.5
+        qctr.append(ctr)
+        quad.append((ctr - s2 / 4 - margin, ctr + s2 / 4 + margin))   # [C] lo/hi
+
+    def footprint(a, b, c, qlo, qhi):
         cy = c + b * y0
         corners = jnp.stack([cy, cy + a * (w - 1), cy + b * (h - 1),
                              cy + a * (w - 1) + b * (h - 1)])          # [4,D,C]
-        lo = jnp.clip(jnp.floor(jnp.min(corners, 0)), 0, s2 - 1)
-        hi = jnp.clip(jnp.floor(jnp.max(corners, 0)) + 1, 0, s2 - 1)
-        ctr = 0.5 * (lo + hi)
-        st = jnp.clip(jnp.round(ctr / 128.0).astype(jnp.int32) - win // 256,
-                      0, s2 // 128 - win // 128)
-        return st                                                     # blocks
+        raw_lo = jnp.min(corners, 0)
+        raw_hi = jnp.max(corners, 0)
+        lo = jnp.maximum(raw_lo, qlo[None])
+        hi = jnp.minimum(raw_hi, qhi[None])
+        lo = jnp.clip(jnp.floor(lo), 0, s2 - 1)
+        hi = jnp.clip(jnp.floor(jnp.maximum(hi, lo)) + 1, 0, s2 - 1)
+        return lo, hi, raw_lo, raw_hi
 
-    winb = jnp.stack([window(a_v, b_v, c_v), window(a_u, b_u, c_u)], axis=-1)
+    qblk = (s2 // 2) // 128
+    wblk = win // 128
+
+    def window(lo, hi, ctr_q):
+        # footprint-centered, then clamped INSIDE the cascade's quad: every
+        # contributing tap lives in quad content, so block-rounding slop must
+        # never push the window past a quad edge (it would trade covered
+        # content texels for never-sampled neighbor-quad ones)
+        ctr = 0.5 * (lo + hi)
+        st = jnp.round(ctr / 128.0).astype(jnp.int32) - win // 256
+        if qblk >= wblk:
+            q0 = jnp.round((ctr_q - s2 / 4) / 128.0).astype(jnp.int32)
+            st = jnp.clip(st, q0[None], q0[None] + (qblk - wblk))
+        return jnp.clip(st, 0, s2 // 128 - wblk)                      # blocks
+
+    lo_u, hi_u, raw_lo_u, raw_hi_u = footprint(a_u, jnp.zeros_like(b_u), c_u,
+                                               *quad[0])
+    lo_v, hi_v, raw_lo_v, raw_hi_v = footprint(a_v, b_v, c_v, *quad[1])
+    winb = jnp.stack([window(lo_v, hi_v, qctr[1]),
+                      window(lo_u, hi_u, qctr[0])], axis=-1)
 
     # conservative slice-vs-split-sphere cascade cull (cf. slice_light_order)
     z0 = jnp.clip(zs - 0.5, 0.0, float(d))
@@ -130,6 +167,32 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
     order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
     count = jnp.sum(active, axis=1, dtype=jnp.int32)
 
+    # Window-overflow guard: the kernel clamps gathered indices to the win-
+    # texel window; a (slice, cascade) whose CONTRIBUTING footprint exceeds
+    # it would render wrong shadows SILENTLY. Contribution is bounded by the
+    # quad CONTENT (ctr +/- s2/4, no margin): the split sphere maps exactly
+    # into its s2/2-wide quad and the in-kernel mask vanishes outside it, so
+    # a <=1-texel bilinear-tap spill past the quad edge only clamps taps of
+    # mask~0 froxels (tol covers the tap + floor rounding — measured spills
+    # at s2=1024, where quad width == win, are <= margin+1 and harmless).
+    # Flag any ACTIVE cascade whose content footprint falls outside its
+    # chosen window; the caller NaN-poisons the output so an out-of-envelope
+    # config (possible once s2/2 > win, i.e. atlas > 1024) fails loudly
+    # instead of clamping (VERDICT r2 weak #4).
+    if win < s2:
+        tol = 2.0
+        def oob(raw_lo, raw_hi, ctr, blk):
+            lo_f = jnp.maximum(raw_lo, (ctr - s2 / 4)[None])
+            hi_f = jnp.minimum(raw_hi, (ctr + s2 / 4)[None])
+            st = (blk * 128).astype(jnp.float32)
+            spill = (lo_f < st - tol) | (hi_f + 1.0 > st + win + tol)
+            return spill & (hi_f >= lo_f)      # no quad overlap = no taps
+        over = (oob(raw_lo_u, raw_hi_u, qctr[0], winb[..., 1])
+                | oob(raw_lo_v, raw_hi_v, qctr[1], winb[..., 0]))
+        overflow = jnp.any(over & active)
+    else:  # the window covers the whole atlas: the clamp IS the atlas clamp
+        overflow = jnp.asarray(False)
+
     coef = jnp.stack([a_u, c_u, a_v, b_v, c_v, a_r, b_r, c_r], axis=-1)
     par = jnp.stack([
         jnp.asarray(v, jnp.float32) for v in
@@ -141,7 +204,8 @@ def _schedule(params, view_to_world, jitter, data, li, grid_whd, win: int):
          view_to_world[2, 1], view_to_world[2, 2], view_to_world[2, 3],
          data.strength_r[li], y0, 0.0, 0.0]])[None]
     spheres = jnp.concatenate([sph, sqr[:, None]], axis=-1)           # [C, 4]
-    return par, coef, winb, order[:, None, :], count[:, None, None], spheres
+    return (par, coef, winb, order[:, None, :], count[:, None, None], spheres,
+            overflow)
 
 
 def _taa_windowed(src, idx, win: int):
@@ -268,9 +332,11 @@ def _kernel(par_ref, coef_ref, win_ref, order_ref, count_ref, sph_ref,
     zero = jnp.zeros((h, w), jnp.float32)
     n_act = count_ref[0, 0, 0]
     if unroll:
-        # Python-unrolled cascades (k < n_act gated arithmetically): Mosaic's
-        # scf.for layout rule cannot handle this body's gathers/transposes
-        # as loop-carried region values on this jaxlib.
+        # Python-unrolled cascades (k < n_act gated arithmetically). The
+        # fori_loop path below is the VERIFIED production default on this
+        # jaxlib (compiled + traced on the TPU, PERF.md 1.55 ms); the unroll
+        # is kept as a bring-up fallback in case a future Mosaic regresses on
+        # this body's gathers/transposes as loop-carried region values.
         carry = (zero, zero)
         for k in range(num_c):
             gate = (k < n_act).astype(jnp.float32)
@@ -303,7 +369,7 @@ def pcf_dir_shadow_pallas(params, view_to_world, jitter, dir_lights, data,
 
     outs = []
     for li in range(dir_lights.count):
-        par, coef, winb, order, count, spheres = _schedule(
+        par, coef, winb, order, count, spheres, overflow = _schedule(
             params, view_to_world, jitter, data, li, grid_whd, win)
 
         kernel = functools.partial(_kernel, grid_whd=grid_whd, s2=s2,
@@ -335,5 +401,10 @@ def pcf_dir_shadow_pallas(params, view_to_world, jitter, dir_lights, data,
         )(par, coef, winb, order, count, spheres, data.atlas[li])
         # has_shadow gate (gate arithmetic, matching the XLA path)
         g = dir_lights.has_shadow[li].astype(jnp.float32)
-        outs.append(1.0 + g * (out - 1.0))
+        res = 1.0 + g * (out - 1.0)
+        # fail LOUDLY on window overflow (only when this light's shadow is
+        # actually consumed): NaN-poison instead of silently clamped shadows
+        res = res + jnp.where(overflow & (g > 0.0),
+                              jnp.float32(jnp.nan), jnp.float32(0.0))
+        outs.append(res)
     return jnp.stack(outs)

@@ -104,7 +104,9 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     ih, iw = fz_texel.shape
     py, px = ih // h, iw // w
     assert d <= DLANES and ih % h == 0 and iw % w == 0
-    assert w + 1 <= WSTRIDE
+    # dx=2 tap of output column w-1 reads padded column w+1: the padded row
+    # needs 1 left edge col + w data cols + >=1 right edge col
+    assert w + 2 <= WSTRIDE
 
     if py * px != 64:
         # larger cells (e.g. 4K over the FULL grid: 16x16 px) decompose into
