@@ -1,0 +1,149 @@
+"""Baked per-light visibility volumes (ops/pallas/visibility.py) — the
+TPU-native amortization of local-light shadows (VERDICT r2 #1; the reference's
+counterpart is its per-light shadow maps, VolumetricHelper.hlsl:237-259)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu import (Camera, DirectionalLights, Geometry,
+                                    Medium, PointLights, RenderConfig, Scene,
+                                    SpotLights, VolumetricRenderer, froxel)
+from volumetricrenderer_tpu.ops import raycast
+from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
+from volumetricrenderer_tpu.ops.pallas.scatter import (pack_lights,
+                                                       scatter_local_pallas)
+
+CFG = RenderConfig(volume_width=32, volume_height=24, volume_depth=16,
+                   image_width=64, image_height=48, shadow_mode="raycast",
+                   scatter_impl="pallas")
+
+
+def _scene():
+    return Scene.create(
+        camera=Camera.create(position=(0.0, 2.0, -10.0),
+                             forward=(0.05, -0.02, 1), aspect=1.0),
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(1, 1, 1)], intensity=[2.0],
+            has_shadow=[True], shadow_strength=[0.8]),
+        point_lights=PointLights.create(
+            position=[(1.0, 3.0, 2.0), (-2.0, 1.0, 5.0)],
+            color=[(1, 0.8, 0.6), (0.3, 0.5, 1.0)], range=[8.0, 6.0],
+            intensity=[3.0, 2.0], has_shadow=[True, True]),
+        spot_lights=SpotLights.create(
+            position=[(0.0, 5.0, 0.0)], direction=[(0, -1, 0.2)],
+            color=[(1, 1, 0.9)], range=[10.0], intensity=[4.0],
+            spot_angle_deg=[40.0], has_shadow=[True]),
+        media=(Medium.create(phase_g=0.3),),
+        geometry=Geometry.create(
+            planes=[((0, 1, 0), 0.0, (0.2, 0.2, 0.2))],
+            spheres=[((0.0, 2.0, 3.0), 1.2, (0.5, 0.5, 0.5))],
+            boxes=[((-3.0, 0.0, 1.0), (-1.0, 2.5, 3.0), (0.4, 0.4, 0.4))]))
+
+
+def _setup(scene, ss=2):
+    cam = scene.camera
+    params = froxel.make_froxel_params(cam.fov_y, cam.aspect, cam.near,
+                                       CFG.volume_distance,
+                                       CFG.depth_distribution, CFG.grid)
+    v2w = cam.view_to_world()
+    jit3 = jnp.asarray([0.1, -0.05, 0.2])
+    return params, v2w, jit3
+
+
+def test_upsample_mats_partition_of_unity():
+    for n, ss in ((24, 2), (135, 2), (17, 4)):
+        a = vis_lib.upsample_mats(n, -(-n // ss), ss)
+        np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-6)
+        assert (a >= 0).all()
+
+
+def test_bake_matches_xla_raycast_at_low_res():
+    """The Pallas bake must agree EXACTLY with the XLA any-hit at the same
+    sample points on every non-culled (light, slice)."""
+    scene = _scene()
+    params, v2w, jit3 = _setup(scene)
+    ss = 2
+    vis = vis_lib.bake_visibility_pallas(
+        params, v2w, scene.camera.position, jit3, scene.point_lights,
+        scene.spot_lights, scene.geometry, CFG.grid, ss, interpret=True)
+    world = vis_lib.low_res_world_positions(CFG, params, v2w, jit3, ss)
+    lights = pack_lights(scene.point_lights, scene.spot_lights)
+    ref = []
+    for i in range(lights.shape[0]):
+        to = world - lights[i, :3]
+        d2 = jnp.sum(to * to, -1)
+        inv = jax.lax.rsqrt(d2 + 1e-18)
+        occ = raycast.occluded(scene.geometry, world, -(to * inv[..., None]),
+                               d2 * inv - 0.05)
+        ref.append(1.0 - occ * lights[i, 14])
+    ref = np.asarray(jnp.stack(ref))
+    act = np.asarray(vis_lib.low_slice_active(
+        params, v2w,
+        jnp.concatenate([scene.point_lights.position,
+                         scene.spot_lights.position]),
+        jnp.concatenate([scene.point_lights.range, scene.spot_lights.range]),
+        CFG.grid, ss))
+    mism = (np.abs(ref - np.asarray(vis)) > 1e-5) & act[:, :, None, None]
+    assert mism.mean() == 0.0
+    # culled slices are fully lit (the scatter range cull zeroes them anyway)
+    assert (np.asarray(vis)[~act] == 1.0).all()
+
+
+def test_scatter_vis_path_close_to_march():
+    """The baked-visibility scatter is the in-kernel march blurred at shadow
+    boundaries only: bounded error relative to the signal scale."""
+    scene = _scene()
+    params, v2w, jit3 = _setup(scene)
+    d, h, w = CFG.grid_dhw
+    ma = jnp.ones((d, h, w, 4), jnp.float32) * 0.3
+    mb = jnp.ones((d, h, w, 4), jnp.float32) * 0.2
+    common = (params, v2w, scene.camera.position, jit3, ma, mb,
+              scene.point_lights, scene.spot_lights, scene.geometry, CFG.grid)
+    a = np.asarray(scatter_local_pallas(*common, interpret=True))
+    vis = vis_lib.bake_visibility_pallas(
+        params, v2w, scene.camera.position, jit3, scene.point_lights,
+        scene.spot_lights, scene.geometry, CFG.grid, 2, interpret=True)
+    b = np.asarray(scatter_local_pallas(*common, interpret=True,
+                                        vis=vis, vis_ss=2))
+    err = np.abs(a - b) / np.abs(a).max()
+    assert err.mean() < 0.01, err.mean()
+    assert (err > 0.05).mean() < 0.01, (err > 0.05).mean()
+
+
+def _render(cfg, scene):
+    r = VolumetricRenderer(cfg)
+    shadow_data = r.bake_shadow_data(scene)
+    img, _, _ = jax.jit(lambda s, sc: r.render_frame(
+        s, sc, 0.0, shadow_data=shadow_data))(r.init_state(1), scene)
+    return np.asarray(img)
+
+
+def test_pipeline_subsample_composes_with_fused_kernel():
+    """raycast_shadow_subsample=2 must run the fused kernel (visibility bake),
+    not fall back to XLA (VERDICT r2 weak #5), and match ss=1 closely."""
+    scene = _scene()
+    a = _render(CFG, scene)
+    b = _render(dataclasses.replace(CFG, raycast_shadow_subsample=2), scene)
+    assert np.isfinite(b).all()
+    err = np.abs(a - b)[..., :3] / np.abs(a[..., :3]).max()
+    assert err.mean() < 0.02, err.mean()
+
+
+def test_pipeline_map_mode_fused_local_lights():
+    """shadow_mode='map' + scatter_impl='pallas': local lights sample their
+    baked cube/spot maps through the low-res visibility volume — close to the
+    full-rate XLA map path (the documented parity path)."""
+    scene = _scene()
+    cfg_xla = dataclasses.replace(CFG, shadow_mode="map", scatter_impl="xla",
+                                  dir_shadow_impl="xla")
+    cfg_fused = dataclasses.replace(CFG, shadow_mode="map",
+                                    dir_shadow_impl="xla")
+    a = _render(cfg_xla, scene)
+    b = _render(cfg_fused, scene)
+    assert np.isfinite(b).all()
+    err = np.abs(a - b)[..., :3] / np.abs(a[..., :3]).max()
+    assert err.mean() < 0.02, err.mean()
+    assert (err > 0.1).mean() < 0.01

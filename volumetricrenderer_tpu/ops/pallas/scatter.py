@@ -138,8 +138,14 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
 def _kernel(*refs,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
-            h_glob: int, media_static: tuple = None, hf_static: tuple = None):
+            h_glob: int, media_static: tuple = None, hf_static: tuple = None,
+            vis_lowres: tuple = None):
     fuse_material = media_static is not None
+    vis_refs = ()
+    if vis_lowres is not None:
+        # baked-visibility mode (ops/pallas/visibility.py): the first 4 refs
+        # are the two low-res z-neighbor plane stacks + the tent matrices
+        vis_refs, refs = refs[:4], refs[4:]
     if fuse_material:
         # material evaluated in-kernel (ops/pallas/material.py): the sigma_s /
         # phase-g plane inputs are replaced by the packed media table, and the
@@ -198,6 +204,16 @@ def _kernel(*refs,
     g2 = phg * phg
     hg_num = (1.0 - g2) / (4.0 * PI)
 
+    if vis_lowres is not None:
+        # z-lerp weight for the baked visibility volume: full slice zi sits at
+        # u = (zi - (ss-1)/2)/ss between low slices floor(u), floor(u)+1
+        # (clamp-to-edge; matches the index maps in scatter_local_pallas)
+        vis_a_ref, vis_b_ref, ay_ref, axt_ref = vis_refs
+        vss, vdl = vis_lowres
+        vu = (zi.astype(jnp.float32) - (vss - 1) * 0.5) / vss
+        vkf = jnp.clip(jnp.floor(vu), 0.0, vdl - 1.0)
+        vt = jnp.clip(vu - vkf, 0.0, 1.0)
+
     def light_body(li, acc):
         ar, ag, ab = acc
         # per-slice schedule: only range-intersecting lights are visited
@@ -239,51 +255,26 @@ def _kernel(*refs,
         rb = jax.lax.rsqrt(b)
         hg = hg_num * rb * rb * rb
 
-        # any-hit shadow ray towards the light (prims from SMEM)
-        occ = jnp.zeros((h, w), jnp.bool_)
-        max_t = dist - 0.05
-        for i in range(n_planes):
-            nx_, ny_, nz_, pd = (planes_ref[i, 0], planes_ref[i, 1],
-                                 planes_ref[i, 2], planes_ref[i, 3])
-            denom = -(ldx * nx_ + ldy * ny_ + ldz * nz_)
-            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-            t = -(wx * nx_ + wy * ny_ + wz * nz_ + pd) / denom
-            occ |= (t > 1e-4) & (t < max_t)
-        for i in range(n_spheres):
-            cx_, cy_, cz_, r_ = (spheres_ref[i, 0], spheres_ref[i, 1],
-                                 spheres_ref[i, 2], spheres_ref[i, 3])
-            ox, oy, oz = wx - cx_, wy - cy_, wz - cz_
-            bq = -(ox * ldx + oy * ldy + oz * ldz)
-            cq = ox * ox + oy * oy + oz * oz - r_ * r_
-            disc = bq * bq - cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = jnp.where(-bq - sq > 1e-4, -bq - sq, -bq + sq)
-            occ |= (disc > 0.0) & (t > 1e-4) & (t < max_t)
-        if n_boxes:
-            inv_x = 1.0 / jnp.where(jnp.abs(ldx) < 1e-9, 1e-9, -ldx)
-            inv_y = 1.0 / jnp.where(jnp.abs(ldy) < 1e-9, 1e-9, -ldy)
-            inv_z = 1.0 / jnp.where(jnp.abs(ldz) < 1e-9, 1e-9, -ldz)
-            for i in range(n_boxes):
-                t0x = (boxes_ref[i, 0] - wx) * inv_x
-                t1x = (boxes_ref[i, 4] - wx) * inv_x
-                t0y = (boxes_ref[i, 1] - wy) * inv_y
-                t1y = (boxes_ref[i, 5] - wy) * inv_y
-                t0z = (boxes_ref[i, 2] - wz) * inv_z
-                t1z = (boxes_ref[i, 6] - wz) * inv_z
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                               jnp.maximum(t0y, t1y)),
-                                   jnp.maximum(t0z, t1z))
-                t = jnp.where(tmin > 1e-4, tmin, tmax)
-                occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_t)
-        if hf_static is not None:
-            from volumetricrenderer_tpu.ops.pallas.material import \
-                heightfield_occluded
-            occ |= heightfield_occluded(hf_ref, hf_static, wx, wy, wz,
-                                        -ldx, -ldy, -ldz, max_t)
-        shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
+        if vis_lowres is not None:
+            # baked-visibility sampling: z-lerp the light's two low-res
+            # neighbor planes, then the exact separable tent upsample as two
+            # small matmuls (weights and lerped values are dyadic at ss=2, so
+            # the default-precision MXU dots are exact; has_shadow is already
+            # baked in — culled/no-shadow planes are 1.0)
+            va = vis_a_ref[idx, 0]
+            vb = vis_b_ref[idx, 0]
+            low = va + vt * (vb - va)                      # [HL, WL]
+            shadow = jax.lax.dot(ay_ref[...], jax.lax.dot(low, axt_ref[...]))
+        else:
+            # any-hit shadow ray towards the light (prims from SMEM; shared
+            # implementation, ops/pallas/occlude.py — bit-identical to the
+            # previous inline block: sum/negation symmetry is IEEE-exact)
+            from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
+            occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
+                          wx, wy, wz, -ldx, -ldy, -ldz, dist - 0.05,
+                          n_planes=n_planes, n_spheres=n_spheres,
+                          n_boxes=n_boxes, hf_static=hf_static)
+            shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
 
         base = hg * fall * shadow
         return (ar + base * cr * sr, ag + base * cg * sg, ab + base * cb * sb)
@@ -336,7 +327,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          interpret: bool = False,
                          return_planes: bool = False,
                          media=None, time_x=None,
-                         heightfield_shadows: bool = False) -> jax.Array:
+                         heightfield_shadows: bool = False,
+                         vis=None, vis_ss: int = 2) -> jax.Array:
     """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
     SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
     material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
@@ -345,7 +337,13 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     Pass media (+ time_x) to ALSO fold the material evaluation in
     (ops/pallas/material.py): material_a/b are then ignored, and the return
     gains the dir-extinction plane — planes (r, g, b, ext) with return_planes,
-    else the full [D, H, W, 4] scatter volume."""
+    else the full [D, H, W, 4] scatter volume.
+
+    Pass vis ([NL, DL, HL, WL] from ops/pallas/visibility.py, light order =
+    pack_lights) to replace the in-kernel any-hit shadow march with the baked
+    low-res visibility sample (z-lerp + exact tent upsample); geometry is then
+    only used for packing empty tables. vis_ss is the bake's subsample
+    factor."""
     w, h, d = grid_whd
     fuse_material = media is not None
     lights = pack_lights(point_lights, spot_lights)
@@ -393,11 +391,35 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                  geometry.hf_steps, geometry.hf_far) \
         if (geometry.hf_enabled and heightfield_shadows) else None
 
+    vis_lowres = None
+    vis_inputs = ()
+    vis_specs = []
+    if vis is not None:
+        from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
+        nl_v, dl, hl, wl = vis.shape
+        vis_lowres = (vis_ss, dl)
+        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))            # [H, HL]
+        axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)         # [WL, W]
+
+        def ka(i):
+            return jnp.clip((2 * i - (vis_ss - 1)) // (2 * vis_ss), 0, dl - 1)
+
+        vis_specs = [
+            pl.BlockSpec((nl_v, 1, hl, wl), lambda i: (0, ka(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl_v, 1, hl, wl),
+                         lambda i: (0, jnp.clip(ka(i) + 1, 0, dl - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wl, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        vis_inputs = (vis, vis, ay, axt)
+
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
         n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
-        hf_static=hf_static)
+        hf_static=hf_static, vis_lowres=vis_lowres)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -408,7 +430,7 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                                memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
 
-    in_specs = [
+    in_specs = vis_specs + [
         smem(par.shape),
         smem(lights.shape),
         smem(dirs.shape),
@@ -423,15 +445,17 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     ]
     if fuse_material:
         in_specs += [smem(med.shape), shadow_spec]
-        inputs = (par, lights, dirs, order, count, planes, spheres, boxes,
-                  hf, med, shadow_in)
+        inputs = vis_inputs + (par, lights, dirs, order, count, planes,
+                               spheres, boxes, hf, med, shadow_in)
         n_out = 4
     else:
         in_specs += [plane_spec, plane_spec, plane_spec, plane_spec,
                      shadow_spec]
-        inputs = (par, lights, dirs, order, count, planes, spheres, boxes, hf,
-                  material_a[..., 0], material_a[..., 1], material_a[..., 2],
-                  material_b[..., 0], shadow_in)
+        inputs = vis_inputs + (par, lights, dirs, order, count, planes,
+                               spheres, boxes, hf,
+                               material_a[..., 0], material_a[..., 1],
+                               material_a[..., 2], material_b[..., 0],
+                               shadow_in)
         n_out = 3
 
     outs = pl.pallas_call(

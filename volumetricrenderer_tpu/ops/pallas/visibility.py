@@ -1,0 +1,267 @@
+"""Per-light baked visibility volumes (the local-light shadow amortizer).
+
+The reference amortizes local-light occlusion into shadow MAPS baked once per
+light (cube faces for points, one perspective map for spots —
+VolumetricHelper.hlsl:237-259, dispatched per froxel from
+VolumetricCompute.compute:87-167). The round-2 fused scatter kernel instead
+re-tested occlusion per (light, froxel) — ~2/3 of its 6.46 ms (PERF.md
+"Scatter-kernel accounting"). This module is the TPU-native equivalent of the
+reference's amortization: bake per-light VISIBILITY into a low-res froxel-rate
+volume once per frame (this kernel — the same any-hit tests at 1/ss^3 the
+rate), then let the scatter kernel sample it with an exact separable tent
+upsample (z-lerp of two planes + two small matmuls; at ss=2 every weight and
+every lerped value is dyadic, so even bf16 MXU dots reproduce f32 exactly).
+
+Map-mode local lights use the same consumer: bake_visibility_from_maps samples
+the baked cube/spot maps at the low-res grid in XLA (1/ss^3 of the gathers
+that made full-rate map sampling a ~2.5 s/frame cliff).
+
+Grid/coordinate contract: low-res cell k covers full-res cells
+[ss*k, ss*k+ss); its sample sits at full-res coordinate ss*k + (ss-1)/2
+(continuous position ss*k + (ss+1)/2 + jitter), i.e. the midpoint of its
+cells' jittered sample positions. The tent weights in upsample_mats and the
+z-lerp in the scatter kernel interpolate in that coordinate frame with
+clamp-to-edge at the borders.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
+
+
+def low_res_dims(grid_whd: Tuple[int, int, int], ss: int):
+    w, h, d = grid_whd
+    return (-(-w // ss), -(-h // ss), -(-d // ss))        # (WL, HL, DL)
+
+
+def upsample_mats(n: int, nl: int, ss: int) -> np.ndarray:
+    """[n, nl] f32 tent weights: out[i] = sum_k A[i, k] * low[k], linear
+    interpolation between low-res sample positions with clamp-to-edge.
+    At ss=2 the weights are 0.25/0.75/1.0 — exact in bf16."""
+    a = np.zeros((n, nl), np.float32)
+    for i in range(n):
+        u = (i - (ss - 1) / 2.0) / ss
+        k = int(np.floor(u))
+        t = u - k
+        if k < 0:
+            k, t = 0, 0.0
+        if k >= nl - 1:
+            k, t = nl - 1, 0.0
+        a[i, k] += 1.0 - t
+        if t > 0.0:
+            a[i, k + 1] += t
+    return a
+
+
+def low_slice_active(params, view_to_world, positions, ranges,
+                     grid_whd: Tuple[int, int, int], ss: int) -> jax.Array:
+    """[NL, DL] bool: does any full-res froxel that interpolates from low
+    slice k intersect light li's range sphere? Full slice z reads low slices
+    floor(u)..floor(u)+1 with u = (z - (ss-1)/2)/ss, so low slice k is read by
+    z in [ss*k - ss + 1, ss*k + 2*ss - 1]; pad one voxel for the jitter."""
+    from volumetricrenderer_tpu import froxel as froxel_lib
+
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    h_glob = params.grid[1]
+    y0 = jnp.asarray(params.y0, jnp.float32)
+    ks = jnp.arange(dl, dtype=jnp.float32)
+    z0 = jnp.clip(ss * ks - ss, 0.0, float(d))
+    z1 = jnp.clip(ss * ks + 2.0 * ss, 0.0, float(d))
+    xs = jnp.asarray([0.0, float(w)])
+    ys = jnp.stack([jnp.clip(y0, 0.0, float(h_glob)),
+                    jnp.clip(y0 + h, 0.0, float(h_glob))])
+    fx, fy = jnp.meshgrid(xs, ys, indexing="ij")
+    fx = jnp.broadcast_to(fx.reshape(1, 4), (dl, 4))
+    fy = jnp.broadcast_to(fy.reshape(1, 4), (dl, 4))
+    corners = []
+    for fz in (z0, z1):
+        fzc = jnp.broadcast_to(fz[:, None], (dl, 4))
+        corners.append(jnp.stack([fx, fy, fzc], axis=-1))
+    fro = jnp.concatenate(corners, axis=1)                 # [DL, 8, 3]
+    world = froxel_lib.transform_points(view_to_world,
+                                        froxel_lib.froxel_to_view(params, fro))
+    lo = jnp.min(world, axis=1)
+    hi = jnp.max(world, axis=1)
+    nearest = jnp.clip(positions[:, None], lo[None], hi[None])   # [NL, DL, 3]
+    diff = nearest - positions[:, None]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return d2 <= (ranges[:, None] ** 2)                    # [NL, DL]
+
+
+def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
+                 boxes_ref, hf_ref, out_ref, *,
+                 grid_whd: Tuple[int, int, int], ss: int, n_planes: int,
+                 n_spheres: int, n_boxes: int, h_glob: int,
+                 hf_static: tuple):
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    li = pl.program_id(0)
+    zi = pl.program_id(1)
+
+    @pl.when(active_ref[li, zi] == 0)
+    def _culled():
+        out_ref[0, 0] = jnp.ones((hl, wl), jnp.float32)
+
+    @pl.when(active_ref[li, zi] != 0)
+    def _bake():
+        p = lambda i: par_ref[0, i]
+        fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+        jx, jy, jz = p(17), p(18), p(19)
+        y0 = p(23)
+
+        # low-res slice sample: full-res froxel coords ss*k + (ss-1)/2, same
+        # +0.5+jitter convention as the full-res kernel (scatter._kernel)
+        off = (ss - 1) * 0.5
+        fz = float(ss) * zi.astype(jnp.float32) + off + 0.5 + jz
+        vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1) \
+            .astype(jnp.float32) * float(ss) + off
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0) \
+            .astype(jnp.float32) * float(ss) + off
+        ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+        vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
+        vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
+        wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+        wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+        wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+        q = lambda i: lights_ref[li, i]
+        tx = wx - q(0)
+        ty = wy - q(1)
+        tz = wz - q(2)
+        d2 = tx * tx + ty * ty + tz * tz
+        inv_d = jax.lax.rsqrt(d2 + 1e-18)
+        dist = d2 * inv_d
+        occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
+                      wx, wy, wz, -tx * inv_d, -ty * inv_d, -tz * inv_d,
+                      dist - 0.05, n_planes=n_planes, n_spheres=n_spheres,
+                      n_boxes=n_boxes, hf_static=hf_static)
+        out_ref[0, 0] = 1.0 - occ.astype(jnp.float32) * q(14)   # shadow gate
+
+
+def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
+                           point_lights, spot_lights, geometry,
+                           grid_whd: Tuple[int, int, int], ss: int,
+                           interpret: bool = False,
+                           heightfield_shadows: bool = False) -> jax.Array:
+    """[NL, DL, HL, WL] f32 visibility (1 = lit), raycast occlusion at 1/ss^3
+    rate. Light order matches scatter.pack_lights (points then spots); culled
+    (light, low-slice) pairs are written fully lit — exact, because the
+    scatter kernel's range cull zeroes those froxels anyway."""
+    from volumetricrenderer_tpu.ops.pallas.material import pack_heightfield
+    from volumetricrenderer_tpu.ops.pallas.scatter import (pack_lights,
+                                                           pack_params)
+
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    lights = pack_lights(point_lights, spot_lights)
+    nl = lights.shape[0]
+    par = pack_params(params, view_to_world, camera_pos, jitter)
+    positions = jnp.concatenate([point_lights.position, spot_lights.position])
+    ranges = jnp.concatenate([point_lights.range, spot_lights.range])
+    active = low_slice_active(params, view_to_world, positions, ranges,
+                              grid_whd, ss).astype(jnp.int32)
+
+    planes = jnp.concatenate([geometry.plane_normal,
+                              geometry.plane_d[:, None]], axis=-1)
+    spheres = jnp.concatenate([geometry.sphere_center,
+                               geometry.sphere_radius[:, None]], axis=-1)
+    boxes = jnp.concatenate([geometry.box_min,
+                             jnp.zeros_like(geometry.box_min[:, :1]),
+                             geometry.box_max,
+                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    n_planes = planes.shape[0]
+    n_spheres = spheres.shape[0]
+    n_boxes = boxes.shape[0]
+    planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
+    spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
+    boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
+    hf = pack_heightfield(geometry)
+    hf_static = (geometry.hf_octaves, geometry.hf_period, geometry.hf_seed,
+                 geometry.hf_steps, geometry.hf_far) \
+        if (geometry.hf_enabled and heightfield_shadows) else None
+
+    kernel = functools.partial(
+        _bake_kernel, grid_whd=grid_whd, ss=ss, n_planes=n_planes,
+        n_spheres=n_spheres, n_boxes=n_boxes, h_glob=params.grid[1],
+        hf_static=hf_static)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                                      memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nl, dl),
+        in_specs=[
+            smem(par.shape),
+            smem(lights.shape),
+            smem(active.shape),
+            smem(planes.shape),
+            smem(spheres.shape),
+            smem(boxes.shape),
+            smem(hf.shape),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hl, wl), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nl, dl, hl, wl), jnp.float32),
+        interpret=interpret,
+    )(par, lights, active, planes, spheres, boxes, hf)
+
+
+def low_res_world_positions(cfg, params, view_to_world, jitter, ss: int):
+    """[DL, HL, WL, 3] world positions at the low-res sample points (the same
+    coordinate contract as the bake kernel), for XLA-side visibility bakes."""
+    from volumetricrenderer_tpu import froxel as froxel_lib
+
+    d, h, w = cfg.grid_dhw
+    wl, hl, dl = low_res_dims((w, h, d), ss)
+    off = (ss - 1) * 0.5
+    zs = jnp.arange(dl, dtype=jnp.float32) * ss + off
+    ys = jnp.arange(hl, dtype=jnp.float32) * ss + off \
+        + jnp.asarray(params.y0, jnp.float32)
+    ys = jnp.clip(ys, 0.0, params.grid[1] - 1.0)
+    xs = jnp.arange(wl, dtype=jnp.float32) * ss + off
+    fz, fy, fx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    fro = jnp.stack([fx, fy, fz], axis=-1)
+    if jitter is not None:
+        fro = fro + jitter
+    view = froxel_lib.froxel_to_view(params, fro + 0.5)
+    return froxel_lib.transform_points(view_to_world, view)
+
+
+def bake_visibility_from_maps(cfg, params, view_to_world, jitter,
+                              point_lights, spot_lights, cube_shadow,
+                              spot_shadow, ss: int) -> jax.Array:
+    """[NL, DL, HL, WL] visibility from the baked cube/spot shadow MAPS
+    (shadow_mode="map"), sampled at the low-res grid — the reference's local
+    shadow-map sampling (VolumetricHelper.hlsl:237-259) at 1/ss^3 the gather
+    count. XLA gathers are ~8 ns/element (PERF.md), so this runs at
+    NL x DL x HL x WL rate instead of the full-rate ~2.5 s/frame cliff."""
+    from volumetricrenderer_tpu import shadow as shadow_lib
+
+    world = low_res_world_positions(cfg, params, view_to_world, jitter, ss)
+    chans = []
+    for i in range(point_lights.count):
+        if cube_shadow is not None:
+            s = shadow_lib.sample_cube_shadow(
+                cube_shadow, i, world - point_lights.position[i])
+            g = point_lights.has_shadow[i].astype(jnp.float32)
+            chans.append(1.0 + g * (s - 1.0))
+        else:
+            chans.append(jnp.ones(world.shape[:-1], jnp.float32))
+    for i in range(spot_lights.count):
+        if spot_shadow is not None:
+            s = shadow_lib.sample_spot_shadow(spot_shadow, i, world)
+            g = spot_lights.has_shadow[i].astype(jnp.float32)
+            chans.append(1.0 + g * (s - 1.0))
+        else:
+            chans.append(jnp.ones(world.shape[:-1], jnp.float32))
+    return jnp.stack(chans)

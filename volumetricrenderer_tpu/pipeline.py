@@ -249,10 +249,31 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     extinction = jnp.zeros((d, h, w), jnp.float32)
 
     local_raycast = cfg.shadow_mode in ("raycast", "map_dir")
+    n_local = point_lights.count + spot_lights.count
+    is_slab = h != params.grid[1]       # H-sharded slab (local rows != global)
+
+    # Local-light shadow source for the fused kernel (VERDICT r2 #1):
+    #   - ss == 1, raycast: exact in-kernel any-hit march (round-2 path).
+    #   - ss > 1, raycast: per-light visibility baked at 1/ss^3 rate
+    #     (ops/pallas/visibility.py) and tent-upsampled in-kernel — the
+    #     TPU-native equivalent of the reference's shadow-map amortization,
+    #     and the proper implementation of the raycast_shadow_subsample knob
+    #     on the fused path (it previously forced the XLA fallback).
+    #   - map mode: the cube/spot MAPS sampled into the same low-res volume
+    #     (1/ss^3 of the gathers; full-rate map sampling is the documented
+    #     ~2.5 s/frame parity path) — ss floors at 2 here to bound the
+    #     gather count and the kernel's VMEM blocks.
+    vis_mode = None
+    if cfg.scatter_impl == "pallas" and n_local > 0 and not is_slab:
+        if local_raycast and geometry is not None and ss > 1:
+            vis_mode = ("raycast", ss)
+        elif (cfg.shadow_mode == "map" and geometry is not None
+              and (cube_shadow is not None or spot_shadow is not None)):
+            vis_mode = ("map", max(ss, 2))
     use_pallas_scatter = (
-        cfg.scatter_impl == "pallas" and local_raycast
-        and geometry is not None and ss == 1
-        and (point_lights.count + spot_lights.count) > 0)
+        cfg.scatter_impl == "pallas" and n_local > 0
+        and ((local_raycast and geometry is not None and ss == 1)
+             or vis_mode is not None))
     # Fold the material evaluation into the kernel too (material_impl =
     # "fused"): the material volumes then never touch HBM — XLA DCEs the
     # whole write_material_volumes pass when nothing else consumes it.
@@ -284,14 +305,30 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 
     if use_pallas_scatter:
         from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
+        interp = jax.default_backend() != "tpu"
+        vis = None
+        vis_ss = 1
+        if vis_mode is not None:
+            from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
+            source, vis_ss = vis_mode
+            if source == "raycast":
+                vis = vis_lib.bake_visibility_pallas(
+                    params, view_to_world, camera_pos, jitter, point_lights,
+                    spot_lights, geometry, cfg.grid, vis_ss, interpret=interp,
+                    heightfield_shadows=cfg.heightfield_local_shadows)
+            else:
+                vis = vis_lib.bake_visibility_from_maps(
+                    cfg, params, view_to_world, jitter, point_lights,
+                    spot_lights, cube_shadow, spot_shadow, vis_ss)
         outs = scatter_local_pallas(
             params, view_to_world, camera_pos, jitter, material_a, material_b,
             point_lights, spot_lights, geometry, cfg.grid,
             dir_lights=dir_lights, shadow_volume=shadow_volume,
             jitter_dir=cfg.jitter_dir_scatter,
-            interpret=jax.default_backend() != "tpu", return_planes=True,
+            interpret=interp, return_planes=True,
             media=media if use_fused_material else None, time_x=time_x,
-            heightfield_shadows=cfg.heightfield_local_shadows)
+            heightfield_shadows=cfg.heightfield_local_shadows,
+            vis=vis, vis_ss=vis_ss)
         if use_fused_material:
             pr, pg, pb, extinction = outs
         else:
