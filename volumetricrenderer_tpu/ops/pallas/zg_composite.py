@@ -57,10 +57,12 @@ def padded_dims(h: int) -> Tuple[int, int]:
     return (nblk + 1) * HB, WSTRIDE
 
 
-def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
-            cp: int):
-    """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; blk_a/blk_b [128, HB*256]
-    (padded rows [i*HB, (i+2)*HB)); out [HB, W, cp]."""
+def _kernel(*refs, w: int, d: int, cp: int, n_planes: int):
+    """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; then per plane blk_a/blk_b
+    [128, HB*256] (padded rows [i*HB, (i+2)*HB)); outs [HB, W, cp]. All
+    n_planes channels share one launch (and one fetch of fz/w9) — the z taps
+    and weights are channel-independent."""
+    fz_ref, w9_ref = refs[0], refs[1]
     cells = HB * WSTRIDE
 
     fzc = fz_ref[...].reshape(cells, cp)                 # leading-dim merge
@@ -71,23 +73,27 @@ def _kernel(fz_ref, w9_ref, blk_a, blk_b, out_ref, *, w: int, d: int,
     idx = jnp.concatenate([z0, z1], axis=1)              # [cells, 128]
     wz = jnp.concatenate([1.0 - f, f], axis=1)           # z-lerp per lane
 
-    stack = jnp.concatenate([blk_a[...], blk_b[...]], axis=1)
-    t = stack.T                                          # [2*cells, 128]
-    acc = jnp.zeros((cells, DLANES), jnp.float32)
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            # out cell (rb, xp) = actual (row i*HB + rb, col xp); src row
-            # (rb + dy)*WSTRIDE + xp + dx = padded (row + dy-1, col + dx-1)
-            # (the +1 paddings bake the neighbor offsets and edge clamps)
-            start = dy * WSTRIDE + dx
-            src = jax.lax.slice_in_dim(t, start, start + cells, axis=0)
-            g = jnp.take_along_axis(src, idx, axis=1)
-            n = dy * 3 + dx
-            acc = acc + g * w9_ref[n:n + 1, :]           # [1,128] broadcast
-    accw = acc * wz
-    comb = accw + pltpu.roll(accw, 64, 1)                # tap0+tap1 in 0-63
-    comb3 = comb.reshape(HB, WSTRIDE, DLANES)
-    out_ref[...] = comb3[:, :w, :cp]
+    for c in range(n_planes):
+        blk_a = refs[2 + 2 * c]
+        blk_b = refs[3 + 2 * c]
+        out_ref = refs[2 + 2 * n_planes + c]
+        stack = jnp.concatenate([blk_a[...], blk_b[...]], axis=1)
+        t = stack.T                                      # [2*cells, 128]
+        acc = jnp.zeros((cells, DLANES), jnp.float32)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                # out cell (rb, xp) = actual (row i*HB + rb, col xp); src row
+                # (rb + dy)*WSTRIDE + xp + dx = padded (row + dy-1, col + dx-1)
+                # (the +1 paddings bake the neighbor offsets and edge clamps)
+                start = dy * WSTRIDE + dx
+                src = jax.lax.slice_in_dim(t, start, start + cells, axis=0)
+                g = jnp.take_along_axis(src, idx, axis=1)
+                n = dy * 3 + dx
+                acc = acc + g * w9_ref[n:n + 1, :]       # [1,128] broadcast
+        accw = acc * wz
+        comb = accw + pltpu.roll(accw, 64, 1)            # tap0+tap1 in 0-63
+        comb3 = comb.reshape(HB, WSTRIDE, DLANES)
+        out_ref[...] = comb3[:, :w, :cp]
 
 
 def composite_zgather_planes(planes, fz_texel: jax.Array,
@@ -182,33 +188,37 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     w9 = _cell_weights(py, px) if w9_override is None else w9_override
     w9d = jnp.asarray(np.concatenate([w9, w9], axis=1), jnp.float32)
 
-    kernel = functools.partial(_kernel, w=w, d=d, cp=cp)
-    outs = []
+    n_planes = len(planes_p)
+    kernel = functools.partial(_kernel, w=w, d=d, cp=cp, n_planes=n_planes)
+    plane_spec_a = pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    plane_spec_b = pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i + 1),
+                                memory_space=pltpu.VMEM)
+    plane_inputs = []
     for p in planes_p:
-        o = pl.pallas_call(
-            kernel,
-            grid=(nblk,),
-            in_specs=[
-                pl.BlockSpec((HB, WSTRIDE, cp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((9, 2 * cp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i + 1),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((HB, w, cp), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((hout, w, cp), jnp.float32),
-            # peak scoped VMEM sits right at the default 16 MB limit and
-            # scheduling makes it flaky (observed 16.62M); v5e has 128 MB —
-            # give the scheduler headroom
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=32 * 1024 * 1024),
-            interpret=interpret,
-        )(fz_c, w9d, p, p)
-        outs.append(o[:h])
+        plane_inputs += [p, p]
+    outs_all = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((HB, WSTRIDE, cp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 2 * cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [plane_spec_a, plane_spec_b] * n_planes,
+        out_specs=tuple([pl.BlockSpec((HB, w, cp), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)] * n_planes),
+        out_shape=tuple([jax.ShapeDtypeStruct((hout, w, cp), jnp.float32)]
+                        * n_planes),
+        # all 4 channels in one launch: ~10.5 MB of blocks per step, double-
+        # buffered by the pipeline — v5e has 128 MB of VMEM; the raised limit
+        # gives the scheduler headroom (single-channel peak already sat
+        # flakily at the 16 MB default)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(fz_c, w9d, *plane_inputs)
+    outs = [o[:h] for o in outs_all]
 
     # cell -> screen unshuffle for all channels in ONE batched map (the
     # per-step transposes fuse; a whole-image moveaxis is a ~1.6 ms strided
