@@ -172,27 +172,55 @@ class VolumetricRenderer:
             scatter_planes = None   # planes bypass the blend; use the volume
 
         # --- Accumulate (cs:641-647) + blend (cs:276) ---
-        with jax.named_scope("accumulate"):
-            accumulation, acc_planes = pipeline.accumulate(
-                cfg, params, jitter, scatter, planes=scatter_planes,
-                return_planes=True)
         acc_prepadded = False
-        if cfg.temporal_blend_accumulation:
+        padded_for = None
+        if (cfg.temporal_blend_accumulation and slab is None
+                and cfg.reproj_impl == "pallas"
+                and pipeline.zgather_eligible(cfg)):
             # blend emits planes pre-padded for the zgather composite when
             # both fused paths are active (saves the XLA pad concats)
-            padded_for = None
-            if (slab is None and cfg.reproj_impl == "pallas"
-                    and pipeline.zgather_eligible(cfg)):
-                from volumetricrenderer_tpu.ops.pallas.zg_composite import \
-                    padded_dims
-                padded_for = padded_dims(cfg.volume_height)
-                acc_prepadded = True
-            with jax.named_scope("temporal_blend_accumulation"):
-                accumulation, acc_planes = pipeline.temporal_blend_accumulation(
-                    cfg, params, view_to_world, prev_w2v, accumulation,
-                    state.prev_accumulation.astype(jnp.float32), alpha,
-                    planes=acc_planes, return_planes=True,
-                    padded_for=padded_for)
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                padded_dims
+            padded_for = padded_dims(cfg.volume_height)
+            acc_prepadded = True
+        fuse_ib = (cfg.temporal_blend_accumulation
+                   and cfg.accumulate_impl == "pallas"
+                   and cfg.reproj_impl == "pallas"
+                   and scatter_planes is not None)
+        if fuse_ib:
+            # single-pass sample + integrate + accumulation blend
+            # (ops/pallas/integrate_blend.py): the pre-blend accumulation
+            # volume never exists, ~132 MB/frame of HBM glue gone
+            from volumetricrenderer_tpu.ops.pallas.integrate_blend import \
+                integrate_blend_fused
+            prev_acc = state.prev_accumulation.astype(jnp.float32)
+            with jax.named_scope("integrate_blend"):
+                acc_planes = integrate_blend_fused(
+                    scatter_planes,
+                    tuple(prev_acc[..., c] for c in range(4)),
+                    jitter, params, view_to_world, prev_w2v, alpha,
+                    cfg.grid, cfg.reproj_window,
+                    interpret=jax.default_backend() != "tpu",
+                    padded_out=padded_for)
+            d_, h_, w_ = cfg.grid_dhw
+            un = [o[:d_, 1:h_ + 1, 1:w_ + 1] for o in acc_planes] \
+                if acc_prepadded else list(acc_planes)
+            accumulation = jnp.concatenate(
+                [jnp.stack(un[:3], axis=-1), un[3][..., None]], axis=-1)
+        else:
+            with jax.named_scope("accumulate"):
+                accumulation, acc_planes = pipeline.accumulate(
+                    cfg, params, jitter, scatter, planes=scatter_planes,
+                    return_planes=True)
+            if cfg.temporal_blend_accumulation:
+                with jax.named_scope("temporal_blend_accumulation"):
+                    accumulation, acc_planes = \
+                        pipeline.temporal_blend_accumulation(
+                            cfg, params, view_to_world, prev_w2v,
+                            accumulation,
+                            state.prev_accumulation.astype(jnp.float32),
+                            alpha, planes=acc_planes, return_planes=True,
+                            padded_for=padded_for)
 
         # --- Composite (cs:118, shader:69-93) ---
         with jax.named_scope("composite"):
