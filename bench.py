@@ -13,12 +13,16 @@ owns those passes in the reference) and the steady-state per-frame time of the
 jitted froxel pipeline + composite + post is reported.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target).
+vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target). Extra
+keys record the secondary scopes each round (VERDICT r2 #3/#9): frame_post_ms
+(frame + the full post stack fused in ONE jit), map_ms (the cascaded-PCF
+shadow-map path), ms_4k (3840x2160 composite).
 """
 
 import dataclasses
 import functools
 import json
+import signal
 import sys
 import time
 
@@ -126,15 +130,6 @@ def main():
     # hygiene); the "timing" field records the estimator for the driver.
     frame_ms = min(batch_means) * 1e3
 
-    print(json.dumps({
-        "metric": "ms/frame (inject+scatter+integrate+composite) at "
-                  f"{cfg.image_width}x{cfg.image_height}, "
-                  f"{cfg.volume_width}x{cfg.volume_height}x{cfg.volume_depth} froxels, 16 lights",
-        "value": round(frame_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(TARGET_MS / frame_ms, 3),
-        "timing": "pipelined-best-batch-mean",
-    }))
     # vary the input per call — INCLUDING vs the warmup call: the axon relay
     # dedups identical (executable, inputs) executions (CLAUDE.md trap)
     post = jax.jit(lambda i, s: apply_post(i * s, post_cfg))
@@ -145,7 +140,101 @@ def main():
     jax.block_until_ready(out)
     post_ms = (time.perf_counter() - t0) / 10 * 1e3
 
-    print(f"# best={frame_ms:.3f}ms post={post_ms:.3f}ms compile={compile_s:.1f}s "
+    # ---- secondary scopes (recorded every round, VERDICT r2 #3/#9) ---- #
+    # Best-effort with a hard wall-clock cap: the pooled TPU occasionally
+    # wedges mid-compile, and the driver MUST still get the headline JSON
+    # line — each scope runs under a SIGALRM deadline and is skipped (with a
+    # stderr note) on timeout or error.
+
+    def pipelined(fn, state0, n_batches=4, n_frames=12):
+        st = state0
+        out = None
+        for i in range(3):                     # warm
+            out, st = fn(st, jnp.float32(0.31 + 0.01 * i))
+        jax.block_until_ready(out)
+        best = float("inf")
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                out, st = fn(st, jnp.float32(0.5 + 0.01 * (b * n_frames + i)))
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n_frames)
+        return best * 1e3
+
+    extra = {}
+
+    def scope(key, thunk, deadline_s=900):
+        def _alarm(signum, frm):
+            raise TimeoutError(f"{key} exceeded {deadline_s}s")
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(deadline_s)
+        try:
+            extra[key] = round(thunk(), 3)
+        except Exception as e:  # noqa: BLE001 — best-effort secondary scope
+            print(f"# scope {key} skipped: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    def run_frame_post():
+        # frame + FULL post stack in one jit: the end-to-end number the
+        # north star is really about (the scoped metric excludes post)
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame_post(state, time_x):
+            image, _, new_state = renderer.render_frame(
+                state, scene, time_x, scene_color, view_depth, shadow_data)
+            return jnp.sum(apply_post(image, post_cfg)), new_state
+
+        return pipelined(frame_post, state)
+
+    def run_map():
+        # the reference's cascaded-PCF dir-shadow technique (fused sampler)
+        cfg_map = dataclasses.replace(cfg, shadow_mode="map_dir")
+        r_map = VolumetricRenderer(cfg_map)
+        shadow_map = jax.block_until_ready(
+            jax.jit(lambda sc: r_map.bake_shadow_data(sc))(scene))
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame_map(state, time_x):
+            image, _, new_state = r_map.render_frame(
+                state, scene, time_x, scene_color, view_depth, shadow_map)
+            return jnp.sum(image), new_state
+
+        return pipelined(frame_map, r_map.init_state(scene.dir_lights.count))
+
+    def run_4k():
+        # 4K composite scope (zgather's multiple-of-8 cell decomposition)
+        cfg_4k = dataclasses.replace(cfg, image_width=3840, image_height=2160)
+        r_4k = VolumetricRenderer(cfg_4k)
+        gb4k = jax.jit(lambda sc: r_4k.render_scene_inputs(sc))
+        sc4k, vd4k = jax.block_until_ready(gb4k(scene))
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame_4k(state, time_x):
+            image, _, new_state = r_4k.render_frame(
+                state, scene, time_x, sc4k, vd4k, shadow_data)
+            return jnp.sum(image), new_state
+
+        return pipelined(frame_4k, r_4k.init_state(scene.dir_lights.count))
+
+    scope("frame_post_ms", run_frame_post)
+    if "--small" not in sys.argv and "--map-shadows" not in sys.argv:
+        scope("map_ms", run_map)
+        scope("ms_4k", run_4k)
+
+    print(json.dumps({
+        "metric": "ms/frame (inject+scatter+integrate+composite) at "
+                  f"{cfg.image_width}x{cfg.image_height}, "
+                  f"{cfg.volume_width}x{cfg.volume_height}x{cfg.volume_depth} froxels, 16 lights",
+        "value": round(frame_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / frame_ms, 3),
+        "timing": "pipelined-best-batch-mean",
+        **extra,
+    }))
+    print(f"# best={frame_ms:.3f}ms post={post_ms:.3f}ms "
+          f"extra={extra} compile={compile_s:.1f}s "
           f"checksum={checksum:.1f} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 

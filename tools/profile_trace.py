@@ -29,10 +29,26 @@ def main():
     if "--map-dir" in sys.argv:      # profile the cascaded-PCF sampler path
         cfg = dataclasses.replace(cfg, shadow_mode="map_dir")
         sys.argv.remove("--map-dir")
+    if "--ss2" in sys.argv:          # baked-visibility local shadows
+        cfg = dataclasses.replace(cfg, raycast_shadow_subsample=2)
+        sys.argv.remove("--ss2")
+    if "--no-lights" in sys.argv:    # the zero-light frame floor
+        sys.argv.remove("--no-lights")
+        no_lights = True
+    else:
+        no_lights = False
     r = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
                             noise_mode="procedural")
-    state = r.init_state(scene.dir_lights.count)
+    if no_lights:
+        from volumetricrenderer_tpu.models.lights import (DirectionalLights,
+                                                          PointLights,
+                                                          SpotLights)
+        scene = dataclasses.replace(scene,
+                                    dir_lights=DirectionalLights.empty(),
+                                    point_lights=PointLights.empty(),
+                                    spot_lights=SpotLights.empty())
+    state = r.init_state(max(scene.dir_lights.count, 1))
     # engine-owned precomputes (bench.py scoping): bake + G-buffer stay out
     # of the traced frame
     shadow_data = jax.block_until_ready(
