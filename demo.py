@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--debug-slice", type=int, default=-1)
     ap.add_argument("--showcase", action="store_true")
+    ap.add_argument("--mesh-env", action="store_true",
+                    help="FBX-derived tree occluders (models/tree_assets.py)")
     args = ap.parse_args()
 
     cfg = DEMO_CONFIG
@@ -41,7 +43,8 @@ def main():
     renderer = VolumetricRenderer(cfg)
     noise = perlin_texture_3d(32) if args.noise else None
     scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
-                       with_noise=args.noise, noise_tex=noise)
+                       with_noise=args.noise, noise_tex=noise,
+                       mesh_env=args.mesh_env)
     if args.showcase:
         post = PostConfig(exposure=1.1, bloom_strength=0.25,
                           bloom_threshold=0.8, vignette=0.25,

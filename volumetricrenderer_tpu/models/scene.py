@@ -54,7 +54,7 @@ def _euler_forward(pitch_deg: float, yaw_deg: float) -> Tuple[float, float, floa
 
 
 def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
-               noise_tex=None) -> Scene:
+               noise_tex=None, mesh_env: bool = False) -> Scene:
     """The reference demo scene (SURVEY §2.6 / VolumetricRenderer.unity).
 
     Camera at (-0.4, 1.9, -15.8) looking +z (scene:597-599); Sun euler (50, -30)
@@ -86,12 +86,33 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
         noise_scroll=(10.0, 0.0, 0.0), noise_tiling=(0.01, 0.01, 0.01))
 
     # Environment prefab stand-ins (Assets/Prefabs/Enviornment.prefab): ground
-    # cubes + sphere as analytic primitives, the tree FBX meshes as canopy
-    # spheres on trunk boxes, and rolling terrain as a procedural heightfield.
+    # cubes + sphere as analytic primitives, trees at the prefab's three
+    # placements, and rolling terrain as a procedural heightfield. Two tree
+    # representations:
+    #   mesh_env=False: hand-placed canopy sphere + trunk box (cheap, the
+    #     round-2 stand-in; keeps small-test configs light);
+    #   mesh_env=True: the ACTUAL reference FBX meshes, ingested via
+    #     io/fbx.py -> models/voxelize.py into baked occluder boxes
+    #     (models/tree_assets.py) — real mesh content driving the G-buffer
+    #     and every shadow path through the analytic box tables.
     trees = [(-9.0, 18.0), (7.0, 9.0), (-14.0, 25.0)]
-    tree_spheres = [((x, 3.2, z), 1.6, (0.18, 0.32, 0.12)) for x, z in trees]
-    tree_trunks = [((x - 0.25, 0.0, z - 0.25), (x + 0.25, 2.4, z + 0.25),
-                    (0.3, 0.2, 0.12)) for x, z in trees]
+    if mesh_env:
+        from volumetricrenderer_tpu.models.tree_assets import TREE_0, TREE_1
+        from volumetricrenderer_tpu.models.voxelize import transform_boxes
+        leaf = (0.18, 0.32, 0.12)
+        tree_spheres = []
+        tree_trunks = []
+        for i, (x, z) in enumerate(trees):
+            src = TREE_0 if i % 2 == 0 else TREE_1
+            inst = transform_boxes(src, scale=0.55 if i % 2 else 0.5,
+                                   translate=(x, 0.0, z),
+                                   yaw=i * math.pi / 2)
+            tree_trunks += [(tuple(bm), tuple(bx), leaf) for bm, bx in inst]
+    else:
+        tree_spheres = [((x, 3.2, z), 1.6, (0.18, 0.32, 0.12))
+                        for x, z in trees]
+        tree_trunks = [((x - 0.25, 0.0, z - 0.25), (x + 0.25, 2.4, z + 0.25),
+                        (0.3, 0.2, 0.12)) for x, z in trees]
     geometry = Geometry.create(
         planes=[((0.0, 1.0, 0.0), 0.0, (0.22, 0.26, 0.18))],
         spheres=[((4.0, 1.5, 6.0), 1.5, (0.6, 0.55, 0.5))] + tree_spheres,
