@@ -81,6 +81,15 @@ class RenderConfig:
     # semantics (1/N XY rate, nearest-upsampled, full-rate Z).
     raycast_shadow_subsample: int = 1
 
+    # Texture-mode noise sampling rate. 1 = per-froxel wrap-trilinear taps
+    # (reference parity, compute:51-58 — gather-bound, ~260 ms at FULL size,
+    # PERF.md). N > 1: the wrapped texture field is sampled at 1/N^3 froxel
+    # rate and tent-upsampled with exact separable matmuls — the same
+    # amortization as the visibility volumes, and nearly free: a 32^3 noise
+    # texture's content is far below even the 1/4-rate grid's Nyquist.
+    # Procedural noise (the production default) ignores this knob.
+    texture_noise_subsample: int = 1
+
     # Output image.
     image_width: int = 1280
     image_height: int = 720

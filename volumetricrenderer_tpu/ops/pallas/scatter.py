@@ -260,7 +260,11 @@ def _kernel(*refs,
             # neighbor planes, then the exact separable tent upsample as two
             # small matmuls (weights and lerped values are dyadic at ss=2, so
             # the default-precision MXU dots are exact; has_shadow is already
-            # baked in — culled/no-shadow planes are 1.0)
+            # baked in — culled/no-shadow planes are 1.0). TRIED AND
+            # REVERTED: hoisting the upsample out of the fori as two batched
+            # 16-light dots into VMEM scratch measured 2.76 vs 2.55 ms
+            # in-kernel — the batch upsamples every light while the culled
+            # fori only visits ~11, and the scratch staging adds traffic.
             va = vis_a_ref[idx, 0]
             vb = vis_b_ref[idx, 0]
             low = va + vt * (vb - va)                      # [HL, WL]

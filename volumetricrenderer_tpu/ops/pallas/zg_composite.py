@@ -48,6 +48,7 @@ from volumetricrenderer_tpu.ops.pallas.composite import _cell_weights
 DLANES = 128
 HB = 8          # froxel rows per grid step (8 x 256 = a (8,128)-clean block)
 WSTRIDE = 256   # padded cell-row stride (1 left edge col + W + right pads)
+UNSHUFFLE = "map"   # cell->screen layout variant (probe knob): map|bf16|whole
 
 
 def padded_dims(h: int) -> Tuple[int, int]:
@@ -222,19 +223,24 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
 
     # cell -> screen unshuffle for all channels in ONE batched map (the
     # per-step transposes fuse; a whole-image moveaxis is a ~1.6 ms strided
-    # copy, PERF.md)
+    # copy, PERF.md). UNSHUFFLE is a probe knob (tools/probe_unshuffle.py).
+    if UNSHUFFLE == "whole":
+        return tuple(o.reshape(h, w, py, px).transpose(0, 2, 1, 3)
+                     .reshape(ih, iw) for o in outs)
     nb = 5 if h % 5 == 0 else (3 if h % 3 == 0 else 1)
+    cast = (lambda x: x.astype(jnp.bfloat16)) if UNSHUFFLE == "bf16" \
+        else (lambda x: x)
 
     def rows(y0):
         outs_r = []
         for o in outs:
-            b = jax.lax.dynamic_slice_in_dim(o, y0 * nb, nb, 0)
+            b = jax.lax.dynamic_slice_in_dim(cast(o), y0 * nb, nb, 0)
             b = b.reshape(nb, w, py, px).transpose(0, 2, 1, 3)
             outs_r.append(b.reshape(nb, py, w * px))
         return tuple(outs_r)
 
     shuffled = jax.lax.map(rows, jnp.arange(h // nb))
-    return tuple(s.reshape(ih, iw) for s in shuffled)
+    return tuple(s.reshape(ih, iw).astype(jnp.float32) for s in shuffled)
 
 
 def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,

@@ -92,6 +92,30 @@ def _sample_noise(medium: Medium, world_pos: jax.Array, time_x) -> jax.Array:
     return trilinear_sample_3d(medium.noise_tex, texel, wrap=True)
 
 
+def _sample_noise_lowres(cfg: RenderConfig, params: FroxelParams,
+                         view_to_world: jax.Array, jitter: jax.Array,
+                         medium: Medium, time_x, ss: int) -> jax.Array:
+    """Texture-mode noise factor [D, H, W] sampled at 1/ss^3 froxel rate and
+    tent-upsampled (exact separable matmuls, MXU) — amortizes the per-froxel
+    wrap-trilinear gathers exactly like the baked visibility volumes
+    (ops/pallas/visibility.py coordinate contract)."""
+    from volumetricrenderer_tpu.ops.pallas.visibility import (
+        low_res_world_positions, upsample_mats)
+
+    d, h, w = cfg.grid_dhw
+    world = low_res_world_positions(cfg, params, view_to_world, jitter, ss)
+    low = _sample_noise(medium, world, time_x)             # [DL, HL, WL]
+    az = jnp.asarray(upsample_mats(d, low.shape[0], ss))
+    ay = jnp.asarray(upsample_mats(h, low.shape[1], ss))
+    ax = jnp.asarray(upsample_mats(w, low.shape[2], ss))
+    up = jnp.einsum("dk,khw->dhw", az, low,
+                    precision=jax.lax.Precision.HIGHEST)
+    up = jnp.einsum("hk,dkw->dhw", ay, up,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("wk,dhk->dhw", ax, up,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def write_material_volumes(cfg: RenderConfig, params: FroxelParams,
                            view_to_world: jax.Array, jitter: jax.Array,
                            time_x, media: Sequence[Medium]
@@ -105,6 +129,9 @@ def write_material_volumes(cfg: RenderConfig, params: FroxelParams,
 
     world_j = froxel_world_positions(cfg, params, view_to_world, jitter) \
         if media else None
+    # low-rate texture sampling needs whole-grid coordinates (no slab rows)
+    tex_ss = max(int(cfg.texture_noise_subsample), 1) \
+        if h == params.grid[1] else 1
 
     for medium in media:
         a_new = jnp.broadcast_to(
@@ -116,7 +143,13 @@ def write_material_volumes(cfg: RenderConfig, params: FroxelParams,
 
         factor = jnp.ones((d, h, w), jnp.float32)
         if medium.noise_tex is not None or medium.noise_mode == "procedural":
-            factor = factor * _sample_noise(medium, world_j, time_x)
+            if (tex_ss > 1 and medium.noise_mode != "procedural"
+                    and medium.noise_tex is not None):
+                factor = factor * _sample_noise_lowres(
+                    cfg, params, view_to_world, jitter, medium, time_x,
+                    tex_ss)
+            else:
+                factor = factor * _sample_noise(medium, world_j, time_x)
         # Exponential height falloff (extension, BASELINE config 2).
         factor = factor * jnp.exp(-jnp.maximum(medium.height_falloff, 0.0)
                                   * jnp.maximum(world_j[..., 1] - medium.height_base, 0.0))
