@@ -30,14 +30,18 @@ def pack_dir_lights(dir_lights) -> jax.Array:
     return jnp.stack(rows)
 
 
-def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, hf_ref,
-            out_ref,
-            *, grid_whd: Tuple[int, int, int], n_lights: int, n_planes: int,
-            n_spheres: int, n_boxes: int, max_dist: float, h_glob: int,
-            hf_static: tuple = None):
-    w, h, d = grid_whd                  # local block shape (h may be a slab)
-    zi = pl.program_id(0)
+def dir_shadow_slice(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
+                     hf_ref, zi, *, grid_whd: Tuple[int, int, int],
+                     n_lights: int, n_planes: int, n_spheres: int,
+                     n_boxes: int, max_dist: float, h_glob: int,
+                     hf_static: tuple = None):
+    """One z-slice's gated visibility^2 planes, one per dir light (the body
+    shared by the plain kernel and the fused shadow+blend kernel). The
+    any-hit tests come from ops/pallas/occlude.py (negation symmetry is
+    IEEE-exact vs the original inline block)."""
+    from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
 
+    w, h, d = grid_whd                  # local block shape (h may be a slab)
     p = lambda i: par_ref[0, i]
     fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
     jx, jy, jz = p(17), p(18), p(19)
@@ -54,57 +58,29 @@ def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, hf_ref,
     wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
     wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
 
+    planes_out = []
     for li in range(n_lights):          # Nd is small (usually 1): unroll
         q = lambda i: lights_ref[li, i]
         ldx, ldy, ldz = -q(0), -q(1), -q(2)   # towards the light
         strength_r, gate = q(3), q(4)
-
-        occ = jnp.zeros((h, w), jnp.bool_)
-        for i in range(n_planes):
-            nx_, ny_, nz_, pd = (planes_ref[i, 0], planes_ref[i, 1],
-                                 planes_ref[i, 2], planes_ref[i, 3])
-            denom = ldx * nx_ + ldy * ny_ + ldz * nz_
-            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-            t = -(wx * nx_ + wy * ny_ + wz * nz_ + pd) / denom
-            occ |= (t > 1e-4) & (t < max_dist)
-        for i in range(n_spheres):
-            cx_, cy_, cz_, r_ = (spheres_ref[i, 0], spheres_ref[i, 1],
-                                 spheres_ref[i, 2], spheres_ref[i, 3])
-            ox, oy, oz = wx - cx_, wy - cy_, wz - cz_
-            bq = ox * ldx + oy * ldy + oz * ldz
-            cq = ox * ox + oy * oy + oz * oz - r_ * r_
-            disc = bq * bq - cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = jnp.where(-bq - sq > 1e-4, -bq - sq, -bq + sq)
-            occ |= (disc > 0.0) & (t > 1e-4) & (t < max_dist)
-        if n_boxes:
-            inv_x = 1.0 / jnp.where(jnp.abs(ldx) < 1e-9, 1e-9, ldx)
-            inv_y = 1.0 / jnp.where(jnp.abs(ldy) < 1e-9, 1e-9, ldy)
-            inv_z = 1.0 / jnp.where(jnp.abs(ldz) < 1e-9, 1e-9, ldz)
-            for i in range(n_boxes):
-                t0x = (boxes_ref[i, 0] - wx) * inv_x
-                t1x = (boxes_ref[i, 4] - wx) * inv_x
-                t0y = (boxes_ref[i, 1] - wy) * inv_y
-                t1y = (boxes_ref[i, 5] - wy) * inv_y
-                t0z = (boxes_ref[i, 2] - wz) * inv_z
-                t1z = (boxes_ref[i, 6] - wz) * inv_z
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                               jnp.maximum(t0y, t1y)),
-                                   jnp.maximum(t0z, t1z))
-                t = jnp.where(tmin > 1e-4, tmin, tmax)
-                occ |= (tmax >= tmin) & (t > 1e-4) & (t < max_dist)
-        if hf_static is not None:
-            from volumetricrenderer_tpu.ops.pallas.material import \
-                heightfield_occluded
-            occ |= heightfield_occluded(hf_ref, hf_static, wx, wy, wz,
-                                        ldx, ldy, ldz, jnp.float32(max_dist))
-
+        occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
+                      wx, wy, wz, ldx, ldy, ldz, jnp.float32(max_dist),
+                      n_planes=n_planes, n_spheres=n_spheres,
+                      n_boxes=n_boxes, hf_static=hf_static)
         vis = strength_r + (1.0 - strength_r) * (1.0 - occ.astype(jnp.float32))
         vis = vis * vis                  # shadowCompute:17
-        out_ref[li, 0] = 1.0 + gate * (vis - 1.0)
+        planes_out.append(1.0 + gate * (vis - 1.0))
+    return planes_out
+
+
+def _kernel(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref, hf_ref,
+            out_ref, *, grid_whd: Tuple[int, int, int], **statics):
+    zi = pl.program_id(0)
+    outs = dir_shadow_slice(par_ref, lights_ref, planes_ref, spheres_ref,
+                            boxes_ref, hf_ref, zi, grid_whd=grid_whd,
+                            **statics)
+    for li, plane in enumerate(outs):
+        out_ref[li, 0] = plane
 
 
 def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,

@@ -148,15 +148,35 @@ class VolumetricRenderer:
                 state.prev_material_a.astype(jnp.float32), alpha)
 
         # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
-        with jax.named_scope("write_shadow_volume"):
-            shadow_vol = pipeline.write_shadow_volume_dir(
-                cfg, params, view_to_world, jitter, scene.dir_lights, dir_shadow,
-                scene.geometry)
-        if cfg.temporal_blend_shadow:
-            with jax.named_scope("temporal_blend_shadow"):
-                shadow_vol = pipeline.temporal_blend_shadow(
-                    cfg, params, view_to_world, prev_w2v, jitter, shadow_vol,
-                    state.prev_shadow.astype(jnp.float32), alpha)
+        fuse_sb = (cfg.temporal_blend_shadow
+                   and cfg.dir_shadow_impl == "pallas"
+                   and cfg.reproj_impl == "pallas"
+                   and cfg.shadow_mode == "raycast"
+                   and scene.geometry is not None
+                   and scene.dir_lights.count > 0)
+        if fuse_sb:
+            # single-pass raycast shadow + temporal blend (ops/pallas/
+            # shadow_blend.py): the un-blended shadow volume never exists
+            from volumetricrenderer_tpu.ops.pallas.shadow_blend import \
+                dir_shadow_blend_fused
+            with jax.named_scope("shadow_blend"):
+                shadow_vol = dir_shadow_blend_fused(
+                    params, view_to_world, prev_w2v, jitter, alpha,
+                    scene.dir_lights, scene.geometry,
+                    state.prev_shadow.astype(jnp.float32), cfg.grid,
+                    cfg.reproj_window,
+                    interpret=jax.default_backend() != "tpu")
+        else:
+            with jax.named_scope("write_shadow_volume"):
+                shadow_vol = pipeline.write_shadow_volume_dir(
+                    cfg, params, view_to_world, jitter, scene.dir_lights,
+                    dir_shadow, scene.geometry)
+            if cfg.temporal_blend_shadow:
+                with jax.named_scope("temporal_blend_shadow"):
+                    shadow_vol = pipeline.temporal_blend_shadow(
+                        cfg, params, view_to_world, prev_w2v, jitter,
+                        shadow_vol, state.prev_shadow.astype(jnp.float32),
+                        alpha)
 
         # --- Scatter (cs:530-622) + optional blend ---
         with jax.named_scope("write_scatter_volume"):
