@@ -1,0 +1,135 @@
+"""Whole-volume megakernel == the pairwise-fused kernel chain
+(ops/pallas/frame_fused.py vs shadow_blend + scatter + integrate_blend)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu import (Camera, DirectionalLights, Geometry,
+                                    Medium, PointLights, RenderConfig, Scene,
+                                    SpotLights, VolumetricRenderer, froxel)
+from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
+from volumetricrenderer_tpu.ops.pallas.frame_fused import frame_volume_fused
+from volumetricrenderer_tpu.ops.pallas.integrate_blend import \
+    integrate_blend_fused
+from volumetricrenderer_tpu.ops.pallas.scatter import scatter_local_pallas
+from volumetricrenderer_tpu.ops.pallas.shadow_blend import \
+    dir_shadow_blend_fused
+
+GRID = (24, 16, 12)
+
+
+def _scene():
+    return Scene.create(
+        camera=Camera.create(position=(0.2, 1.5, -8.0),
+                             forward=(0.05, -0.02, 1.0), aspect=1.5),
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(1, 1, 1)], intensity=[2.0],
+            has_shadow=[True], shadow_strength=[0.8]),
+        point_lights=PointLights.create(
+            position=[(1.0, 3.0, 2.0), (-2.0, 1.0, 5.0)],
+            color=[(1, 0.8, 0.6), (0.3, 0.5, 1.0)], range=[8.0, 6.0],
+            intensity=[3.0, 2.0], has_shadow=[True, True]),
+        spot_lights=SpotLights.create(
+            position=[(0.0, 5.0, 0.0)], direction=[(0, -1, 0.2)],
+            color=[(1, 1, 0.9)], range=[10.0], intensity=[4.0],
+            spot_angle_deg=[40.0], has_shadow=[True]),
+        media=(Medium.create(phase_g=0.3, noise_mode="procedural",
+                             noise_tiling=(0.05, 0.05, 0.05)),),
+        geometry=Geometry.create(
+            planes=[((0, 1, 0), 0.0, (0.2, 0.2, 0.2))],
+            spheres=[((0.0, 2.0, 3.0), 1.2, (0.5, 0.5, 0.5))],
+            boxes=[((-3.0, 0.0, 1.0), (-1.0, 2.5, 3.0), (0.4, 0.4, 0.4))]))
+
+
+def _chain(scene, params, v2w, prev_w2v, jitter, alpha, k, prev_sh, prev_acc,
+           vis, ss):
+    """The pairwise-fused reference: shadow+blend -> scatter -> int+blend."""
+    shadow = dir_shadow_blend_fused(params, v2w, prev_w2v, jitter, alpha,
+                                    scene.dir_lights, scene.geometry,
+                                    prev_sh, GRID, k, interpret=True)
+    planes = scatter_local_pallas(
+        params, v2w, scene.camera.position, jitter, None, None,
+        scene.point_lights, scene.spot_lights, scene.geometry, GRID,
+        dir_lights=scene.dir_lights, shadow_volume=shadow,
+        interpret=True, return_planes=True, media=scene.media, time_x=0.3,
+        vis=vis, vis_ss=ss)
+    acc = integrate_blend_fused(planes, prev_acc, jitter, params, v2w,
+                                prev_w2v, alpha, GRID, k, interpret=True)
+    return shadow, acc
+
+
+def test_megakernel_matches_chain():
+    scene = _scene()
+    cam = scene.camera
+    params = froxel.make_froxel_params(cam.fov_y, cam.aspect, cam.near,
+                                       60.0, 2.0, GRID)
+    v2w = cam.view_to_world()
+    cam2 = Camera.create(position=(0.5, 1.4, -8.2), forward=(0.02, 0.0, 1.0),
+                         aspect=1.5)
+    prev_w2v = froxel.invert_rigid(cam2.view_to_world())
+    jitter = jnp.asarray([0.25, -0.3, 0.4], jnp.float32)
+    rng = np.random.default_rng(5)
+    w, h, d = GRID
+    prev_sh = jnp.asarray(rng.uniform(0, 1, (1, d, h, w)), jnp.float32)
+    prev_acc = tuple(jnp.asarray(rng.uniform(0, 1, (d, h, w)), jnp.float32)
+                     for _ in range(4))
+    alpha = jnp.float32(0.7)
+
+    for ss in (1, 2):
+        vis = None
+        if ss > 1:
+            vis = vis_lib.bake_visibility_pallas(
+                params, v2w, cam.position, jitter, scene.point_lights,
+                scene.spot_lights, scene.geometry, GRID, ss, interpret=True)
+        for k in (1, 2):
+            ref_sh, ref_acc = _chain(scene, params, v2w, prev_w2v, jitter,
+                                     alpha, k, prev_sh, prev_acc, vis, ss)
+            out_sh, out_acc = frame_volume_fused(
+                params, v2w, prev_w2v, jitter, alpha, scene.dir_lights,
+                scene.point_lights, scene.spot_lights, scene.geometry,
+                scene.media, 0.3, cam.position, prev_sh, prev_acc, GRID, k,
+                vis=vis, vis_ss=ss, interpret=True)
+            np.testing.assert_allclose(np.asarray(out_sh),
+                                       np.asarray(ref_sh),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"shadow ss={ss} k={k}")
+            for c in range(4):
+                np.testing.assert_allclose(np.asarray(out_acc[c]),
+                                           np.asarray(ref_acc[c]),
+                                           rtol=1e-6, atol=1e-6,
+                                           err_msg=f"acc ss={ss} k={k} c={c}")
+
+
+def test_renderer_megakernel_matches_xla():
+    """Production-knob render_frame (megakernel) == the XLA impl set,
+    multi-frame with temporal state."""
+    cfg = RenderConfig(volume_width=16, volume_height=16, volume_depth=8,
+                       image_width=32, image_height=32,
+                       shadow_mode="raycast", scatter_impl="pallas",
+                       accumulate_impl="pallas", reproj_impl="pallas",
+                       dir_shadow_impl="pallas", material_impl="fused",
+                       temporal_blend_alpha=0.6)
+    cfg_ref = dataclasses.replace(cfg, scatter_impl="xla",
+                                  accumulate_impl="xla",
+                                  dir_shadow_impl="xla",
+                                  material_impl="xla",
+                                  reproj_impl="windowed")
+    scene = _scene()
+
+    def frames(c):
+        r = VolumetricRenderer(c)
+        st = r.init_state(1)
+        f = jax.jit(lambda s, sc, t: r.render_frame(s, sc, t)[::2])
+        img, st = f(st, scene, 0.0)
+        img, st = f(st, scene, 0.1)
+        img, st = f(st, scene, 0.2)
+        return np.asarray(img)
+
+    a = frames(cfg_ref)
+    b = frames(cfg)
+    # equivalence-class: any-hit boundaries may flip isolated texels
+    rel = np.abs(a - b) / (1.0 + np.abs(a))
+    assert float((rel > 1e-3).mean()) < 5e-3, (rel > 1e-3).mean()

@@ -112,6 +112,13 @@ class RenderConfig:
     # per-slice raycast kernel; raycast mode only, falls back to xla for maps).
     dir_shadow_impl: str = "xla"
 
+    # Whole-volume megakernel (ops/pallas/frame_fused.py): when every volume-
+    # phase impl knob above is on its pallas/fused setting, run shadow ->
+    # shadow blend -> scatter -> integrate -> accumulation blend as ONE
+    # staggered pallas_call (no intermediate volume in HBM, no launch gaps).
+    # False = keep the pairwise-fused kernel chain (equivalence-tested).
+    frame_fused: bool = True
+
     # Accumulation implementation: "xla" (shift_sample + blocked scan) or
     # "pallas" (fused jittered-sample + sequential scan; requires
     # scatter_impl="pallas" planes and temporal_blend_scatter off, else

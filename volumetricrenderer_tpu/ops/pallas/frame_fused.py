@@ -1,0 +1,405 @@
+"""Whole-volume megakernel: shadow -> shadow blend -> scatter -> integrate ->
+accumulation blend in ONE pallas_call.
+
+Round 3's pairwise fusions (shadow_blend.py, integrate_blend.py) still leave
+three sequential-z kernels joined by launch gaps and HBM hand-offs (the
+blended shadow volume and the scatter planes). Every stage is per-z-slice
+with bounded z-support, so the whole volume phase software-pipelines into a
+single staggered grid:
+
+  step j:  raycast shadow slice j                 -> cur ring (k+2)
+  step j:  shadow-blend slice zb = j-k-1           (history ring 2k+2)
+           -> shadow OUT[zb], and feeds scatter IN-REGISTER
+  step j:  scatter slice zb (material fused, baked-visibility or march)
+           -> xy-blend, integrate slice zb-1 via the cached previous
+           xy-blend + the (L, T) carry
+  step j:  accumulation-blend slice za = j-k-2     (history ring 2k+3 — one
+           slot more than temporal.py's proof: this stage runs one step
+           later relative to the history stream) -> padded OUT[za]
+
+No intermediate volume ever touches HBM: the un-blended shadow, the scatter
+planes, and the pre-blend accumulation exist only as registers/rings. Grid =
+d + k + 2 steps. Integrate's clamp-to-edge top tap reproduces exactly: the
+final step reuses the cached xy-blend of plane d-1, which equals the
+original's re-read of plane d-1.
+
+Semantics == dir_shadow+temporal(weight) then scatter then
+integrate+temporal(alpha), pinned by tests/test_frame_fused.py; the renderer
+uses it when every production impl knob is on (see render_frame)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
+from volumetricrenderer_tpu.ops.pallas.scatter import scatter_slice
+from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
+                                                        _tent_pass,
+                                                        pack_blend_params)
+
+
+def _reproj_offsets(bpar_ref, z, grid_whd, h_glob, k, with_jitter: bool):
+    """Shared blend geometry: reprojection offsets + xy success for slice z
+    (the body of ops/pallas/temporal.py's coordinate block)."""
+    w, h, d = grid_whd
+    p = lambda i: bpar_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+    eps, y0 = p(21), p(22)
+
+    zf = z.astype(jnp.float32)
+    vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+    vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
+
+    pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+    pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
+        / jnp.log(fpz)
+    pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
+    pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
+    if with_jitter:
+        pfx = pfx + jx
+        pfy = pfy + jy
+        pfz = pfz + jz
+
+    tx = pfx + eps * w - 0.5
+    ty = pfy + eps * h_glob - 0.5 - y0
+    tz = pfz + eps * d - 0.5
+
+    ux = pfx / w + eps
+    uy = pfy / h_glob + eps
+    success = ((ux >= 0.0) & (ux <= 1.0) & (uy >= 0.0)
+               & (uy <= 1.0)).astype(jnp.float32)
+
+    tz = jnp.clip(tz, 0.0, d - 1.0)
+    ty = jnp.clip(ty, 0.0, h - 1.0)
+    tx = jnp.clip(tx, 0.0, w - 1.0)
+    base_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    base_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    off_z = jnp.clip(tz - zf, -k, k)
+    off_y = jnp.clip(ty - base_y, -k, k)
+    off_x = jnp.clip(tx - base_x, -k, k)
+    return off_x, off_y, off_z, success
+
+
+def _warp(ring, z, off_x, off_y, off_z, k, ring_n, d):
+    """Tent-warp one channel from its history ring (temporal.py z/y/x tents)."""
+    acc = jnp.zeros(off_x.shape, jnp.float32)
+    for dd in range(-k, k + 2):
+        s = jnp.clip(z + dd, 0, d - 1)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
+        tap = ring[pl.ds(jnp.mod(s, ring_n), 1)][0]
+        acc = acc + tap * wz
+    acc = _tent_pass(acc, off_y, 0, k)
+    return _tent_pass(acc, off_x, 1, k)
+
+
+def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
+            dirs_ref, order_ref, count_ref, planes_ref, spheres_ref,
+            boxes_ref, hf_ref, med_ref, *refs,
+            grid_whd: Tuple[int, int, int], k: int, n_dir: int,
+            h_glob: int, shadow_statics: dict, scatter_statics: dict,
+            vis_lowres, padded_out):
+    w, h, d = grid_whd
+    n_vis = 4 if vis_lowres is not None else 0
+    vis_refs = refs[:n_vis]
+    refs = refs[n_vis:]
+    prev_sh = refs[:n_dir]
+    prev_acc = refs[n_dir:n_dir + 4]
+    out_sh = refs[n_dir + 4:2 * n_dir + 4]
+    out_acc = refs[2 * n_dir + 4:2 * n_dir + 8]
+    scratch = refs[2 * n_dir + 8:]
+    s_ring = scratch[:n_dir]                     # [2k+2, h, w]
+    s_cur = scratch[n_dir:2 * n_dir]             # [k+2, h, w]
+    a_ring = scratch[2 * n_dir:2 * n_dir + 4]    # [2k+3, h, w]
+    xy_cache = scratch[2 * n_dir + 4:2 * n_dir + 8]
+    carry = scratch[2 * n_dir + 8:2 * n_dir + 12]
+    sh_last = scratch[2 * n_dir + 12:3 * n_dir + 12]
+
+    j = pl.program_id(0)
+    rn_s = 2 * k + 2
+    rn_a = 2 * k + 3
+
+    # history streams -> rings
+    for c in range(n_dir):
+        s_ring[c][pl.ds(jnp.mod(j, rn_s), 1)] = prev_sh[c][:]
+    for c in range(4):
+        a_ring[c][pl.ds(jnp.mod(j, rn_a), 1)] = prev_acc[c][:]
+
+    # stage 1: raycast shadow slice j
+    @pl.when(j < d)
+    def _shadow():
+        cur = dir_shadow_slice(spar_ref, slights_ref, planes_ref,
+                               spheres_ref, boxes_ref, hf_ref, j,
+                               grid_whd=grid_whd, n_lights=n_dir,
+                               h_glob=h_glob, **shadow_statics)
+        cslot = jnp.mod(j, k + 2)
+        for c in range(n_dir):
+            s_cur[c][pl.ds(cslot, 1)] = cur[c][None]
+
+    ap = lambda i: abpar_ref[0, i]
+    fpz, fpw, near = ap(14), ap(15), ap(16)
+    alpha_a = ap(20)
+    ox, oy, oz = ap(24), ap(25), ap(26)
+    wxm, wx0, wxp = (jnp.maximum(-ox, 0.0), 1.0 - jnp.abs(ox),
+                     jnp.maximum(ox, 0.0))
+    wym, wy0, wyp = (jnp.maximum(-oy, 0.0), 1.0 - jnp.abs(oy),
+                     jnp.maximum(oy, 0.0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    def xy_blend(plane):
+        xm = jnp.where(cols == 0, plane, pltpu.roll(plane, 1, 1))
+        xp = jnp.where(cols == w - 1, plane, pltpu.roll(plane, w - 1, 1))
+        px = wxm * xm + wx0 * plane + wxp * xp
+        ym = jnp.where(rows == 0, px, pltpu.roll(px, 1, 0))
+        yp = jnp.where(rows == h - 1, px, pltpu.roll(px, h - 1, 0))
+        return wym * ym + wy0 * px + wyp * yp
+
+    def integrate_and_blend(zi2, xyb):
+        """Integrate output slice zi2 from xy_cache (plane zi2's xy-blend)
+        and xyb (plane zi2+1's), then accumulation-blend and emit it."""
+        zf = zi2.astype(jnp.float32)
+        sampled = [xy_cache[c][...] + oz * (xyb[c] - xy_cache[c][...])
+                   for c in range(4)]
+        vz_hi = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
+        vz_lo = jnp.where(
+            zf > 0.0,
+            (jnp.exp(jnp.log(fpz) * (zf - 0.5) / d) - 1.0) * fpw + near,
+            near)
+        dz = vz_hi - vz_lo
+        od = sampled[3] * dz
+        t = jnp.exp(-od)
+        small = od < 1e-2
+        safe_sigma = jnp.where(small, 1.0, sampled[3])
+        factor = jnp.where(small,
+                           dz * (1.0 - 0.5 * od * (1.0 - od / 3.0)),
+                           (1.0 - t) / safe_sigma)
+        tc = carry[3][...]
+        vals = [carry[c][...] + tc * sampled[c] * factor for c in range(3)]
+        vals.append(tc * t)
+        for c in range(4):
+            carry[c][...] = vals[c]
+        # accumulation blend (mode "alpha": success = warped T != 0)
+        aox, aoy, aoz_, _ = _reproj_offsets(abpar_ref, zi2, grid_whd, h_glob,
+                                            k, with_jitter=False)
+        warped = [_warp(a_ring[c], zi2, aox, aoy, aoz_, k, rn_a, d)
+                  for c in range(4)]
+        wgt = alpha_a * (warped[3] != 0.0).astype(jnp.float32)
+        for c in range(4):
+            res = vals[c] + wgt * (warped[c] - vals[c])
+            if padded_out is not None:
+                res = _pad_plane(res, *padded_out)
+            out_acc[c][0] = res
+
+    # stage 2+3: shadow blend zb -> scatter zb -> integrate/acc-blend zb-1
+    @pl.when((j > k) & (j <= d + k))
+    def _main():
+        zb = j - (k + 1)
+        sp = lambda i: sbpar_ref[0, i]
+        alpha_s = sp(20)
+        sox, soy, soz, ssucc = _reproj_offsets(sbpar_ref, zb, grid_whd,
+                                               h_glob, k, with_jitter=True)
+        swgt = alpha_s * ssucc
+        cslot = jnp.mod(zb, k + 2)
+        blended = []
+        for c in range(n_dir):
+            warped = _warp(s_ring[c], zb, sox, soy, soz, k, rn_s, d)
+            cur = s_cur[c][pl.ds(cslot, 1)][0]
+            b = cur + swgt * (warped - cur)
+            out_sh[c][0] = b
+            # the final grid step's out_sh block maps (clamped) to slice d-1
+            # but isn't written there — its alternating buffer would flush
+            # STALE data over the real slice. Stash the last slice and
+            # re-write it at the top step.
+            sh_last[c][...] = b
+            blended.append(b)
+
+        ar, ag, ab, ext = scatter_slice(
+            spar_ref, lights_ref, dirs_ref, order_ref, count_ref,
+            planes_ref, spheres_ref, boxes_ref, hf_ref, ("fused", med_ref),
+            vis_refs, zb, blended, grid_whd=grid_whd, n_dir=n_dir,
+            h_glob=h_glob, vis_lowres=vis_lowres, **scatter_statics)
+        xyb = [xy_blend(p) for p in (ar, ag, ab, ext)]
+
+        @pl.when(zb == 0)
+        def _init():
+            carry[0][...] = jnp.zeros((h, w), jnp.float32)
+            carry[1][...] = jnp.zeros((h, w), jnp.float32)
+            carry[2][...] = jnp.zeros((h, w), jnp.float32)
+            carry[3][...] = jnp.ones((h, w), jnp.float32)
+
+        @pl.when(zb > 0)
+        def _mid():
+            integrate_and_blend(zb - 1, xyb)
+
+        for c in range(4):
+            xy_cache[c][...] = xyb[c]
+
+    # final step: integrate slice d-1 — the original integrate re-reads
+    # plane d-1 for its top tap, i.e. xyb_top == xy_cache exactly
+    @pl.when(j == d + k + 1)
+    def _top():
+        for c in range(n_dir):
+            out_sh[c][0] = sh_last[c][...]
+        integrate_and_blend(jnp.int32(d - 1),
+                            [xy_cache[c][...] for c in range(4)])
+
+
+def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
+                       alpha, dir_lights, point_lights, spot_lights,
+                       geometry, media, time_x, camera_pos, prev_shadow,
+                       prev_acc_planes, grid_whd: Tuple[int, int, int],
+                       k: int, vis=None, vis_ss: int = 2,
+                       jitter_dir: bool = False,
+                       heightfield_shadows: bool = False,
+                       interpret: bool = False, padded_out=None):
+    """Run the whole volume phase in one kernel. Returns (shadow_volume
+    [Nd, D, H, W] blended, acc_planes tuple of 4 blended accumulation
+    planes — [D, H, W] or the zgather padded layout with padded_out)."""
+    from volumetricrenderer_tpu.ops.pallas.dir_shadow import pack_dir_lights \
+        as pack_shadow_lights
+    from volumetricrenderer_tpu.ops.pallas.material import (pack_heightfield,
+                                                            pack_media)
+    from volumetricrenderer_tpu.ops.pallas.scatter import (pack_dir_lights,
+                                                           pack_lights,
+                                                           pack_params,
+                                                           slice_light_order)
+
+    w, h, d = grid_whd
+    nd = dir_lights.count
+    assert nd > 0
+    spar = pack_params(params, view_to_world, camera_pos, jitter)
+    sbpar = pack_blend_params(params, view_to_world, prev_world_to_view,
+                              jitter, alpha, 1e-4)
+    abpar = pack_blend_params(params, view_to_world, prev_world_to_view,
+                              jnp.zeros((3,), jnp.float32), alpha, 0.0)
+    abpar = jnp.concatenate([abpar, jnp.stack([
+        jitter[0], jitter[1], jitter[2], jnp.float32(0.0)])[None]], axis=1)
+
+    slights = pack_shadow_lights(dir_lights)
+    lights = pack_lights(point_lights, spot_lights)
+    dirs = pack_dir_lights(dir_lights)
+    positions = jnp.concatenate([point_lights.position, spot_lights.position])
+    ranges = jnp.concatenate([point_lights.range, spot_lights.range])
+    order, count = slice_light_order(params, view_to_world, positions, ranges,
+                                     grid_whd)
+
+    planes = jnp.concatenate([geometry.plane_normal,
+                              geometry.plane_d[:, None]], axis=-1)
+    spheres = jnp.concatenate([geometry.sphere_center,
+                               geometry.sphere_radius[:, None]], axis=-1)
+    boxes = jnp.concatenate([geometry.box_min,
+                             jnp.zeros_like(geometry.box_min[:, :1]),
+                             geometry.box_max,
+                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    n_planes, n_spheres, n_boxes = (planes.shape[0], spheres.shape[0],
+                                    boxes.shape[0])
+    planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
+    spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
+    boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
+    hf = pack_heightfield(geometry)
+    med, media_static = pack_media(media, time_x)
+    hf_sh = (geometry.hf_octaves, geometry.hf_period, geometry.hf_seed,
+             geometry.hf_steps, geometry.hf_far) if geometry.hf_enabled \
+        else None
+    hf_sc = hf_sh if heightfield_shadows else None
+    shadow_statics = dict(n_planes=n_planes, n_spheres=n_spheres,
+                          n_boxes=n_boxes, max_dist=1e4, hf_static=hf_sh)
+    scatter_statics = dict(jitter_dir=jitter_dir, n_planes=n_planes,
+                           n_spheres=n_spheres, n_boxes=n_boxes,
+                           media_static=media_static, hf_static=hf_sc)
+
+    vis_lowres = None
+    vis_specs = []
+    vis_inputs = ()
+    if vis is not None:
+        from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
+        nl_v, dl, hl, wl = vis.shape
+        vis_lowres = (vis_ss, dl)
+        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))
+        axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)
+
+        def ka(j):
+            zb = jnp.clip(j - (k + 1), 0, d - 1)
+            return jnp.clip((2 * zb - (vis_ss - 1)) // (2 * vis_ss), 0, dl - 1)
+
+        vis_specs = [
+            pl.BlockSpec((nl_v, 1, hl, wl), lambda j: (0, ka(j), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl_v, 1, hl, wl),
+                         lambda j: (0, jnp.clip(ka(j) + 1, 0, dl - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hl), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wl, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        vis_inputs = (vis, vis, ay, axt)
+
+    kernel = functools.partial(
+        _kernel, grid_whd=grid_whd, k=k, n_dir=nd, h_glob=params.grid[1],
+        shadow_statics=shadow_statics, scatter_statics=scatter_statics,
+        vis_lowres=vis_lowres, padded_out=padded_out)
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda j: tuple([0] * len(shape)),
+                                      memory_space=pltpu.SMEM)
+    zb_idx = lambda j: (jnp.clip(j - (k + 1), 0, d - 1), 0, 0)
+    za_idx = lambda j: (jnp.clip(j - (k + 2), 0, d - 1), 0, 0)
+    stream_spec = pl.BlockSpec((1, h, w),
+                               lambda j: (jnp.minimum(j, d - 1), 0, 0),
+                               memory_space=pltpu.VMEM)
+    sh_out_spec = pl.BlockSpec((1, h, w), zb_idx, memory_space=pltpu.VMEM)
+    if padded_out is not None:
+        from volumetricrenderer_tpu.ops.pallas.zg_composite import DLANES
+        hp, wstride = padded_out
+        acc_out_spec = pl.BlockSpec((1, hp, wstride), za_idx,
+                                    memory_space=pltpu.VMEM)
+        acc_out_shape = jax.ShapeDtypeStruct((DLANES, hp, wstride),
+                                             jnp.float32)
+    else:
+        acc_out_spec = pl.BlockSpec((1, h, w), za_idx,
+                                    memory_space=pltpu.VMEM)
+        acc_out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
+
+    scratch = ([pltpu.VMEM((2 * k + 2, h, w), jnp.float32)] * nd
+               + [pltpu.VMEM((k + 2, h, w), jnp.float32)] * nd
+               + [pltpu.VMEM((2 * k + 3, h, w), jnp.float32)] * 4
+               + [pltpu.VMEM((h, w), jnp.float32)] * (8 + nd))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(d + k + 2,),
+        in_specs=([smem(spar.shape), smem(sbpar.shape), smem(abpar.shape),
+                   smem(slights.shape), smem(lights.shape), smem(dirs.shape),
+                   pl.BlockSpec((1, 1, order.shape[2]),
+                                lambda j: (jnp.clip(j - (k + 1), 0, d - 1),
+                                           0, 0), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, 1, 1),
+                                lambda j: (jnp.clip(j - (k + 1), 0, d - 1),
+                                           0, 0), memory_space=pltpu.SMEM),
+                   smem(planes.shape), smem(spheres.shape), smem(boxes.shape),
+                   smem(hf.shape), smem(med.shape)]
+                  + vis_specs + [stream_spec] * (nd + 4)),
+        out_specs=tuple([sh_out_spec] * nd + [acc_out_spec] * 4),
+        out_shape=tuple([jax.ShapeDtypeStruct((d, h, w), jnp.float32)] * nd
+                        + [acc_out_shape] * 4),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(spar, sbpar, abpar, slights, lights, dirs, order, count, planes,
+      spheres, boxes, hf, med, *vis_inputs,
+      *(prev_shadow[i] for i in range(nd)), *prev_acc_planes)
+    shadow_vol = jnp.stack(outs[:nd])
+    return shadow_vol, tuple(outs[nd:])

@@ -135,30 +135,21 @@ def pack_params(params, view_to_world, camera_pos, jitter) -> jax.Array:
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])[None]
 
 
-def _kernel(*refs,
-            grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
-            jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
-            h_glob: int, media_static: tuple = None, hf_static: tuple = None,
-            vis_lowres: tuple = None):
+def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+                  planes_ref, spheres_ref, boxes_ref, hf_ref, material_src,
+                  vis_refs, zi, shadow_planes, *,
+                  grid_whd: Tuple[int, int, int], n_dir: int,
+                  jitter_dir: bool, n_planes: int, n_spheres: int,
+                  n_boxes: int, h_glob: int, media_static: tuple = None,
+                  hf_static: tuple = None, vis_lowres: tuple = None):
+    """One z-slice of the fused local+dir in-scatter (the body shared by the
+    standalone kernel and the whole-volume megakernel, ops/pallas/
+    frame_fused.py). material_src: ("fused", med_ref) to evaluate media
+    in-kernel, or ("planes", (sr, sg, sb, phg)) plane values.
+    shadow_planes: per-dir-light blended visibility planes (values). Returns
+    (ar, ag, ab, ext) — ext None unless material is fused."""
     fuse_material = media_static is not None
-    vis_refs = ()
-    if vis_lowres is not None:
-        # baked-visibility mode (ops/pallas/visibility.py): the first 4 refs
-        # are the two low-res z-neighbor plane stacks + the tent matrices
-        vis_refs, refs = refs[:4], refs[4:]
-    if fuse_material:
-        # material evaluated in-kernel (ops/pallas/material.py): the sigma_s /
-        # phase-g plane inputs are replaced by the packed media table, and the
-        # directional-extinction plane becomes a 4th output
-        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
-         planes_ref, spheres_ref, boxes_ref, hf_ref, med_ref, shadow_ref,
-         out_r, out_g, out_b, out_e) = refs
-    else:
-        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
-         planes_ref, spheres_ref, boxes_ref, hf_ref,
-         ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b) = refs
     w, h, d = grid_whd                  # local block shape (h may be a slab)
-    zi = pl.program_id(0)
 
     p = lambda i: par_ref[0, i]
     fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
@@ -187,20 +178,19 @@ def _kernel(*refs,
     inv_vd = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
     vdx, vdy, vdz = vdx * inv_vd, vdy * inv_vd, vdz * inv_vd
 
+    ext = None
     if fuse_material:
         # WriteMaterialVolume evaluated in-kernel at the jittered world pos
         # (the same wx/wy/wz planes): no material volume ever touches HBM
         from volumetricrenderer_tpu.ops.pallas.material import material_planes
+        med_ref = material_src[1]
         sr, sg, sb, s_a, phg = material_planes(med_ref, media_static,
                                                wx, wy, wz)
         # dir-light luma extinction (compute:82) — one Rgb2Gray(sigma_s) +
         # sigma_a per dir light; was XLA elementwise on the material volume
-        out_e[0] = (0.3 * sr + 0.59 * sg + 0.11 * sb + s_a) * float(n_dir)
+        ext = (0.3 * sr + 0.59 * sg + 0.11 * sb + s_a) * float(n_dir)
     else:
-        sr = ss_r[0]
-        sg = ss_g[0]
-        sb = ss_b[0]
-        phg = pg_ref[0]
+        sr, sg, sb, phg = material_src[1]
     g2 = phg * phg
     hg_num = (1.0 - g2) / (4.0 * PI)
 
@@ -313,14 +303,52 @@ def _kernel(*refs,
             b = 1.0 + g2 - 2.0 * phg * cos_t
             rb = jax.lax.rsqrt(b)
             hg = hg_num * rb * rb * rb
-            base = shadow_ref[li, 0] * hg
+            base = shadow_planes[li] * hg
             ar = ar + base * q(3) * sr
             ag = ag + base * q(4) * sg
             ab = ab + base * q(5) * sb
 
+    return ar, ag, ab, ext
+
+
+def _kernel(*refs,
+            grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
+            jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
+            h_glob: int, media_static: tuple = None, hf_static: tuple = None,
+            vis_lowres: tuple = None):
+    fuse_material = media_static is not None
+    vis_refs = ()
+    if vis_lowres is not None:
+        # baked-visibility mode (ops/pallas/visibility.py): the first 4 refs
+        # are the two low-res z-neighbor plane stacks + the tent matrices
+        vis_refs, refs = refs[:4], refs[4:]
+    if fuse_material:
+        # material evaluated in-kernel (ops/pallas/material.py): the sigma_s /
+        # phase-g plane inputs are replaced by the packed media table, and the
+        # directional-extinction plane becomes a 4th output
+        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+         planes_ref, spheres_ref, boxes_ref, hf_ref, med_ref, shadow_ref,
+         out_r, out_g, out_b, out_e) = refs
+        material_src = ("fused", med_ref)
+    else:
+        (par_ref, lights_ref, dirs_ref, order_ref, count_ref,
+         planes_ref, spheres_ref, boxes_ref, hf_ref,
+         ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b) = refs
+        material_src = ("planes", (ss_r[0], ss_g[0], ss_b[0], pg_ref[0]))
+    zi = pl.program_id(0)
+    shadow_planes = [shadow_ref[li, 0] for li in range(max(n_dir, 1))]
+    ar, ag, ab, ext = scatter_slice(
+        par_ref, lights_ref, dirs_ref, order_ref, count_ref, planes_ref,
+        spheres_ref, boxes_ref, hf_ref, material_src, vis_refs, zi,
+        shadow_planes, grid_whd=grid_whd, n_dir=n_dir, jitter_dir=jitter_dir,
+        n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
+        h_glob=h_glob, media_static=media_static, hf_static=hf_static,
+        vis_lowres=vis_lowres)
     out_r[0] = ar
     out_g[0] = ag
     out_b[0] = ab
+    if fuse_material:
+        out_e[0] = ext
 
 
 def scatter_local_pallas(params, view_to_world, camera_pos, jitter,

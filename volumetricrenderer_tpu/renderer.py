@@ -147,6 +147,38 @@ class VolumetricRenderer:
                 cfg, params, view_to_world, prev_w2v, mat_a,
                 state.prev_material_a.astype(jnp.float32), alpha)
 
+        # --- Whole-volume megakernel (ops/pallas/frame_fused.py): when every
+        # production impl knob is on, the entire shadow -> blend -> scatter ->
+        # integrate -> blend phase runs as ONE staggered pallas_call — no
+        # intermediate volume ever touches HBM and the launch gaps between
+        # the fused kernels disappear. aux["scatter"] is unavailable on this
+        # path (the scatter volume never exists).
+        n_local = scene.point_lights.count + scene.spot_lights.count
+        try:
+            from volumetricrenderer_tpu.ops.pallas.material import \
+                media_foldable
+            foldable = bool(scene.media) and media_foldable(scene.media)
+        except Exception:
+            foldable = False
+        fuse_frame = (cfg.frame_fused
+                      and cfg.temporal_blend_shadow
+                      and cfg.temporal_blend_accumulation
+                      and not cfg.temporal_blend_material
+                      and not cfg.temporal_blend_scatter
+                      and cfg.dir_shadow_impl == "pallas"
+                      and cfg.reproj_impl == "pallas"
+                      and cfg.scatter_impl == "pallas"
+                      and cfg.accumulate_impl == "pallas"
+                      and cfg.material_impl == "fused"
+                      and cfg.shadow_mode == "raycast"
+                      and scene.geometry is not None
+                      and scene.dir_lights.count > 0
+                      and n_local > 0 and foldable)
+        if fuse_frame:
+            return self._render_volume_fused(
+                cfg, params, state, scene, view_to_world, prev_w2v, jitter,
+                alpha, time_x, mat_a, mat_b, scene_color, view_depth, slab)
+
         # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
         fuse_sb = (cfg.temporal_blend_shadow
                    and cfg.dir_shadow_impl == "pallas"
@@ -269,6 +301,73 @@ class VolumetricRenderer:
         return image, aux, new_state
 
     # ------------------------------------------------------------------ #
+
+    def _render_volume_fused(self, cfg, params, state, scene, view_to_world,
+                             prev_w2v, jitter, alpha, time_x, mat_a, mat_b,
+                             scene_color, view_depth, slab):
+        """render_frame tail for the whole-volume megakernel path (see the
+        fuse_frame eligibility in render_frame)."""
+        from volumetricrenderer_tpu.ops.pallas.frame_fused import \
+            frame_volume_fused
+
+        interp = jax.default_backend() != "tpu"
+        d_, h_, w_ = cfg.grid_dhw
+        is_slab = h_ != params.grid[1]
+
+        ss = max(int(cfg.raycast_shadow_subsample), 1)
+        vis = None
+        if ss > 1 and not is_slab:
+            from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
+            vis = vis_lib.bake_visibility_pallas(
+                params, view_to_world, scene.camera.position, jitter,
+                scene.point_lights, scene.spot_lights, scene.geometry,
+                cfg.grid, ss, interpret=interp,
+                heightfield_shadows=cfg.heightfield_local_shadows)
+
+        acc_prepadded = False
+        padded_for = None
+        if slab is None and pipeline.zgather_eligible(cfg):
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                padded_dims
+            padded_for = padded_dims(cfg.volume_height)
+            acc_prepadded = True
+
+        prev_acc = state.prev_accumulation.astype(jnp.float32)
+        with jax.named_scope("volume_fused"):
+            shadow_vol, acc_planes = frame_volume_fused(
+                params, view_to_world, prev_w2v, jitter, alpha,
+                scene.dir_lights, scene.point_lights, scene.spot_lights,
+                scene.geometry, scene.media, time_x, scene.camera.position,
+                state.prev_shadow.astype(jnp.float32),
+                tuple(prev_acc[..., c] for c in range(4)),
+                cfg.grid, cfg.reproj_window, vis=vis, vis_ss=ss,
+                jitter_dir=cfg.jitter_dir_scatter,
+                heightfield_shadows=cfg.heightfield_local_shadows,
+                interpret=interp, padded_out=padded_for)
+        un = [o[:d_, 1:h_ + 1, 1:w_ + 1] for o in acc_planes] \
+            if acc_prepadded else list(acc_planes)
+        accumulation = jnp.concatenate(
+            [jnp.stack(un[:3], axis=-1), un[3][..., None]], axis=-1)
+
+        with jax.named_scope("composite"):
+            image = pipeline.composite(cfg, params, accumulation, scene_color,
+                                       view_depth, slab=slab,
+                                       planes=acc_planes,
+                                       planes_prepadded=acc_prepadded)
+
+        dt = cfg.dtype
+        new_state = FrameState(
+            prev_shadow=shadow_vol.astype(dt),
+            prev_material_a=None,
+            prev_scatter=None,
+            prev_accumulation=accumulation.astype(dt),
+            prev_world_to_view=froxel.invert_rigid(view_to_world),
+            frame_count=state.frame_count + 1,
+        )
+        aux = dict(material_a=mat_a, material_b=mat_b, shadow=shadow_vol,
+                   scatter=None, accumulation=accumulation,
+                   scene_color=scene_color, view_depth=view_depth)
+        return image, aux, new_state
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def render_frame_jit(self, state: FrameState, scene: Scene, time_x):
