@@ -179,7 +179,11 @@ def main():
 
     def run_frame_post():
         # frame + FULL post stack in one jit: the end-to-end number the
-        # north star is really about (the scoped metric excludes post)
+        # north star is really about (the scoped metric excludes post).
+        # Packed-image chain ON PURPOSE: the planar chain
+        # (render_frame_post) measured 11.7 vs 9.5 ms same-pool — XLA's
+        # fusion over the materialized [H, W, 4] image beats the plane-wise
+        # graph (tools/ab_frame_post.py; PERF.md round 3).
         @functools.partial(jax.jit, donate_argnums=0)
         def frame_post(state, time_x):
             image, _, new_state = renderer.render_frame(

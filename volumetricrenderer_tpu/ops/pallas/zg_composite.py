@@ -246,11 +246,23 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
 def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
                       grid_whd: Tuple[int, int, int],
                       interpret: bool = False,
-                      prepadded: bool = False) -> jax.Array:
+                      prepadded: bool = False,
+                      return_planes: bool = False) -> jax.Array:
     """Full composite: per-pixel trilinear accumulation sample + scene blend
-    (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W]."""
+    (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W].
+
+    return_planes=True keeps the result channel-planar ((r, g, b, T) screen
+    planes) for the planar frame+post chain — no [H, W, 4] interleave.
+    scene_color may then itself be a 3-tuple of [H, W] planes (pre-split
+    once outside the frame loop: a per-frame [H, W, 3] minor-dim slice is a
+    strided ~0.7 ms/channel read, measured slower than the packed chain)."""
     lr, lg, lb, tt = composite_zgather_planes(planes, fz_texel, grid_whd,
                                               interpret=interpret,
                                               prepadded=prepadded)
+    if return_planes:
+        scp = scene_color if isinstance(scene_color, (tuple, list)) \
+            else tuple(scene_color[..., c] for c in range(3))
+        return tuple(s * tt + l
+                     for s, l in zip(scp, (lr, lg, lb))) + (tt,)
     rgb = scene_color * tt[..., None] + jnp.stack([lr, lg, lb], axis=-1)
     return jnp.concatenate([rgb, tt[..., None]], axis=-1)

@@ -637,7 +637,8 @@ def zgather_eligible(cfg: RenderConfig) -> bool:
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
               scene_color: jax.Array, view_depth: jax.Array,
               slab=None, planes=None,
-              planes_prepadded: bool = False) -> jax.Array:
+              planes_prepadded: bool = False,
+              return_planes: bool = False) -> jax.Array:
     """Fullscreen composite (VolumetricRenderer.shader:69-93).
 
     Screen u,v map to froxel x = W*u, y = H*v analytically (the reference's
@@ -653,6 +654,15 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
     non-integer IW/W ratio still falls back to the per-pixel gather."""
     w, h, d = cfg.grid
     ih, iw = view_depth.shape
+    if return_planes and not (slab is None and zgather_eligible(cfg)):
+        # only the zgather kernel emits planes natively; other impls pack
+        # [H, W, 4] anyway, so planar callers just slice it
+        if isinstance(scene_color, (tuple, list)):
+            scene_color = jnp.stack(scene_color, axis=-1)
+        img = composite(cfg, params, accumulation, scene_color, view_depth,
+                        slab=slab, planes=planes,
+                        planes_prepadded=planes_prepadded)
+        return tuple(img[..., c] for c in range(4))
     if slab is not None:
         # H-sharded slab (parallel/shard_render.py): accumulation is the
         # halo'd local block; pixel rows map to cell rows by a shard-invariant
@@ -678,7 +688,8 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
             else tuple(accumulation[..., c] for c in range(4))
         return composite_zgather(pl4, scene_color, fz, cfg.grid,
                                  interpret=jax.default_backend() != "tpu",
-                                 prepadded=planes_prepadded)
+                                 prepadded=planes_prepadded,
+                                 return_planes=return_planes)
     if cfg.composite_impl in ("pallas", "tentmm", "rowmm", "zgather") \
             and iw % w == 0:
         fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5

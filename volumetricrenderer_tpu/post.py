@@ -378,7 +378,18 @@ def apply_post(image_rgba: jax.Array, cfg: PostConfig,
     stack: DoF -> motion blur -> CA -> bloom -> vignette -> tonemap ->
     grading -> grain. The chain is channel-planar throughout (one split,
     one final stack)."""
-    planes = [image_rgba[..., c] * cfg.exposure for c in range(3)]
+    return _merge(apply_post_planes([image_rgba[..., c] for c in range(3)],
+                                    cfg, view_depth, velocity))
+
+
+def apply_post_planes(planes, cfg: PostConfig,
+                      view_depth: jax.Array = None,
+                      velocity: jax.Array = None):
+    """Planar core of apply_post: 3 HDR [H, W] channel planes in, 3 display
+    planes out. The renderer's zgather composite emits screen planes
+    directly, so the frame+post chain never materializes the packed
+    [H, W, 4] image (one interleave + one split of ~8 MB each saved)."""
+    planes = [p * cfg.exposure for p in planes[:3]]
     h, w = planes[0].shape
     if cfg.dof_focus_distance > 0.0 and view_depth is not None:
         planes = _dof_p(planes, view_depth, cfg)
@@ -410,5 +421,4 @@ def apply_post(image_rgba: jax.Array, cfg: PostConfig,
         mask = 1.0 - jnp.clip(luma, 0.0, 1.0) * 0.5
         gn = cfg.grain * n * mask
         planes = [p + gn for p in planes]
-    planes = [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]
-    return _merge(planes)
+    return [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]

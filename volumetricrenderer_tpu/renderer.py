@@ -95,8 +95,13 @@ class VolumetricRenderer:
                      scene_color: Optional[jax.Array] = None,
                      view_depth: Optional[jax.Array] = None,
                      shadow_data=None, slab=None,
+                     _image_planes: bool = False,
                      ) -> Tuple[jax.Array, dict, FrameState]:
         """One full frame. Returns (image [H, W, 4], aux volumes, new state).
+
+        _image_planes=True returns the image as 4 channel planes
+        ((r, g, b, T), each [H, W]) instead of packed [H, W, 4] — the planar
+        frame+post chain (render_frame_post) consumes these directly.
 
         slab (parallel/shard_render.py): when rendering an H-sharded slab,
         cfg holds the LOCAL (halo-extended) shapes and slab carries the global
@@ -177,7 +182,8 @@ class VolumetricRenderer:
         if fuse_frame:
             return self._render_volume_fused(
                 cfg, params, state, scene, view_to_world, prev_w2v, jitter,
-                alpha, time_x, mat_a, mat_b, scene_color, view_depth, slab)
+                alpha, time_x, mat_a, mat_b, scene_color, view_depth, slab,
+                _image_planes)
 
         # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
         fuse_sb = (cfg.temporal_blend_shadow
@@ -279,7 +285,8 @@ class VolumetricRenderer:
             image = pipeline.composite(cfg, params, accumulation, scene_color,
                                        view_depth, slab=slab,
                                        planes=acc_planes,
-                                       planes_prepadded=acc_prepadded)
+                                       planes_prepadded=acc_prepadded,
+                                       return_planes=_image_planes)
 
         # --- SaveHistory (cs:285-299) — free: new state carries the volumes.
         # Histories whose blends are off are not stored (None): a dead
@@ -304,7 +311,8 @@ class VolumetricRenderer:
 
     def _render_volume_fused(self, cfg, params, state, scene, view_to_world,
                              prev_w2v, jitter, alpha, time_x, mat_a, mat_b,
-                             scene_color, view_depth, slab):
+                             scene_color, view_depth, slab,
+                             _image_planes: bool = False):
         """render_frame tail for the whole-volume megakernel path (see the
         fuse_frame eligibility in render_frame)."""
         from volumetricrenderer_tpu.ops.pallas.frame_fused import \
@@ -353,7 +361,8 @@ class VolumetricRenderer:
             image = pipeline.composite(cfg, params, accumulation, scene_color,
                                        view_depth, slab=slab,
                                        planes=acc_planes,
-                                       planes_prepadded=acc_prepadded)
+                                       planes_prepadded=acc_prepadded,
+                                       return_planes=_image_planes)
 
         dt = cfg.dtype
         new_state = FrameState(
@@ -373,6 +382,27 @@ class VolumetricRenderer:
     def render_frame_jit(self, state: FrameState, scene: Scene, time_x):
         image, _, new_state = self.render_frame(state, scene, time_x)
         return image, new_state
+
+    def render_frame_post(self, state: FrameState, scene: Scene, post_cfg,
+                          time_x=0.0,
+                          scene_color: Optional[jax.Array] = None,
+                          view_depth: Optional[jax.Array] = None,
+                          shadow_data=None, velocity=None,
+                          ) -> Tuple[jax.Array, dict, FrameState]:
+        """Frame + full post stack in one traceable call, channel-planar
+        end-to-end: the zgather composite emits screen planes and the post
+        chain (post.apply_post_planes) consumes them directly — the packed
+        [H, W, 4] HDR image is never materialized (the reference pays this
+        as the OnRenderImage blit, VolumetricRenderer.cs:104-121, feeding
+        PostProcessing 2.3.0). Returns (display rgb [H, W, 3], aux, state)."""
+        from volumetricrenderer_tpu.post import apply_post_planes, _merge
+        planes, aux, new_state = self.render_frame(
+            state, scene, time_x, scene_color, view_depth, shadow_data,
+            _image_planes=True)
+        out = apply_post_planes(list(planes[:3]), post_cfg,
+                                view_depth=aux["view_depth"],
+                                velocity=velocity)
+        return _merge(out), aux, new_state
 
     def render_debug_slice(self, state: FrameState, scene: Scene, z: int,
                            volume: str = "accumulation", time_x=0.0):
