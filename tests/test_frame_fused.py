@@ -133,3 +133,43 @@ def test_renderer_megakernel_matches_xla():
     # equivalence-class: any-hit boundaries may flip isolated texels
     rel = np.abs(a - b) / (1.0 + np.abs(a))
     assert float((rel > 1e-3).mean()) < 5e-3, (rel > 1e-3).mean()
+
+
+def test_renderer_megakernel_zgather_padded_state():
+    """Megakernel + zgather composite: the accumulation history round-trips
+    through FrameState as PADDED planes (state.py) — frames 2+ stream the
+    previous frame's padded layout straight back into the kernel. Must equal
+    the pairwise-fused chain (frame_fused=False), which stores the packed
+    volume."""
+    from volumetricrenderer_tpu.state import packed_accumulation
+
+    cfg = RenderConfig(volume_width=16, volume_height=15, volume_depth=8,
+                       image_width=128, image_height=120,
+                       shadow_mode="raycast", scatter_impl="pallas",
+                       accumulate_impl="pallas", reproj_impl="pallas",
+                       dir_shadow_impl="pallas", material_impl="fused",
+                       composite_impl="zgather", temporal_blend_alpha=0.6)
+    cfg_ref = dataclasses.replace(cfg, frame_fused=False)
+    scene = _scene()
+
+    def frames(c):
+        r = VolumetricRenderer(c)
+        st = r.init_state(1)
+        f = jax.jit(lambda s, sc, t: r.render_frame(s, sc, t)[::2])
+        img = None
+        for i in range(3):
+            img, st = f(st, scene, jnp.float32(0.1 * i))
+        return np.asarray(img), st
+
+    img_ref, st_ref = frames(cfg_ref)
+    img, st = frames(cfg)
+    assert isinstance(st.prev_accumulation, tuple)
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import padded_dims
+    hp, ws = padded_dims(cfg.volume_height)
+    assert st.prev_accumulation[0].shape[1:] == (hp, ws)
+    np.testing.assert_allclose(np.asarray(img), img_ref,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(packed_accumulation(st.prev_accumulation,
+                                       (8, 15, 16))),
+        np.asarray(st_ref.prev_accumulation), rtol=1e-5, atol=1e-6)

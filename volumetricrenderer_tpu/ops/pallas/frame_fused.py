@@ -111,7 +111,7 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             boxes_ref, hf_ref, med_ref, *refs,
             grid_whd: Tuple[int, int, int], k: int, n_dir: int,
             h_glob: int, shadow_statics: dict, scatter_statics: dict,
-            vis_lowres, padded_out):
+            vis_lowres, padded_out, prev_padded: bool):
     w, h, d = grid_whd
     n_vis = 4 if vis_lowres is not None else 0
     vis_refs = refs[:n_vis]
@@ -132,11 +132,14 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
     rn_s = 2 * k + 2
     rn_a = 2 * k + 3
 
-    # history streams -> rings
+    # history streams -> rings (padded-layout history: the interior of the
+    # zgather padded plane is rows/cols [1, n+1) — state.py)
     for c in range(n_dir):
         s_ring[c][pl.ds(jnp.mod(j, rn_s), 1)] = prev_sh[c][:]
     for c in range(4):
-        a_ring[c][pl.ds(jnp.mod(j, rn_a), 1)] = prev_acc[c][:]
+        a_ring[c][pl.ds(jnp.mod(j, rn_a), 1)] = \
+            prev_acc[c][:, 1:h + 1, 1:w + 1] if prev_padded \
+            else prev_acc[c][:]
 
     # stage 1: raycast shadow slice j
     @pl.when(j < d)
@@ -262,13 +265,19 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                        alpha, dir_lights, point_lights, spot_lights,
                        geometry, media, time_x, camera_pos, prev_shadow,
                        prev_acc_planes, grid_whd: Tuple[int, int, int],
-                       k: int, vis=None, vis_ss: int = 2,
+                       k: int, prev_acc_padded: bool = False,
+                       vis=None, vis_ss: int = 2,
                        jitter_dir: bool = False,
                        heightfield_shadows: bool = False,
                        interpret: bool = False, padded_out=None):
     """Run the whole volume phase in one kernel. Returns (shadow_volume
     [Nd, D, H, W] blended, acc_planes tuple of 4 blended accumulation
-    planes — [D, H, W] or the zgather padded layout with padded_out)."""
+    planes — [D, H, W] or the zgather padded layout with padded_out).
+
+    prev_acc_planes: 4 history planes, [D, H, W] each — or, with
+    prev_acc_padded=True, the previous frame's padded_out-layout planes
+    ([DLANES, hp, wstride]; the interior is sliced in-kernel), so the
+    renderer can feed history back without any repack."""
     from volumetricrenderer_tpu.ops.pallas.dir_shadow import pack_dir_lights \
         as pack_shadow_lights
     from volumetricrenderer_tpu.ops.pallas.material import (pack_heightfield,
@@ -350,7 +359,8 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, k=k, n_dir=nd, h_glob=params.grid[1],
         shadow_statics=shadow_statics, scatter_statics=scatter_statics,
-        vis_lowres=vis_lowres, padded_out=padded_out)
+        vis_lowres=vis_lowres, padded_out=padded_out,
+        prev_padded=prev_acc_padded)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda j: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -359,6 +369,14 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     stream_spec = pl.BlockSpec((1, h, w),
                                lambda j: (jnp.minimum(j, d - 1), 0, 0),
                                memory_space=pltpu.VMEM)
+    if prev_acc_padded:
+        php, pws = prev_acc_planes[0].shape[1:]
+        assert php >= h + 1 and pws >= w + 1, (php, pws, h, w)
+        acc_in_spec = pl.BlockSpec((1, php, pws),
+                                   lambda j: (jnp.minimum(j, d - 1), 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        acc_in_spec = stream_spec
     sh_out_spec = pl.BlockSpec((1, h, w), zb_idx, memory_space=pltpu.VMEM)
     if padded_out is not None:
         from volumetricrenderer_tpu.ops.pallas.zg_composite import DLANES
@@ -390,7 +408,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                                            0, 0), memory_space=pltpu.SMEM),
                    smem(planes.shape), smem(spheres.shape), smem(boxes.shape),
                    smem(hf.shape), smem(med.shape)]
-                  + vis_specs + [stream_spec] * (nd + 4)),
+                  + vis_specs + [stream_spec] * nd + [acc_in_spec] * 4),
         out_specs=tuple([sh_out_spec] * nd + [acc_out_spec] * 4),
         out_shape=tuple([jax.ShapeDtypeStruct((d, h, w), jnp.float32)] * nd
                         + [acc_out_shape] * 4),

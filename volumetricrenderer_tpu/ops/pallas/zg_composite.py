@@ -49,6 +49,7 @@ DLANES = 128
 HB = 8          # froxel rows per grid step (8 x 256 = a (8,128)-clean block)
 WSTRIDE = 256   # padded cell-row stride (1 left edge col + W + right pads)
 UNSHUFFLE = "map"   # cell->screen layout variant (probe knob): map|bf16|whole
+NB = 0              # unshuffle rows per map step (probe knob; 0 = auto)
 
 
 def padded_dims(h: int) -> Tuple[int, int]:
@@ -227,7 +228,14 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     if UNSHUFFLE == "whole":
         return tuple(o.reshape(h, w, py, px).transpose(0, 2, 1, 3)
                      .reshape(ih, iw) for o in outs)
-    nb = 5 if h % 5 == 0 else (3 if h % 3 == 0 else 1)
+    # rows per step: swept on TPU (tools/probe_unshuffle_nb.py) — monotone
+    # win up to nb=45 at h=135 (8.88 -> 7.92 ms/frame: fewer steps amortize
+    # the per-step broadcast/copy overhead), single-step (nb=h) regresses to
+    # the whole-image strided transpose (9.17). Auto = largest divisor of h
+    # <= 45 that keeps >= 3 map steps.
+    cap = max(1, min(45, h // 3))
+    nb = NB if (NB and h % NB == 0) \
+        else max(n for n in range(1, cap + 1) if h % n == 0)
     cast = (lambda x: x.astype(jnp.bfloat16)) if UNSHUFFLE == "bf16" \
         else (lambda x: x)
 

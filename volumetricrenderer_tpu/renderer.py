@@ -185,6 +185,15 @@ class VolumetricRenderer:
                 alpha, time_x, mat_a, mat_b, scene_color, view_depth, slab,
                 _image_planes)
 
+        # the fused path stores accumulation history as kernel-layout planes
+        # (state.py) — repack for the unfused passes (frame 0 after a config
+        # switch, parity paths; the production fused path never comes here)
+        if isinstance(state.prev_accumulation, (tuple, list)):
+            from volumetricrenderer_tpu.state import packed_accumulation
+            state = dataclasses.replace(
+                state, prev_accumulation=packed_accumulation(
+                    state.prev_accumulation, cfg.grid_dhw))
+
         # --- Shadow volume (light events, cs:376-384) + blend (cs:258) ---
         fuse_sb = (cfg.temporal_blend_shadow
                    and cfg.dir_shadow_impl == "pallas"
@@ -340,15 +349,24 @@ class VolumetricRenderer:
             padded_for = padded_dims(cfg.volume_height)
             acc_prepadded = True
 
-        prev_acc = state.prev_accumulation.astype(jnp.float32)
+        # history arrives either packed [D, H, W, 4] (frame 0 / parity paths)
+        # or as the previous fused frame's kernel-layout planes (state.py) —
+        # the latter skips 4 strided channel slices AND the repack interleave
+        prev = state.prev_accumulation
+        if isinstance(prev, (tuple, list)):
+            prev_planes = tuple(p.astype(jnp.float32) for p in prev)
+        else:
+            pa = prev.astype(jnp.float32)
+            prev_planes = tuple(pa[..., c] for c in range(4))
+        prev_padded = prev_planes[0].shape != (d_, h_, w_)
         with jax.named_scope("volume_fused"):
             shadow_vol, acc_planes = frame_volume_fused(
                 params, view_to_world, prev_w2v, jitter, alpha,
                 scene.dir_lights, scene.point_lights, scene.spot_lights,
                 scene.geometry, scene.media, time_x, scene.camera.position,
                 state.prev_shadow.astype(jnp.float32),
-                tuple(prev_acc[..., c] for c in range(4)),
-                cfg.grid, cfg.reproj_window, vis=vis, vis_ss=ss,
+                prev_planes, prev_acc_padded=prev_padded,
+                grid_whd=cfg.grid, k=cfg.reproj_window, vis=vis, vis_ss=ss,
                 jitter_dir=cfg.jitter_dir_scatter,
                 heightfield_shadows=cfg.heightfield_local_shadows,
                 interpret=interp, padded_out=padded_for)
@@ -365,11 +383,17 @@ class VolumetricRenderer:
                                        return_planes=_image_planes)
 
         dt = cfg.dtype
+        # keep accumulation history in the kernels' own layout (planes, padded
+        # when the zgather composite is on): next frame streams them straight
+        # back into the megakernel — no channel interleave, no strided slices.
+        # Slabs keep the packed volume (parallel/shard_render.py halos it).
+        new_acc = accumulation.astype(dt) if slab is not None \
+            else tuple(p.astype(dt) for p in acc_planes)
         new_state = FrameState(
             prev_shadow=shadow_vol.astype(dt),
             prev_material_a=None,
             prev_scatter=None,
-            prev_accumulation=accumulation.astype(dt),
+            prev_accumulation=new_acc,
             prev_world_to_view=froxel.invert_rigid(view_to_world),
             frame_count=state.frame_count + 1,
         )

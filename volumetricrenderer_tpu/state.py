@@ -32,7 +32,13 @@ class FrameState:
     prev_shadow: jax.Array                      # [Nd, D, H, W] per-dir-light visibility history
     prev_material_a: Optional[jax.Array]        # [D, H, W, 4] (sigma_s rgb, sigma_a) or None
     prev_scatter: Optional[jax.Array]           # [D, H, W, 4] (L rgb, sigma_t) or None
-    prev_accumulation: jax.Array                # [D, H, W, 4] (L rgb, T)
+    # [D, H, W, 4] (L rgb, T) — or, after a megakernel frame
+    # (renderer._render_volume_fused), a TUPLE of 4 per-channel planes in the
+    # exact layout the kernels consume: [D, H, W], or the zgather composite's
+    # padded cell layout [DLANES, hp, wstride]. Keeping the history in the
+    # producer's layout skips a pack (channel interleave) + 4 strided channel
+    # slices per frame; packed_accumulation() normalizes for inspection.
+    prev_accumulation: jax.Array
     prev_world_to_view: jax.Array               # [4, 4]
     frame_count: jax.Array                      # int32 scalar
 
@@ -53,3 +59,18 @@ class FrameState:
             prev_world_to_view=jnp.eye(4, dtype=jnp.float32),
             frame_count=jnp.zeros((), jnp.int32),
         )
+
+
+def packed_accumulation(prev, grid_dhw: Tuple[int, int, int]) -> jax.Array:
+    """Normalize FrameState.prev_accumulation to packed [D, H, W, 4].
+
+    Accepts the packed volume (returned as-is) or the fused path's tuple of
+    planes — raw [D, H, W] or the zgather padded cell layout
+    [DLANES, hp, wstride] (padded row/col r maps to clamp(r - 1, 0, n - 1);
+    slicing [1:n+1] recovers the interior exactly)."""
+    if not isinstance(prev, (tuple, list)):
+        return prev
+    d, h, w = grid_dhw
+    un = [p if p.shape == (d, h, w) else p[:d, 1:h + 1, 1:w + 1]
+          for p in prev]
+    return jnp.stack(un, axis=-1)
