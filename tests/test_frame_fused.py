@@ -148,7 +148,8 @@ def test_renderer_megakernel_zgather_padded_state():
                        shadow_mode="raycast", scatter_impl="pallas",
                        accumulate_impl="pallas", reproj_impl="pallas",
                        dir_shadow_impl="pallas", material_impl="fused",
-                       composite_impl="zgather", temporal_blend_alpha=0.6)
+                       composite_impl="zgather", temporal_blend_alpha=0.6,
+                       raycast_shadow_subsample=2)
     cfg_ref = dataclasses.replace(cfg, frame_fused=False)
     scene = _scene()
 
@@ -173,3 +174,73 @@ def test_renderer_megakernel_zgather_padded_state():
         np.asarray(packed_accumulation(st.prev_accumulation,
                                        (8, 15, 16))),
         np.asarray(st_ref.prev_accumulation), rtol=1e-5, atol=1e-6)
+
+
+def test_inline_vis_bake_matches_input_vis():
+    """Megakernel stage-0 inline visibility bake (VMEM ring on the
+    inline_bake_schedule) == feeding the standalone bake's volume as input —
+    bit-exact: shared bake helpers, and every (light, low-slice) pair the
+    scatter reads is baked before its first read."""
+    scene = _scene()
+    cam = scene.camera
+    params = froxel.make_froxel_params(cam.fov_y, cam.aspect, cam.near,
+                                       60.0, 2.0, GRID)
+    v2w = cam.view_to_world()
+    cam2 = Camera.create(position=(0.5, 1.4, -8.2), forward=(0.02, 0.0, 1.0),
+                         aspect=1.5)
+    prev_w2v = froxel.invert_rigid(cam2.view_to_world())
+    jitter = jnp.asarray([0.25, -0.3, 0.4], jnp.float32)
+    rng = np.random.default_rng(7)
+    w, h, d = GRID
+    prev_sh = jnp.asarray(rng.uniform(0, 1, (1, d, h, w)), jnp.float32)
+    prev_acc = tuple(jnp.asarray(rng.uniform(0, 1, (d, h, w)), jnp.float32)
+                     for _ in range(4))
+    alpha = jnp.float32(0.7)
+
+    for ss, k in ((2, 2), (2, 1), (4, 2)):
+        vis = vis_lib.bake_visibility_pallas(
+            params, v2w, cam.position, jitter, scene.point_lights,
+            scene.spot_lights, scene.geometry, GRID, ss, interpret=True)
+        ref_sh, ref_acc = frame_volume_fused(
+            params, v2w, prev_w2v, jitter, alpha, scene.dir_lights,
+            scene.point_lights, scene.spot_lights, scene.geometry,
+            scene.media, 0.3, cam.position, prev_sh, prev_acc, GRID, k,
+            vis=vis, vis_ss=ss, interpret=True)
+        out_sh, out_acc = frame_volume_fused(
+            params, v2w, prev_w2v, jitter, alpha, scene.dir_lights,
+            scene.point_lights, scene.spot_lights, scene.geometry,
+            scene.media, 0.3, cam.position, prev_sh, prev_acc, GRID, k,
+            vis=None, vis_ss=ss, inline_vis_bake=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_sh), np.asarray(ref_sh),
+                                      err_msg=f"shadow ss={ss} k={k}")
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(out_acc[c]), np.asarray(ref_acc[c]),
+                err_msg=f"acc ss={ss} k={k} c={c}")
+
+
+def test_inline_bake_schedule_covers_reads():
+    """Every (ka, ka+1) low-slice read of every scatter step is baked at or
+    before the reading step, and ring slots never alias while live."""
+    for d, ss, k in ((128, 2, 2), (128, 2, 1), (128, 4, 2), (12, 2, 2),
+                     (7, 2, 1), (128, 8, 3)):
+        dl = -(-d // ss)
+        n_steps = d + k + 2
+        bake_m, ring_n = vis_lib.inline_bake_schedule(d, dl, ss, k, n_steps)
+        baked_at = {}
+        for j, m in enumerate(bake_m):
+            if m >= 0:
+                assert m not in baked_at
+                baked_at[int(m)] = j
+        slot_live = {}
+        for zb in range(d):
+            j = zb + k + 1
+            ka = min(max((2 * zb - (ss - 1)) // (2 * ss), 0), dl - 1)
+            for m in (ka, min(ka + 1, dl - 1)):
+                assert m in baked_at and baked_at[m] <= j, (d, ss, k, zb, m)
+                slot = m % ring_n
+                if slot in slot_live and slot_live[slot] != m:
+                    # a new slice took this slot: its bake must be later
+                    # than every read of the old one we've already done
+                    assert baked_at[m] >= baked_at[slot_live[slot]]
+                slot_live[slot] = m

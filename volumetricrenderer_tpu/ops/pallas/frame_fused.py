@@ -37,6 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+INLINE_VIS = True   # bake local-light visibility INSIDE the megakernel
+                    # (stage 0 + VMEM ring) instead of a separate pallas_call
+                    # + HBM volume; probe knob (tools/probe_inline_vis.py)
+
 from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
 from volumetricrenderer_tpu.ops.pallas.scatter import scatter_slice
 from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
@@ -111,7 +115,7 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             boxes_ref, hf_ref, med_ref, *refs,
             grid_whd: Tuple[int, int, int], k: int, n_dir: int,
             h_glob: int, shadow_statics: dict, scatter_statics: dict,
-            vis_lowres, padded_out, prev_padded: bool):
+            vis_lowres, padded_out, prev_padded: bool, inline_vis=None):
     w, h, d = grid_whd
     n_vis = 4 if vis_lowres is not None else 0
     vis_refs = refs[:n_vis]
@@ -127,6 +131,15 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
     xy_cache = scratch[2 * n_dir + 4:2 * n_dir + 8]
     carry = scratch[2 * n_dir + 8:2 * n_dir + 12]
     sh_last = scratch[2 * n_dir + 12:3 * n_dir + 12]
+    if inline_vis is not None:
+        # vis_refs = (bake_m, bact, ay, axt) SMEM/VMEM inputs; the baked
+        # low-res visibility slices live in a VMEM ring (scratch), written
+        # here on the inline_bake_schedule and read back by scatter_slice
+        # (ring row = light*ring_n + m % ring_n)
+        nl_v, ring_n = inline_vis
+        bkm_ref, bact_ref, ay_ref, axt_ref = vis_refs
+        vis_ring = scratch[3 * n_dir + 12]       # [nl*ring_n, hl, wl]
+        vis_refs = (vis_ring, ay_ref, axt_ref)
 
     j = pl.program_id(0)
     rn_s = 2 * k + 2
@@ -140,6 +153,34 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         a_ring[c][pl.ds(jnp.mod(j, rn_a), 1)] = \
             prev_acc[c][:, 1:h + 1, 1:w + 1] if prev_padded \
             else prev_acc[c][:]
+
+    # stage 0: inline visibility bake — low-res slice bake_m[j] for every
+    # slice-active local light, at the latest step that still precedes its
+    # first read (visibility.inline_bake_schedule). Same math as the
+    # standalone bake kernel (shared helpers) — the separate pallas_call,
+    # its HBM volume and the per-step block refetches are gone.
+    if inline_vis is not None:
+        from volumetricrenderer_tpu.ops.pallas.visibility import (
+            bake_light_plane, bake_world_planes)
+        vss = vis_lowres[0]
+        m = bkm_ref[0, 0, 0]
+
+        @pl.when(m >= 0)
+        def _bake_vis():
+            bwx, bwy, bwz = bake_world_planes(spar_ref, m, grid_whd, vss,
+                                              h_glob)
+            slot = jnp.mod(m, ring_n)
+            for li in range(nl_v):
+                @pl.when(bact_ref[0, 0, li] != 0)
+                def _one(li=li):
+                    plane = bake_light_plane(
+                        lights_ref, li, bwx, bwy, bwz, planes_ref,
+                        spheres_ref, boxes_ref, hf_ref,
+                        n_planes=scatter_statics["n_planes"],
+                        n_spheres=scatter_statics["n_spheres"],
+                        n_boxes=scatter_statics["n_boxes"],
+                        hf_static=scatter_statics["hf_static"])
+                    vis_ring[pl.ds(li * ring_n + slot, 1)] = plane[None]
 
     # stage 1: raycast shadow slice j
     @pl.when(j < d)
@@ -267,6 +308,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                        prev_acc_planes, grid_whd: Tuple[int, int, int],
                        k: int, prev_acc_padded: bool = False,
                        vis=None, vis_ss: int = 2,
+                       inline_vis_bake: bool = False,
                        jitter_dir: bool = False,
                        heightfield_shadows: bool = False,
                        interpret: bool = False, padded_out=None):
@@ -334,7 +376,39 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     vis_lowres = None
     vis_specs = []
     vis_inputs = ()
-    if vis is not None:
+    inline_vis = None
+    vis_scratch = []
+    if inline_vis_bake and vis is None:
+        from volumetricrenderer_tpu.ops.pallas.visibility import (
+            inline_bake_schedule, low_res_dims, low_slice_active,
+            upsample_mats)
+        import numpy as np
+        wl, hl, dl = low_res_dims(grid_whd, vis_ss)
+        nl_v = lights.shape[0]
+        n_steps = d + k + 2
+        bake_m_np, ring_n = inline_bake_schedule(d, dl, vis_ss, k, n_steps)
+        active = low_slice_active(params, view_to_world, positions, ranges,
+                                  grid_whd, vis_ss).astype(jnp.int32)
+        bm_clip = np.clip(bake_m_np, 0, dl - 1)
+        bact = active.T[bm_clip] \
+            * jnp.asarray((bake_m_np >= 0).astype(np.int32))[:, None]
+        bake_m = jnp.asarray(bake_m_np[:, None, None])       # [G, 1, 1]
+        bact = bact[:, None, :]                              # [G, 1, NL]
+        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))
+        axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)
+        vis_lowres = (vis_ss, dl, ring_n)
+        inline_vis = (nl_v, ring_n)
+        vis_specs = [
+            pl.BlockSpec((1, 1, 1), lambda j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nl_v), lambda j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, hl), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wl, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        vis_inputs = (bake_m, bact, ay, axt)
+        vis_scratch = [pltpu.VMEM((nl_v * ring_n, hl, wl), jnp.float32)]
+    elif vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
         nl_v, dl, hl, wl = vis.shape
         vis_lowres = (vis_ss, dl)
@@ -360,7 +434,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
         _kernel, grid_whd=grid_whd, k=k, n_dir=nd, h_glob=params.grid[1],
         shadow_statics=shadow_statics, scatter_statics=scatter_statics,
         vis_lowres=vis_lowres, padded_out=padded_out,
-        prev_padded=prev_acc_padded)
+        prev_padded=prev_acc_padded, inline_vis=inline_vis)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda j: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
@@ -393,7 +467,8 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     scratch = ([pltpu.VMEM((2 * k + 2, h, w), jnp.float32)] * nd
                + [pltpu.VMEM((k + 2, h, w), jnp.float32)] * nd
                + [pltpu.VMEM((2 * k + 3, h, w), jnp.float32)] * 4
-               + [pltpu.VMEM((h, w), jnp.float32)] * (8 + nd))
+               + [pltpu.VMEM((h, w), jnp.float32)] * (8 + nd)
+               + vis_scratch)
 
     outs = pl.pallas_call(
         kernel,

@@ -197,12 +197,24 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
     if vis_lowres is not None:
         # z-lerp weight for the baked visibility volume: full slice zi sits at
         # u = (zi - (ss-1)/2)/ss between low slices floor(u), floor(u)+1
-        # (clamp-to-edge; matches the index maps in scatter_local_pallas)
-        vis_a_ref, vis_b_ref, ay_ref, axt_ref = vis_refs
-        vss, vdl = vis_lowres
+        # (clamp-to-edge; matches the index maps in scatter_local_pallas).
+        # 3 refs = the megakernel's inline-bake VMEM ring (visibility slices
+        # live at ring row light*ring_n + m % ring_n — inline_bake_schedule
+        # guarantees no live slice aliases); 4 refs = HBM volume blocks.
+        if len(vis_refs) == 3:
+            ring_ref, ay_ref, axt_ref = vis_refs
+            vss, vdl, ring_n = vis_lowres
+        else:
+            vis_a_ref, vis_b_ref, ay_ref, axt_ref = vis_refs
+            vss, vdl = vis_lowres[:2]
+            ring_n = None
         vu = (zi.astype(jnp.float32) - (vss - 1) * 0.5) / vss
         vkf = jnp.clip(jnp.floor(vu), 0.0, vdl - 1.0)
         vt = jnp.clip(vu - vkf, 0.0, 1.0)
+        if ring_n is not None:
+            ka_i = vkf.astype(jnp.int32)
+            slot_a = jnp.mod(ka_i, ring_n)
+            slot_b = jnp.mod(jnp.minimum(ka_i + 1, vdl - 1), ring_n)
 
     def light_body(li, acc):
         ar, ag, ab = acc
@@ -255,8 +267,12 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             # 16-light dots into VMEM scratch measured 2.76 vs 2.55 ms
             # in-kernel — the batch upsamples every light while the culled
             # fori only visits ~11, and the scratch staging adds traffic.
-            va = vis_a_ref[idx, 0]
-            vb = vis_b_ref[idx, 0]
+            if ring_n is not None:
+                va = ring_ref[pl.ds(idx * ring_n + slot_a, 1)][0]
+                vb = ring_ref[pl.ds(idx * ring_n + slot_b, 1)][0]
+            else:
+                va = vis_a_ref[idx, 0]
+                vb = vis_b_ref[idx, 0]
             low = va + vt * (vb - va)                      # [HL, WL]
             shadow = jax.lax.dot(ay_ref[...], jax.lax.dot(low, axt_ref[...]))
         else:

@@ -98,12 +98,60 @@ def low_slice_active(params, view_to_world, positions, ranges,
     return d2 <= (ranges[:, None] ** 2)                    # [NL, DL]
 
 
+def bake_world_planes(par_ref, zi, grid_whd: Tuple[int, int, int], ss: int,
+                      h_glob: int):
+    """[HL, WL] jittered world-position planes of low-res slice zi — the
+    in-kernel coordinate block shared by the standalone bake kernel and the
+    megakernel's inline bake (ops/pallas/frame_fused.py). Low-res slice
+    sample: full-res froxel coords ss*k + (ss-1)/2, same +0.5+jitter
+    convention as the full-res kernel (scatter._kernel)."""
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    p = lambda i: par_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+    y0 = p(23)
+
+    off = (ss - 1) * 0.5
+    fz = float(ss) * zi.astype(jnp.float32) + off + 0.5 + jz
+    vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1) \
+        .astype(jnp.float32) * float(ss) + off
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0) \
+        .astype(jnp.float32) * float(ss) + off
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+    vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
+    wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+    return wx, wy, wz
+
+
+def bake_light_plane(lights_ref, li, wx, wy, wz, planes_ref, spheres_ref,
+                     boxes_ref, hf_ref, *, n_planes: int, n_spheres: int,
+                     n_boxes: int, hf_static: tuple):
+    """Visibility plane (1 = lit) of light row li at world planes wx/wy/wz —
+    the any-hit block shared by the standalone and inline bakes."""
+    q = lambda i: lights_ref[li, i]
+    tx = wx - q(0)
+    ty = wy - q(1)
+    tz = wz - q(2)
+    d2 = tx * tx + ty * ty + tz * tz
+    inv_d = jax.lax.rsqrt(d2 + 1e-18)
+    dist = d2 * inv_d
+    occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
+                  wx, wy, wz, -tx * inv_d, -ty * inv_d, -tz * inv_d,
+                  dist - 0.05, n_planes=n_planes, n_spheres=n_spheres,
+                  n_boxes=n_boxes, hf_static=hf_static)
+    return 1.0 - occ.astype(jnp.float32) * q(14)             # shadow gate
+
+
 def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
                  boxes_ref, hf_ref, out_ref, *,
                  grid_whd: Tuple[int, int, int], ss: int, n_planes: int,
                  n_spheres: int, n_boxes: int, h_glob: int,
                  hf_static: tuple):
-    w, h, d = grid_whd
     wl, hl, dl = low_res_dims(grid_whd, ss)
     li = pl.program_id(0)
     zi = pl.program_id(1)
@@ -114,39 +162,11 @@ def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
 
     @pl.when(active_ref[li, zi] != 0)
     def _bake():
-        p = lambda i: par_ref[0, i]
-        fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
-        jx, jy, jz = p(17), p(18), p(19)
-        y0 = p(23)
-
-        # low-res slice sample: full-res froxel coords ss*k + (ss-1)/2, same
-        # +0.5+jitter convention as the full-res kernel (scatter._kernel)
-        off = (ss - 1) * 0.5
-        fz = float(ss) * zi.astype(jnp.float32) + off + 0.5 + jz
-        vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
-        xs = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1) \
-            .astype(jnp.float32) * float(ss) + off
-        ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0) \
-            .astype(jnp.float32) * float(ss) + off
-        ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
-        vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
-        vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
-        wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
-        wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
-        wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
-
-        q = lambda i: lights_ref[li, i]
-        tx = wx - q(0)
-        ty = wy - q(1)
-        tz = wz - q(2)
-        d2 = tx * tx + ty * ty + tz * tz
-        inv_d = jax.lax.rsqrt(d2 + 1e-18)
-        dist = d2 * inv_d
-        occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
-                      wx, wy, wz, -tx * inv_d, -ty * inv_d, -tz * inv_d,
-                      dist - 0.05, n_planes=n_planes, n_spheres=n_spheres,
-                      n_boxes=n_boxes, hf_static=hf_static)
-        out_ref[0, 0] = 1.0 - occ.astype(jnp.float32) * q(14)   # shadow gate
+        wx, wy, wz = bake_world_planes(par_ref, zi, grid_whd, ss, h_glob)
+        out_ref[0, 0] = bake_light_plane(
+            lights_ref, li, wx, wy, wz, planes_ref, spheres_ref, boxes_ref,
+            hf_ref, n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
+            hf_static=hf_static)
 
 
 def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
@@ -214,6 +234,50 @@ def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
         out_shape=jax.ShapeDtypeStruct((nl, dl, hl, wl), jnp.float32),
         interpret=interpret,
     )(par, lights, active, planes, spheres, boxes, hf)
+
+
+def inline_bake_schedule(d: int, dl: int, ss: int, k: int, n_steps: int):
+    """Per-grid-step schedule for baking low-res visibility slices INSIDE the
+    megakernel (ops/pallas/frame_fused.py) instead of a separate pallas_call.
+
+    The megakernel scatters full slice zb at grid step zb + k + 1, reading low
+    slices ka(zb) and ka(zb)+1. Baking each low slice at the LATEST step that
+    still precedes (in-program-order: equals) its first read bounds how long
+    any slice must stay resident, so the bakes live in a small VMEM ring of
+    ring_n slots per light (slot = m % ring_n) instead of an HBM volume.
+
+    Returns (bake_m [n_steps] int32 — low slice to bake at each step, -1 =
+    none; ring_n). Asserts the schedule fits (>= 1 free step per bake) and
+    that ring slots never alias a live slice."""
+    zb = np.arange(d)
+    ka = np.clip((2 * zb - (ss - 1)) // (2 * ss), 0, dl - 1)
+    kb = np.minimum(ka + 1, dl - 1)
+    big = 1 << 30
+    first = np.full(dl, big, np.int64)
+    last = np.full(dl, -1, np.int64)
+    for z in range(d):
+        for m in (int(ka[z]), int(kb[z])):
+            first[m] = min(first[m], z + k + 1)
+            last[m] = max(last[m], z + k + 1)
+    used = first < big
+    jb = np.full(dl, -1, np.int64)
+    nxt = big
+    for m in range(dl - 1, -1, -1):
+        if not used[m]:
+            continue
+        jb[m] = min(first[m], nxt - 1)
+        nxt = jb[m]
+    assert (jb[used] >= 0).all(), "bake schedule does not fit the grid"
+    ring_n = int((last[used] - jb[used]).max()) + 1
+    for m in range(dl):
+        if used[m] and m + ring_n < dl and used[m + ring_n]:
+            assert jb[m + ring_n] > last[m], (m, ring_n)
+    bake_m = np.full(n_steps, -1, np.int64)
+    for m in range(dl):
+        if used[m]:
+            assert 0 <= jb[m] < n_steps and bake_m[jb[m]] == -1
+            bake_m[jb[m]] = m
+    return bake_m.astype(np.int32), ring_n
 
 
 def low_res_world_positions(cfg, params, view_to_world, jitter, ss: int):
