@@ -102,12 +102,17 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                              grid_whd: Tuple[int, int, int],
                              interpret: bool = False,
                              prepadded: bool = False,
-                             w9_override=None):
+                             w9_override=None,
+                             _return_cells: bool = False):
     """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T)
     — or, with prepadded=True, [DLANES, hp, wstride] planes already in the
     padded cell layout (padded_dims; the fused temporal blend emits these).
     fz_texel [IH, IW] froxel-z per pixel. Returns per-channel SCREEN planes
-    [IH, IW] (trilinear accumulation sample per pixel, shader:69-93)."""
+    [IH, IW] (trilinear accumulation sample per pixel, shader:69-93).
+
+    _return_cells=True (internal) skips the unshuffle and returns the raw
+    cell-layout outputs [H, W, 64] — the multi-of-8 decomposition below
+    unshuffles all its sub-images in one combined map."""
     w, h, d = grid_whd
     ih, iw = fz_texel.shape
     py, px = ih // h, iw // w
@@ -115,48 +120,6 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     # dx=2 tap of output column w-1 reads padded column w+1: the padded row
     # needs 1 left edge col + w data cols + >=1 right edge col
     assert w + 2 <= WSTRIDE
-
-    if py * px != 64:
-        # larger cells (e.g. 4K over the FULL grid: 16x16 px) decompose into
-        # ky*kx sub-images of 8x8-px cells — each sub-image is one plain
-        # zgather pass over the SAME froxel planes; reassembly is 8-row/-col
-        # band interleaves (pure reshapes + one stack each)
-        assert py % 8 == 0 and px % 8 == 0, (py, px)
-        ky, kx = py // 8, px // 8
-        fz4 = fz_texel.reshape(h, ky, 8, w, kx, 8)
-        # tent weights stay those of the PARENT py x px cell: sub-image
-        # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
-        w_full = np.zeros((3, 3, py, px), np.float32)
-        fy = (np.arange(py) + 0.5) / py - 0.5
-        fx = (np.arange(px) + 0.5) / px - 0.5
-        for dd in (-1, 0, 1):
-            wy = np.maximum(0.0, 1.0 - np.abs(fy - dd))
-            for e in (-1, 0, 1):
-                wx = np.maximum(0.0, 1.0 - np.abs(fx - e))
-                w_full[dd + 1, e + 1] = np.outer(wy, wx)
-        subs = []
-        for a in range(ky):
-            row = []
-            for b in range(kx):
-                sub_fz = fz4[:, a, :, :, b, :].reshape(h * 8, w * 8)
-                w9_sub = w_full[:, :, a * 8:(a + 1) * 8,
-                                b * 8:(b + 1) * 8].reshape(9, 64)
-                row.append(composite_zgather_planes(
-                    planes, sub_fz, grid_whd, interpret=interpret,
-                    prepadded=prepadded, w9_override=w9_sub))
-            subs.append(row)
-        outs = []
-        for c in range(len(planes)):
-            rows = []
-            for a in range(ky):
-                cols = [subs[a][b][c].reshape(h * 8, w, 8) for b in range(kx)]
-                rows.append(jnp.stack(cols, axis=2).reshape(h * 8, iw))
-            full = jnp.stack([r.reshape(h, 8, iw) for r in rows],
-                             axis=1).reshape(ih, iw)
-            outs.append(full)
-        return tuple(outs)
-
-    cp = py * px
 
     nblk = -(-h // HB)
     hout = nblk * HB
@@ -173,6 +136,66 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         p = jnp.concatenate([p[:, :1], p] + [p[:, -1:]] * (hp - h - 1),
                             axis=1)
         return p.reshape(DLANES, hp * WSTRIDE)
+
+    if py * px != 64:
+        # larger cells (e.g. 4K over the FULL grid: 16x16 px) decompose into
+        # ky*kx sub-images of 8x8-px cells — each sub-image is one plain
+        # zgather KERNEL pass over the SAME (padded-once) froxel planes; the
+        # cell->screen unshuffle AND the 8-row/8-col band interleaves then
+        # run as ONE fused map over all sub-results (the earlier
+        # per-sub-unshuffle + stack/reshape reassembly was ~5x the kernel
+        # time in strided relayout copies — PERF.md round 3, 4K scope).
+        assert py % 8 == 0 and px % 8 == 0, (py, px)
+        ky, kx = py // 8, px // 8
+        if not prepadded:
+            planes = [prep(p).reshape(DLANES, hp, WSTRIDE) for p in planes]
+        n_ch = len(planes)
+        fz4 = fz_texel.reshape(h, ky, 8, w, kx, 8)
+        # tent weights stay those of the PARENT py x px cell: sub-image
+        # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
+        w_full = np.zeros((3, 3, py, px), np.float32)
+        fy = (np.arange(py) + 0.5) / py - 0.5
+        fx = (np.arange(px) + 0.5) / px - 0.5
+        for dd in (-1, 0, 1):
+            wy = np.maximum(0.0, 1.0 - np.abs(fy - dd))
+            for e in (-1, 0, 1):
+                wx = np.maximum(0.0, 1.0 - np.abs(fx - e))
+                w_full[dd + 1, e + 1] = np.outer(wy, wx)
+        cells = []
+        for a in range(ky):
+            row = []
+            for b in range(kx):
+                sub_fz = fz4[:, a, :, :, b, :].reshape(h * 8, w * 8)
+                w9_sub = w_full[:, :, a * 8:(a + 1) * 8,
+                                b * 8:(b + 1) * 8].reshape(9, 64)
+                row.append(composite_zgather_planes(
+                    planes, sub_fz, grid_whd, interpret=interpret,
+                    prepadded=True, w9_override=w9_sub, _return_cells=True))
+            cells.append(row)
+
+        nb = NB if (NB and h % NB == 0) \
+            else max(n for n in range(1, max(1, min(45, h // 3)) + 1)
+                     if h % n == 0)
+
+        def rows(y0):
+            outs_r = []
+            for c in range(n_ch):
+                bands = []
+                for a in range(ky):
+                    per_b = [jax.lax.dynamic_slice_in_dim(
+                        cells[a][b][c], y0 * nb, nb, 0).reshape(nb, w, 8, 8)
+                        for b in range(kx)]
+                    t = jnp.stack(per_b, axis=3)       # [nb, w, iy, b, ix]
+                    t = t.transpose(0, 2, 1, 3, 4)     # [nb, iy, w, b, ix]
+                    bands.append(t.reshape(nb, 8, w * px))
+                band = jnp.stack(bands, axis=1)        # [nb, a, iy, W]
+                outs_r.append(band.reshape(nb * py, iw))
+            return tuple(outs_r)
+
+        shuffled = jax.lax.map(rows, jnp.arange(h // nb))
+        return tuple(s.reshape(ih, iw) for s in shuffled)
+
+    cp = py * px
 
     if prepadded:
         planes_p = [p.reshape(DLANES, hp * WSTRIDE) for p in planes]
@@ -221,6 +244,8 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         interpret=interpret,
     )(fz_c, w9d, *plane_inputs)
     outs = [o[:h] for o in outs_all]
+    if _return_cells:
+        return tuple(outs)
 
     # cell -> screen unshuffle for all channels in ONE batched map (the
     # per-step transposes fuse; a whole-image moveaxis is a ~1.6 ms strided
