@@ -19,6 +19,13 @@ from volumetricrenderer_tpu.models.scene import Scene
 from volumetricrenderer_tpu.state import FrameState
 
 
+def _packed_acc(prev, cfg):
+    """Normalize the fused path's plane-tuple accumulation history
+    (state.packed_accumulation) to the oracle's packed [D, H, W, 4]."""
+    from volumetricrenderer_tpu.state import packed_accumulation
+    return packed_accumulation(prev, cfg.grid_dhw)
+
+
 def _np(x):
     return None if x is None else np.asarray(x, np.float64)
 
@@ -151,6 +158,7 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
             sphere_radius=_np(scene.geometry.sphere_radius),
             box_min=_np(scene.geometry.box_min),
             box_max=_np(scene.geometry.box_max),
+            box_opacity=_np(scene.geometry.box_opacity),
             hf=_hf_dict(scene.geometry),
             hf_local=cfg.heightfield_local_shadows,
         ),
@@ -162,7 +170,8 @@ def to_oracle_input(cfg: RenderConfig, scene: Scene, state: FrameState,
         prev_shadow=_np(state.prev_shadow) if has_history else None,
         prev_scatter=_np(state.prev_scatter)
         if has_history and state.prev_scatter is not None else None,
-        prev_accumulation=_np(state.prev_accumulation) if has_history else None,
+        prev_accumulation=_np(_packed_acc(state.prev_accumulation, cfg))
+        if has_history else None,
         prev_material_a=_np(state.prev_material_a)
         if has_history and state.prev_material_a is not None else None,
         prev_world_to_view=_np(state.prev_world_to_view),

@@ -260,13 +260,18 @@ def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
     heightfield: height_fn(x, z), hmin, hmax, steps, far — band-clamped
     midpoint march, SPEC "Heightfield occluder"). dirs unit."""
     eps = 1e-4
-    hit = np.zeros(points.shape[:-1], bool)
+    # transmittance-product form: solid prims multiply by (1 - hit) — for
+    # all-solid scenes this equals the any-hit OR exactly (0/1 factors);
+    # boxes may carry "box_opacity" < 1 (SPEC "Occluder opacity": voxelized
+    # alpha-tested foliage attenuates by its average coverage).
+    trans = np.ones(points.shape[:-1], np.float64)
     for i in range(len(geom.get("plane_normal", []))):
         n = geom["plane_normal"][i]
         denom = dirs @ n
         t = -(points @ n + geom["plane_d"][i]) / np.where(np.abs(denom) < 1e-9,
                                                           1e-9, denom)
-        hit |= (t > eps) & (t < max_dist) & (np.abs(denom) > 1e-9)
+        hit_i = (t > eps) & (t < max_dist) & (np.abs(denom) > 1e-9)
+        trans = trans * (1.0 - hit_i)
     for i in range(len(geom.get("sphere_center", []))):
         oc = points - geom["sphere_center"][i]
         b = np.sum(oc * dirs, axis=-1)
@@ -274,15 +279,19 @@ def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
         disc = b * b - cq
         sq = np.sqrt(np.maximum(disc, 0.0))
         t = np.where(-b - sq > eps, -b - sq, -b + sq)
-        hit |= (disc > 0.0) & (t > eps) & (t < max_dist)
-    for i in range(len(geom.get("box_min", []))):
+        hit_i = (disc > 0.0) & (t > eps) & (t < max_dist)
+        trans = trans * (1.0 - hit_i)
+    n_boxes = len(geom.get("box_min", []))
+    box_op = geom.get("box_opacity", np.ones(n_boxes))
+    for i in range(n_boxes):
         inv = 1.0 / np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
         t0s = (geom["box_min"][i] - points) * inv
         t1s = (geom["box_max"][i] - points) * inv
         tmin = np.max(np.minimum(t0s, t1s), axis=-1)
         tmax = np.min(np.maximum(t0s, t1s), axis=-1)
         t = np.where(tmin > eps, tmin, tmax)
-        hit |= (tmax >= tmin) & (t > eps) & (t < max_dist)
+        hit_i = (tmax >= tmin) & (t > eps) & (t < max_dist)
+        trans = trans * (1.0 - box_op[i] * hit_i)
     hf = geom.get("hf")
     if hf is not None and include_heightfield:
         oy = points[..., 1]
@@ -303,8 +312,8 @@ def occluded_raycast(geom: dict, points: np.ndarray, dirs: np.ndarray,
             t = lo + (hi - lo) * ((i + 0.5) / hf["steps"])
             p = points + t[..., None] * dirs
             occ |= p[..., 1] < hf["height_fn"](p[..., 0], p[..., 2])
-        hit |= occ & valid
-    return hit.astype(np.float64)
+        trans = trans * (1.0 - (occ & valid))
+    return 1.0 - trans
 
 
 # --------------------------------------------------------------------------- #

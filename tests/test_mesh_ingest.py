@@ -90,9 +90,10 @@ def test_tree_assets_regenerable():
     verts = normalize_mesh(verts, height=6.0)
     fresh = mesh_to_boxes(verts, tris, res=20, max_boxes=8)
     assert len(fresh) == len(tree_assets.TREE_0)
-    for (am, ax), (bm, bx) in zip(fresh, tree_assets.TREE_0):
+    for (am, ax, ao), (bm, bx, bo) in zip(fresh, tree_assets.TREE_0):
         np.testing.assert_allclose(am, bm, atol=2e-3)
         np.testing.assert_allclose(ax, bx, atol=2e-3)
+        assert 0.0 < bo <= 1.0 and abs(ao - bo) < 2e-3
 
 
 def test_mesh_env_scene_renders():

@@ -28,8 +28,8 @@ Produced by tools/bake_tree_boxes.py: the reference's FBX tree meshes
 (/root/reference/Assets/Fbxs/Nature_Tree_*.fbx, instanced by
 Assets/Prefabs/Enviornment.prefab + Tree.prefab) parsed with io/fbx.py,
 voxelized and greedily box-decomposed with models/voxelize.py (res=20,
-max 8 boxes, ~90% occupied-voxel coverage). Each entry is (bmin, bmax) in
-meters for a tree standing on y=0 at the named height; instance with
+max 8 boxes, ~90% occupied-voxel coverage). Each entry is (bmin, bmax,
+opacity) in meters for a tree standing on y=0 at the named height; instance with
 models.voxelize.transform_boxes. Checked in so scenes build without the
 reference checkout; re-run the tool to regenerate.
 """
@@ -47,10 +47,10 @@ def main():
         boxes = mesh_to_boxes(verts, tris, res=20, max_boxes=8)
         out.append(f"# {rel}: {len(verts)} verts, {len(tris)} tris, "
                    f"height {height} m\n{name} = [\n")
-        for bmin, bmax in boxes:
+        for bmin, bmax, opacity in boxes:
             bm = ", ".join(f"{v:.3f}" for v in bmin)
             bx = ", ".join(f"{v:.3f}" for v in bmax)
-            out.append(f"    (({bm}), ({bx})),\n")
+            out.append(f"    (({bm}), ({bx}), {opacity:.3f}),\n")
         out.append("]\n\n")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "volumetricrenderer_tpu", "models",

@@ -45,6 +45,12 @@ class Geometry:
     box_min: jax.Array        # [B, 3]
     box_max: jax.Array        # [B, 3]
     box_albedo: jax.Array     # [B, 3]
+    # Shadow opacity per box: 1 = solid; < 1 attenuates shadow rays by the
+    # box's average coverage — the TPU-native stand-in for alpha-tested
+    # foliage (TreeLeaves.shader): a ray through a porous canopy keeps
+    # (1 - opacity) of its light (SPEC "Occluder opacity"). The voxelized
+    # mesh bake (models/voxelize.py) emits its per-box fill fraction here.
+    box_opacity: jax.Array    # [B]
 
     # Procedural heightfield y = base + amp * perlin(x*tiling+offset) in
     # [base, base+amp]; solid below the surface. Noise params are static
@@ -54,6 +60,10 @@ class Geometry:
     hf_tiling: jax.Array      # [2] (x, z) -> uv scale
     hf_offset: jax.Array      # [2]
     hf_albedo: jax.Array      # [3]
+    # static: any box_opacity < 1 (selects the fractional any-hit variant at
+    # trace time; the default all-solid path compiles unchanged)
+    box_fractional: bool = dataclasses.field(default=False,
+                                             metadata=dict(static=True))
     hf_enabled: bool = dataclasses.field(default=False, metadata=dict(static=True))
     hf_octaves: int = dataclasses.field(default=2, metadata=dict(static=True))
     hf_period: int = dataclasses.field(default=4, metadata=dict(static=True))
@@ -64,9 +74,9 @@ class Geometry:
     @staticmethod
     def create(planes=(), spheres=(), boxes=(), heightfield=None) -> "Geometry":
         """planes: [(normal, d, albedo)], spheres: [(center, r, albedo)],
-        boxes: [(min, max, albedo)]; heightfield: optional dict with keys
-        amp, base, tiling, offset, albedo (+ static octaves/period/seed/
-        steps/far)."""
+        boxes: [(min, max, albedo)] or [(min, max, albedo, opacity)];
+        heightfield: optional dict with keys amp, base, tiling, offset,
+        albedo (+ static octaves/period/seed/steps/far)."""
         def pack(items, shapes):
             if not items:
                 return [jnp.zeros((0,) + s, jnp.float32) for s in shapes]
@@ -75,12 +85,15 @@ class Geometry:
 
         pn, pd, pa = pack(planes, [(3,), (), (3,)])
         sc, sr, sa = pack(spheres, [(3,), (), (3,)])
-        bmin, bmax, ba = pack(boxes, [(3,), (3,), (3,)])
+        boxes = [b if len(b) == 4 else (*b, 1.0) for b in boxes]
+        bmin, bmax, ba, bo = pack(boxes, [(3,), (3,), (3,), ()])
+        frac = bool(any(float(b[3]) < 1.0 for b in boxes))
         pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-9)
 
         hf = heightfield or {}
         return Geometry(
-            pn, pd, pa, sc, sr, sa, bmin, bmax, ba,
+            pn, pd, pa, sc, sr, sa, bmin, bmax, ba, bo,
+            box_fractional=frac,
             hf_amp=_f32(hf.get("amp", 0.0)),
             hf_base=_f32(hf.get("base", 0.0)),
             hf_tiling=_f32(hf.get("tiling", (0.05, 0.05))),

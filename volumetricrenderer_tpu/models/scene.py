@@ -107,7 +107,11 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
             inst = transform_boxes(src, scale=0.55 if i % 2 else 0.5,
                                    translate=(x, 0.0, z),
                                    yaw=i * math.pi / 2)
-            tree_trunks += [(tuple(bm), tuple(bx), leaf) for bm, bx in inst]
+            # voxelizer opacity < 1 = porous canopy: shadow rays keep
+            # (1 - opacity) of their light (alpha-tested foliage
+            # stand-in, SPEC "Occluder opacity")
+            tree_trunks += [(tuple(bm), tuple(bx), leaf, op)
+                            for bm, bx, op in inst]
     else:
         tree_spheres = [((x, 3.2, z), 1.6, (0.18, 0.32, 0.12))
                         for x, z in trees]

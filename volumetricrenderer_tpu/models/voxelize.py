@@ -74,7 +74,7 @@ def boxes_from_occupancy(occ: np.ndarray, origin: np.ndarray,
                          fill_thresh: float = 0.35,
                          coverage: float = 0.92) -> List[Tuple[np.ndarray,
                                                                np.ndarray]]:
-    """Greedy box cover of an occupancy grid -> [(bmin [3], bmax [3]), ...].
+    """Greedy box cover of an occupancy grid -> [(bmin, bmax, opacity), ...].
 
     Each box seeds at the densest remaining cell (3-cell box-filtered count)
     and grows one face at a time while the added slab is at least fill_thresh
@@ -133,7 +133,15 @@ def boxes_from_occupancy(occ: np.ndarray, origin: np.ndarray,
         sl = (slice(b0[0], b1[0]), slice(b0[1], b1[1]), slice(b0[2], b1[2]))
         covered[sl] = True
         remaining[sl] = False
-        boxes.append((origin + b0 * voxel, origin + b1 * voxel))
+        # shadow opacity estimate: the fraction of axis-parallel rays through
+        # the box that hit an occupied voxel, averaged over the 3 axes — the
+        # average transmittance loss of a ray crossing this (porous) box.
+        # Trunks/solid shells measure ~1; leaf canopies their coverage. Feeds
+        # Geometry.box_opacity (alpha-tested-foliage stand-in, SPEC
+        # "Occluder opacity").
+        sub = occ[sl]
+        opacity = float(np.mean([sub.any(axis=a).mean() for a in range(3)]))
+        boxes.append((origin + b0 * voxel, origin + b1 * voxel, opacity))
     return boxes
 
 
@@ -153,11 +161,13 @@ def transform_boxes(boxes, scale: float = 1.0, translate=(0.0, 0.0, 0.0),
     out = []
     c, s = np.cos(yaw), np.sin(yaw)
     rot = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
-    for bmin, bmax in boxes:
+    for box in boxes:
+        bmin, bmax = box[0], box[1]
         corners = np.asarray([[x, y, z]
                               for x in (bmin[0], bmax[0])
                               for y in (bmin[1], bmax[1])
                               for z in (bmin[2], bmax[2])], np.float32)
         corners = corners * scale @ rot.T + t
-        out.append((corners.min(axis=0), corners.max(axis=0)))
+        out.append((corners.min(axis=0), corners.max(axis=0))
+                   + tuple(box[2:]))                 # opacity rides along
     return out

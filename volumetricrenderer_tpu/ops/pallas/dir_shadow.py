@@ -34,12 +34,12 @@ def dir_shadow_slice(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
                      hf_ref, zi, *, grid_whd: Tuple[int, int, int],
                      n_lights: int, n_planes: int, n_spheres: int,
                      n_boxes: int, max_dist: float, h_glob: int,
-                     hf_static: tuple = None):
+                     hf_static: tuple = None, fractional: bool = False):
     """One z-slice's gated visibility^2 planes, one per dir light (the body
     shared by the plain kernel and the fused shadow+blend kernel). The
     any-hit tests come from ops/pallas/occlude.py (negation symmetry is
     IEEE-exact vs the original inline block)."""
-    from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
+    from volumetricrenderer_tpu.ops.pallas.occlude import any_hit, pack_boxes
 
     w, h, d = grid_whd                  # local block shape (h may be a slab)
     p = lambda i: par_ref[0, i]
@@ -66,7 +66,8 @@ def dir_shadow_slice(par_ref, lights_ref, planes_ref, spheres_ref, boxes_ref,
         occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
                       wx, wy, wz, ldx, ldy, ldz, jnp.float32(max_dist),
                       n_planes=n_planes, n_spheres=n_spheres,
-                      n_boxes=n_boxes, hf_static=hf_static)
+                      n_boxes=n_boxes, hf_static=hf_static,
+                      fractional=fractional)
         vis = strength_r + (1.0 - strength_r) * (1.0 - occ.astype(jnp.float32))
         vis = vis * vis                  # shadowCompute:17
         planes_out.append(1.0 + gate * (vis - 1.0))
@@ -99,10 +100,8 @@ def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
                               geometry.plane_d[:, None]], axis=-1)
     spheres = jnp.concatenate([geometry.sphere_center,
                                geometry.sphere_radius[:, None]], axis=-1)
-    boxes = jnp.concatenate([geometry.box_min,
-                             jnp.zeros_like(geometry.box_min[:, :1]),
-                             geometry.box_max,
-                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    from volumetricrenderer_tpu.ops.pallas.occlude import pack_boxes
+    boxes = pack_boxes(geometry)
     n_planes, n_spheres, n_boxes = (planes.shape[0], spheres.shape[0],
                                     boxes.shape[0])
     planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
@@ -118,7 +117,8 @@ def dir_shadow_pallas(params, view_to_world, jitter, dir_lights, geometry,
     kernel = functools.partial(
         _kernel, grid_whd=grid_whd, n_lights=nd, n_planes=n_planes,
         n_spheres=n_spheres, n_boxes=n_boxes, max_dist=1e4,
-        h_glob=params.grid[1], hf_static=hf_static)
+        h_glob=params.grid[1], hf_static=hf_static,
+        fractional=bool(geometry.box_fractional))
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

@@ -179,7 +179,8 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                         n_planes=scatter_statics["n_planes"],
                         n_spheres=scatter_statics["n_spheres"],
                         n_boxes=scatter_statics["n_boxes"],
-                        hf_static=scatter_statics["hf_static"])
+                        hf_static=scatter_statics["hf_static"],
+                        fractional=scatter_statics["fractional"])
                     vis_ring[pl.ds(li * ring_n + slot, 1)] = plane[None]
 
     # stage 1: raycast shadow slice j
@@ -352,10 +353,9 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                               geometry.plane_d[:, None]], axis=-1)
     spheres = jnp.concatenate([geometry.sphere_center,
                                geometry.sphere_radius[:, None]], axis=-1)
-    boxes = jnp.concatenate([geometry.box_min,
-                             jnp.zeros_like(geometry.box_min[:, :1]),
-                             geometry.box_max,
-                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    from volumetricrenderer_tpu.ops.pallas.occlude import \
+        pack_boxes
+    boxes = pack_boxes(geometry)
     n_planes, n_spheres, n_boxes = (planes.shape[0], spheres.shape[0],
                                     boxes.shape[0])
     planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
@@ -367,11 +367,14 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
              geometry.hf_steps, geometry.hf_far) if geometry.hf_enabled \
         else None
     hf_sc = hf_sh if heightfield_shadows else None
+    frac = bool(geometry.box_fractional)
     shadow_statics = dict(n_planes=n_planes, n_spheres=n_spheres,
-                          n_boxes=n_boxes, max_dist=1e4, hf_static=hf_sh)
+                          n_boxes=n_boxes, max_dist=1e4, hf_static=hf_sh,
+                          fractional=frac)
     scatter_statics = dict(jitter_dir=jitter_dir, n_planes=n_planes,
                            n_spheres=n_spheres, n_boxes=n_boxes,
-                           media_static=media_static, hf_static=hf_sc)
+                           media_static=media_static, hf_static=hf_sc,
+                           fractional=frac)
 
     vis_lowres = None
     vis_specs = []

@@ -141,7 +141,8 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
                   grid_whd: Tuple[int, int, int], n_dir: int,
                   jitter_dir: bool, n_planes: int, n_spheres: int,
                   n_boxes: int, h_glob: int, media_static: tuple = None,
-                  hf_static: tuple = None, vis_lowres: tuple = None):
+                  hf_static: tuple = None, vis_lowres: tuple = None,
+                  fractional: bool = False):
     """One z-slice of the fused local+dir in-scatter (the body shared by the
     standalone kernel and the whole-volume megakernel, ops/pallas/
     frame_fused.py). material_src: ("fused", med_ref) to evaluate media
@@ -279,11 +280,12 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             # any-hit shadow ray towards the light (prims from SMEM; shared
             # implementation, ops/pallas/occlude.py — bit-identical to the
             # previous inline block: sum/negation symmetry is IEEE-exact)
-            from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
+            from volumetricrenderer_tpu.ops.pallas.occlude import any_hit, pack_boxes
             occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
                           wx, wy, wz, -ldx, -ldy, -ldz, dist - 0.05,
                           n_planes=n_planes, n_spheres=n_spheres,
-                          n_boxes=n_boxes, hf_static=hf_static)
+                          n_boxes=n_boxes, hf_static=hf_static,
+                          fractional=fractional)
             shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
 
         base = hg * fall * shadow
@@ -331,7 +333,7 @@ def _kernel(*refs,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
             h_glob: int, media_static: tuple = None, hf_static: tuple = None,
-            vis_lowres: tuple = None):
+            vis_lowres: tuple = None, fractional: bool = False):
     fuse_material = media_static is not None
     vis_refs = ()
     if vis_lowres is not None:
@@ -359,7 +361,7 @@ def _kernel(*refs,
         shadow_planes, grid_whd=grid_whd, n_dir=n_dir, jitter_dir=jitter_dir,
         n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
         h_glob=h_glob, media_static=media_static, hf_static=hf_static,
-        vis_lowres=vis_lowres)
+        vis_lowres=vis_lowres, fractional=fractional)
     out_r[0] = ar
     out_g[0] = ag
     out_b[0] = ab
@@ -417,10 +419,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                               geometry.plane_d[:, None]], axis=-1)
     spheres = jnp.concatenate([geometry.sphere_center,
                                geometry.sphere_radius[:, None]], axis=-1)
-    boxes = jnp.concatenate([geometry.box_min,
-                             jnp.zeros_like(geometry.box_min[:, :1]),
-                             geometry.box_max,
-                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    from volumetricrenderer_tpu.ops.pallas.occlude import pack_boxes
+    boxes = pack_boxes(geometry)
     n_planes = planes.shape[0]
     n_spheres = spheres.shape[0]
     n_boxes = boxes.shape[0]
@@ -467,7 +467,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
         n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
-        hf_static=hf_static, vis_lowres=vis_lowres)
+        hf_static=hf_static, vis_lowres=vis_lowres,
+        fractional=bool(geometry.box_fractional))
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

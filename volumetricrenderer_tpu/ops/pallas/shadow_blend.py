@@ -142,10 +142,9 @@ def dir_shadow_blend_fused(params, view_to_world, prev_world_to_view,
                               geometry.plane_d[:, None]], axis=-1)
     spheres = jnp.concatenate([geometry.sphere_center,
                                geometry.sphere_radius[:, None]], axis=-1)
-    boxes = jnp.concatenate([geometry.box_min,
-                             jnp.zeros_like(geometry.box_min[:, :1]),
-                             geometry.box_max,
-                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    from volumetricrenderer_tpu.ops.pallas.occlude import \
+        pack_boxes
+    boxes = pack_boxes(geometry)
     n_planes, n_spheres, n_boxes = (planes.shape[0], spheres.shape[0],
                                     boxes.shape[0])
     planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
@@ -156,7 +155,8 @@ def dir_shadow_blend_fused(params, view_to_world, prev_world_to_view,
                  geometry.hf_steps, geometry.hf_far) \
         if geometry.hf_enabled else None
     statics = dict(n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
-                   max_dist=1e4, hf_static=hf_static)
+                   max_dist=1e4, hf_static=hf_static,
+                   fractional=bool(geometry.box_fractional))
 
     kernel = functools.partial(_kernel, grid_whd=grid_whd, k=k, n_lights=nd,
                                h_glob=params.grid[1], statics=statics)

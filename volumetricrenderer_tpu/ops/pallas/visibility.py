@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
+from volumetricrenderer_tpu.ops.pallas.occlude import any_hit, pack_boxes
 
 
 def low_res_dims(grid_whd: Tuple[int, int, int], ss: int):
@@ -130,7 +130,8 @@ def bake_world_planes(par_ref, zi, grid_whd: Tuple[int, int, int], ss: int,
 
 def bake_light_plane(lights_ref, li, wx, wy, wz, planes_ref, spheres_ref,
                      boxes_ref, hf_ref, *, n_planes: int, n_spheres: int,
-                     n_boxes: int, hf_static: tuple):
+                     n_boxes: int, hf_static: tuple,
+                     fractional: bool = False):
     """Visibility plane (1 = lit) of light row li at world planes wx/wy/wz —
     the any-hit block shared by the standalone and inline bakes."""
     q = lambda i: lights_ref[li, i]
@@ -143,7 +144,8 @@ def bake_light_plane(lights_ref, li, wx, wy, wz, planes_ref, spheres_ref,
     occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
                   wx, wy, wz, -tx * inv_d, -ty * inv_d, -tz * inv_d,
                   dist - 0.05, n_planes=n_planes, n_spheres=n_spheres,
-                  n_boxes=n_boxes, hf_static=hf_static)
+                  n_boxes=n_boxes, hf_static=hf_static,
+                  fractional=fractional)
     return 1.0 - occ.astype(jnp.float32) * q(14)             # shadow gate
 
 
@@ -151,7 +153,7 @@ def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
                  boxes_ref, hf_ref, out_ref, *,
                  grid_whd: Tuple[int, int, int], ss: int, n_planes: int,
                  n_spheres: int, n_boxes: int, h_glob: int,
-                 hf_static: tuple):
+                 hf_static: tuple, fractional: bool = False):
     wl, hl, dl = low_res_dims(grid_whd, ss)
     li = pl.program_id(0)
     zi = pl.program_id(1)
@@ -166,7 +168,7 @@ def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
         out_ref[0, 0] = bake_light_plane(
             lights_ref, li, wx, wy, wz, planes_ref, spheres_ref, boxes_ref,
             hf_ref, n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
-            hf_static=hf_static)
+            hf_static=hf_static, fractional=fractional)
 
 
 def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
@@ -196,10 +198,7 @@ def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
                               geometry.plane_d[:, None]], axis=-1)
     spheres = jnp.concatenate([geometry.sphere_center,
                                geometry.sphere_radius[:, None]], axis=-1)
-    boxes = jnp.concatenate([geometry.box_min,
-                             jnp.zeros_like(geometry.box_min[:, :1]),
-                             geometry.box_max,
-                             jnp.zeros_like(geometry.box_min[:, :1])], axis=-1)
+    boxes = pack_boxes(geometry)
     n_planes = planes.shape[0]
     n_spheres = spheres.shape[0]
     n_boxes = boxes.shape[0]
@@ -214,7 +213,7 @@ def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
     kernel = functools.partial(
         _bake_kernel, grid_whd=grid_whd, ss=ss, n_planes=n_planes,
         n_spheres=n_spheres, n_boxes=n_boxes, h_glob=params.grid[1],
-        hf_static=hf_static)
+        hf_static=hf_static, fractional=bool(geometry.box_fractional))
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
     return pl.pallas_call(

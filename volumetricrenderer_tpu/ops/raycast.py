@@ -192,6 +192,9 @@ def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
     local-light rays pay hf_steps noise evals each, the dir light always
     includes it)."""
     origins, dirs = points, to_light
+    if geom.box_fractional:
+        return _occluded_fractional(geom, points, to_light, max_dist,
+                                    include_heightfield)
     hit = jnp.zeros(points.shape[:-1], bool)
 
     for i in range(geom.plane_normal.shape[0]):
@@ -241,6 +244,71 @@ def occluded(geom: Geometry, points: jax.Array, to_light: jax.Array,
         hit |= occ & valid
 
     return hit.astype(jnp.float32)
+
+
+def _occluded_fractional(geom: Geometry, points: jax.Array,
+                         to_light: jax.Array, max_dist: jax.Array,
+                         include_heightfield: bool) -> jax.Array:
+    """occluded()'s fractional-opacity form (geom.box_fractional): f32
+    occlusion amount 1 - prod(1 - box_opacity_i * hit_i) — boxes attenuate
+    by their opacity (alpha-tested-foliage stand-in, SPEC "Occluder
+    opacity"); planes/spheres/terrain stay solid. Mirrors
+    ops/pallas/occlude._any_hit_fractional."""
+    origins, dirs = points, to_light
+    trans = jnp.ones(points.shape[:-1], jnp.float32)
+
+    for i in range(geom.plane_normal.shape[0]):
+        n = geom.plane_normal[i]
+        denom = dot3(dirs, n)
+        t = -(dot3(origins, n) + geom.plane_d[i]) / jnp.where(
+            jnp.abs(denom) < 1e-9, 1e-9, denom)
+        hit = (t > EPS) & (t < max_dist) & (jnp.abs(denom) > 1e-9)
+        trans = trans * (1.0 - hit.astype(jnp.float32))
+
+    for i in range(geom.sphere_center.shape[0]):
+        oc = origins - geom.sphere_center[i]
+        b = dot3(oc, dirs)
+        cq = dot3(oc, oc) - geom.sphere_radius[i] ** 2
+        disc = b * b - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > EPS, t0, t1)
+        hit = (disc > 0.0) & (t > EPS) & (t < max_dist)
+        trans = trans * (1.0 - hit.astype(jnp.float32))
+
+    if geom.box_min.shape[0]:
+        inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
+        for i in range(geom.box_min.shape[0]):
+            t0s = (geom.box_min[i] - origins) * inv
+            t1s = (geom.box_max[i] - origins) * inv
+            tmin = jnp.max(jnp.minimum(t0s, t1s), axis=-1)
+            tmax = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
+            t = jnp.where(tmin > EPS, tmin, tmax)
+            hit = (tmax >= tmin) & (t > EPS) & (t < max_dist)
+            trans = trans * (1.0 - geom.box_opacity[i]
+                             * hit.astype(jnp.float32))
+
+    if geom.hf_enabled and include_heightfield:
+        oy = origins[..., 1]
+        dy = jnp.broadcast_to(dirs[..., 1], oy.shape)
+        cap = jnp.minimum(jnp.asarray(max_dist, jnp.float32),
+                          jnp.float32(geom.hf_far))
+        lo, hi = _hf_band(geom, oy, dy, cap)
+        valid = hi > lo
+
+        def step(i, occ):
+            t = lo + (hi - lo) * ((i.astype(jnp.float32) + 0.5)
+                                  / geom.hf_steps)
+            p = origins + t[..., None] * dirs
+            return occ | (p[..., 1]
+                          < heightfield_height(geom, p[..., 0], p[..., 2]))
+
+        occ = jax.lax.fori_loop(0, geom.hf_steps, step,
+                                jnp.zeros_like(valid))
+        trans = trans * (1.0 - (occ & valid).astype(jnp.float32))
+
+    return 1.0 - trans
 
 
 def camera_rays(width: int, height: int, fov_y, aspect, view_to_world
