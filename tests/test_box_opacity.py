@@ -136,3 +136,47 @@ def test_renderer_fractional_megakernel_matches_xla():
     for i in range(3):
         img_s, st = f(st, scene_solid, jnp.float32(0.1 * i))
     assert float(np.mean(np.abs(np.asarray(img_s) - b))) > 1e-6
+
+
+def test_opacity_gradients_and_recovery():
+    """Opacity is differentiable (visibility is linear in it): gradients are
+    finite/nonzero and a few descent steps recover a target canopy density —
+    inverse rendering of foliage opacity."""
+    cfg = RenderConfig(volume_width=16, volume_height=16, volume_depth=8,
+                       image_width=32, image_height=32,
+                       shadow_mode="raycast", temporal_blend_shadow=False,
+                       temporal_blend_accumulation=False)
+    scene = _scene(frac=True)
+    r = VolumetricRenderer(cfg)
+    state = r.init_state(1)
+    sc = jnp.zeros((32, 32, 3), jnp.float32)
+    vd = jnp.full((32, 32), 60.0, jnp.float32)
+
+    def render(op):
+        g = dataclasses.replace(scene.geometry, box_opacity=op)
+        s = dataclasses.replace(scene, geometry=g)
+        img, _, _ = r.render_frame(state, s, 0.0, sc, vd)
+        return img
+
+    target = jax.jit(render)(jnp.asarray([0.35, 0.8, 1.0], jnp.float32))
+
+    @jax.jit
+    def loss_and_grad(op):
+        def loss(op):
+            return jnp.mean((render(op) - target) ** 2) * 1e4
+        return jax.value_and_grad(loss)(op)
+
+    op = jnp.asarray([0.9, 0.5, 1.0], jnp.float32)
+    l0, g = loss_and_grad(op)
+    assert np.isfinite(np.asarray(g)).all() and (np.abs(np.asarray(g)) > 0).any()
+    # normalized-gradient descent: the thin-fog image signal is tiny, so
+    # step in the gradient DIRECTION at a fixed size
+    for _ in range(60):
+        l, g = loss_and_grad(op)
+        op = jnp.clip(op - 0.03 * g / (jnp.max(jnp.abs(g)) + 1e-12),
+                      0.05, 1.0)
+    lN, _ = loss_and_grad(op)
+    assert float(lN) < 0.5 * float(l0), (float(l0), float(lN))
+    # the fractional boxes move toward the target densities
+    got = np.asarray(op)
+    assert abs(got[0] - 0.35) < 0.3 and abs(got[1] - 0.8) < 0.3, got

@@ -78,7 +78,8 @@ def _random_case(rng: np.random.RandomState):
                   tuple(rng.uniform(0.2, 0.7, 3)))],
         boxes=[(tuple(rng.uniform([-7, 0, 4], [-3, 1, 8])),
                 tuple(rng.uniform([-2, 2, 9], [2, 5, 13])),
-                tuple(rng.uniform(0.2, 0.7, 3)))],
+                tuple(rng.uniform(0.2, 0.7, 3)),
+                float(rng.uniform(0.3, 1.0)) if rng.rand() < 0.5 else 1.0)],
         heightfield=(dict(amp=float(rng.uniform(1.0, 3.0)), base=-0.3,
                           tiling=(0.04, 0.04), steps=4, octaves=1)
                      if rng.rand() < 0.4 else None))

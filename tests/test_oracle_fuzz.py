@@ -93,7 +93,10 @@ def _random_case(rng: np.random.RandomState):
                   tuple(rng.uniform(0.2, 0.7, 3)))],
         boxes=[(tuple(rng.uniform([-7, 0, 4], [-3, 1, 8])),
                 tuple(rng.uniform([-2, 2, 9], [2, 5, 13])),
-                tuple(rng.uniform(0.2, 0.7, 3)))])
+                tuple(rng.uniform(0.2, 0.7, 3)),
+                # ~half the cases exercise fractional opacity (SPEC
+                # "Occluder opacity"); the rest pin the solid path
+                float(rng.uniform(0.3, 1.0)) if rng.rand() < 0.5 else 1.0)])
 
     scene = Scene.create(camera=cam, dir_lights=sun, point_lights=pts,
                          spot_lights=spots, media=tuple(media),
