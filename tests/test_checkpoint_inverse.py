@@ -83,3 +83,45 @@ def test_inverse_rendering_fits_absorption():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_checkpoint_roundtrip_fused_plane_state(tmp_path):
+    """The megakernel path stores accumulation history as a tuple of planes
+    (state.py) — the checkpoint pytree roundtrips it and resume is
+    bit-identical; a structure-mismatched `like` fails loudly."""
+    import pytest
+    from volumetricrenderer_tpu import (Geometry, PointLights)
+    cfg = dataclasses.replace(CFG, scatter_impl="pallas",
+                              accumulate_impl="pallas",
+                              reproj_impl="pallas", dir_shadow_impl="pallas",
+                              material_impl="fused",
+                              temporal_blend_shadow=True)
+    scene = dataclasses.replace(
+        _scene(),
+        dir_lights=DirectionalLights.create(
+            direction=[(0.3, -0.7, 0.5)], color=[(1, 1, 1)], intensity=[2.0],
+            has_shadow=[True], shadow_strength=[0.8]),
+        point_lights=PointLights.create(
+            position=[(1.0, 3.0, 2.0)], color=[(1, 0.8, 0.6)], range=[8.0],
+            intensity=[3.0], has_shadow=[True]),
+        media=(Medium.create(phase_g=0.3, noise_mode="procedural",
+                             noise_tiling=(0.05, 0.05, 0.05)),),
+        geometry=Geometry.create(
+            planes=[((0, 1, 0), 0.0, (0.2, 0.2, 0.2))],
+            boxes=[((-3.0, 0.0, 1.0), (-1.0, 2.5, 3.0), (0.4, 0.4, 0.4))]))
+    r = VolumetricRenderer(cfg)
+    f = jax.jit(lambda s, sc, t: r.render_frame(s, sc, t))
+    state = r.init_state(1)
+    for i in range(2):
+        _, _, state = f(state, scene, jnp.float32(0.1 * i))
+    assert isinstance(state.prev_accumulation, tuple)
+
+    path = str(tmp_path / "state_fused.npz")
+    save_state(path, state)
+    restored = load_state(path, state)
+    img_a, _, _ = f(state, scene, jnp.float32(0.5))
+    img_b, _, _ = f(restored, scene, jnp.float32(0.5))
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+    with pytest.raises(ValueError, match="leaves"):
+        load_state(path, r.init_state(1))     # packed-form template

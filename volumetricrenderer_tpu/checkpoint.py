@@ -24,9 +24,20 @@ def save_state(path: str, state: FrameState) -> None:
 
 
 def load_state(path: str, like: FrameState) -> FrameState:
-    """Restore into the structure of `like` (shapes/dtypes must match)."""
+    """Restore into the structure of `like` (shapes/dtypes must match).
+
+    NOTE: after a fused (megakernel) frame, FrameState carries accumulation
+    history as a tuple of planes (state.py) — `like` must have the same
+    structure (render one frame with the same config, or checkpoint before
+    the first frame)."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    n_saved = len([k for k in data.files if k.startswith("leaf_")])
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"checkpoint has {n_saved} leaves but `like` has {len(leaves)} — "
+            "fused-path states store accumulation as a tuple of planes; pass "
+            "a `like` produced by the same render path (see state.py)")
     restored = [jnp.asarray(data[f"leaf_{i}"], leaves[i].dtype)
                 for i in range(len(leaves))]
     for a, b in zip(restored, leaves):
