@@ -98,14 +98,23 @@ def _reproj_offsets(bpar_ref, z, grid_whd, h_glob, k, with_jitter: bool):
     return off_x, off_y, off_z, success
 
 
-def _warp(ring, z, off_x, off_y, off_z, k, ring_n, d):
-    """Tent-warp one channel from its history ring (temporal.py z/y/x tents)."""
-    acc = jnp.zeros(off_x.shape, jnp.float32)
+def _warp_taps(z, off_z, k, ring_n, d):
+    """(ring slot, z-tent weight) per tap — hoisted once per blend site so
+    the per-channel warps (4 accumulation + Nd shadow channels share the
+    same reprojection offsets) don't re-derive the weight planes."""
+    taps = []
     for dd in range(-k, k + 2):
         s = jnp.clip(z + dd, 0, d - 1)
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
-        tap = ring[pl.ds(jnp.mod(s, ring_n), 1)][0]
-        acc = acc + tap * wz
+        taps.append((jnp.mod(s, ring_n), wz))
+    return taps
+
+
+def _warp(ring, taps, off_x, off_y, k):
+    """Tent-warp one channel from its history ring (temporal.py z/y/x tents)."""
+    acc = jnp.zeros(off_x.shape, jnp.float32)
+    for slot, wz in taps:
+        acc = acc + ring[pl.ds(slot, 1)][0] * wz
     acc = _tent_pass(acc, off_y, 0, k)
     return _tent_pass(acc, off_x, 1, k)
 
@@ -240,8 +249,8 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         # accumulation blend (mode "alpha": success = warped T != 0)
         aox, aoy, aoz_, _ = _reproj_offsets(abpar_ref, zi2, grid_whd, h_glob,
                                             k, with_jitter=False)
-        warped = [_warp(a_ring[c], zi2, aox, aoy, aoz_, k, rn_a, d)
-                  for c in range(4)]
+        a_taps = _warp_taps(zi2, aoz_, k, rn_a, d)
+        warped = [_warp(a_ring[c], a_taps, aox, aoy, k) for c in range(4)]
         wgt = alpha_a * (warped[3] != 0.0).astype(jnp.float32)
         for c in range(4):
             res = vals[c] + wgt * (warped[c] - vals[c])
@@ -258,10 +267,11 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         sox, soy, soz, ssucc = _reproj_offsets(sbpar_ref, zb, grid_whd,
                                                h_glob, k, with_jitter=True)
         swgt = alpha_s * ssucc
+        s_taps = _warp_taps(zb, soz, k, rn_s, d)
         cslot = jnp.mod(zb, k + 2)
         blended = []
         for c in range(n_dir):
-            warped = _warp(s_ring[c], zb, sox, soy, soz, k, rn_s, d)
+            warped = _warp(s_ring[c], s_taps, sox, soy, k)
             cur = s_cur[c][pl.ds(cslot, 1)][0]
             b = cur + swgt * (warped - cur)
             out_sh[c][0] = b
