@@ -187,6 +187,27 @@ def main():
     ok &= check("visibility-volume scatter (ss=2)",
                 dataclasses.replace(BASE, **PALLAS_KNOBS,
                                     raycast_shadow_subsample=2), scene, None)
+    # fractional box opacity (SPEC "Occluder opacity"): the transmittance-
+    # product any-hit variant compiled for real in every consumer (dir
+    # shadow, scatter march, the inline visibility bake) — XLA frame as the
+    # equivalence reference (both route through the fractional evaluators)
+    frac_scene = dataclasses.replace(
+        hf_scene, geometry=Geometry.create(
+            planes=[((0.0, 1.0, 0.0), 0.0, (0.22, 0.26, 0.18))],
+            spheres=[((4.0, 1.5, 6.0), 1.5, (0.6, 0.55, 0.5))],
+            boxes=[((-6.0, 0.0, 2.0), (-4.0, 4.0, 4.0), (0.4, 0.4, 0.4),
+                    0.6),
+                   ((2.0, 0.0, 8.0), (5.0, 5.0, 11.0), (0.4, 0.4, 0.4),
+                    0.85)]))
+    frac_ref = run_frames(BASE, frac_scene)
+    print(f"ok   fractional-opacity xla frame: checksum={frac_ref.sum():.3f}")
+    ok &= check("fractional opacity pallas vs xla",
+                dataclasses.replace(BASE, **PALLAS_KNOBS), frac_scene,
+                frac_ref)
+    ok &= check("fractional opacity + baked vis (ss=2)",
+                dataclasses.replace(BASE, **PALLAS_KNOBS,
+                                    raycast_shadow_subsample=2), frac_scene,
+                None)
     # 1-device shard_map of the production kernel set ON the TPU: the slab
     # variants of every Mosaic kernel (traced y0 row offsets, halo-extended
     # plane shapes) compile for real here — the CPU-mesh tests only ever run
