@@ -180,3 +180,29 @@ def test_opacity_gradients_and_recovery():
     # the fractional boxes move toward the target densities
     got = np.asarray(op)
     assert abs(got[0] - 0.35) < 0.3 and abs(got[1] - 0.8) < 0.3, got
+
+
+def test_opacity_params_roundtrip_and_grad():
+    """inverse.OpacityParams: logit-space roundtrip preserves the image and
+    carries gradients."""
+    from volumetricrenderer_tpu.inverse import OpacityParams
+    cfg = RenderConfig(volume_width=16, volume_height=16, volume_depth=8,
+                       image_width=32, image_height=32,
+                       shadow_mode="raycast", temporal_blend_shadow=False,
+                       temporal_blend_accumulation=False)
+    scene = _scene(frac=True)
+    r = VolumetricRenderer(cfg)
+    state = r.init_state(1)
+    sc = jnp.zeros((32, 32, 3), jnp.float32)
+    vd = jnp.full((32, 32), 60.0, jnp.float32)
+
+    f = jax.jit(lambda s: r.render_frame(state, s, 0.0, sc, vd)[0])
+    img_ref = f(scene)
+    op = OpacityParams.from_scene(scene)
+    img_rt = f(op.apply(scene))
+    np.testing.assert_allclose(np.asarray(img_rt), np.asarray(img_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    g = jax.jit(jax.grad(lambda p: jnp.sum(f(p.apply(scene)))))(op)
+    go = np.asarray(g.logit_opacity)
+    assert np.isfinite(go).all() and (np.abs(go) > 0).any()

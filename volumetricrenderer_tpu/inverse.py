@@ -50,6 +50,28 @@ class FogParams:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OpacityParams:
+    """Optimizable occluder density: per-box shadow opacity in logit space
+    (keeps it in (0, 1); SPEC "Occluder opacity"). Visibility is LINEAR in
+    each opacity, so gradients are exact — inverse rendering of foliage
+    density from observed shadowing (tests/test_box_opacity.py). Requires
+    geometry.box_fractional (build the scene with any opacity < 1, or
+    dataclasses.replace the static flag)."""
+    logit_opacity: jax.Array    # [B]
+
+    @staticmethod
+    def from_scene(scene: Scene) -> "OpacityParams":
+        o = jnp.clip(scene.geometry.box_opacity, 1e-3, 1.0 - 1e-3)
+        return OpacityParams(logit_opacity=jnp.log(o / (1.0 - o)))
+
+    def apply(self, scene: Scene) -> Scene:
+        g = dataclasses.replace(scene.geometry,
+                                box_opacity=jax.nn.sigmoid(self.logit_opacity))
+        return dataclasses.replace(scene, geometry=g)
+
+
 def _scene_with_params(scene: Scene, params: FogParams) -> Scene:
     media = (params.apply(scene.media[0]),) + tuple(scene.media[1:])
     return dataclasses.replace(scene, media=media)
