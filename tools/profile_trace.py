@@ -65,14 +65,27 @@ def main():
     s, state = frame(state, scene, jnp.float32(0.0))
     jax.block_until_ready(s)
 
-    with jax.profiler.trace(outdir):
-        for i in range(3):
-            s, state = frame(state, scene, jnp.float32(0.1 * i))
-        jax.block_until_ready(s)
-
-    path = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
+    # the pooled chip's other tenants can flood the ~1M-event trace buffer
+    # and displace our frames entirely (observed: a foreign module filled two
+    # consecutive captures) — retry a few short captures until jit_frame
+    # module windows actually appear
+    for attempt in range(4):
+        with jax.profiler.trace(outdir):
+            for i in range(3):
+                s, state = frame(state, scene, jnp.float32(0.1 * i))
+            jax.block_until_ready(s)
+        path = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+        with gzip.open(path, "rt") as f:
+            trace = json.load(f)
+        mods = {ev.get("name", "") for ev in trace.get("traceEvents", [])
+                if ev.get("ph") == "X"}
+        if any(m.startswith("jit_frame") for m in mods):
+            break
+        print(f"# capture {attempt}: no jit_frame windows "
+              "(foreign tenant flooded the buffer), retrying", flush=True)
+    else:
+        print("FAIL: no capture contained our frames; pool too noisy")
+        return
 
     # Keep only the device "XLA Ops" thread (the same events repeat on the
     # Modules/Steps aggregate tracks and on host threads), and only ops inside
