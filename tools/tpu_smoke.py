@@ -39,8 +39,9 @@ BASE = dataclasses.replace(
     accumulate_impl="xla", composite_impl="tentmm",
     # ss=1 keeps the XLA-vs-pallas frames equivalence-class (FULL_CONFIG's
     # production ss=2 changes semantics on the two paths differently); the
-    # baked-visibility kernels get their own dedicated check below
-    raycast_shadow_subsample=1)
+    # baked-visibility/radiance kernels get their own dedicated checks below
+    # (scatter_bake pinned so the ss=2 cases select the intended bake)
+    raycast_shadow_subsample=1, scatter_bake="vis")
 
 PALLAS_KNOBS = dict(reproj_impl="pallas", scatter_impl="pallas",
                     dir_shadow_impl="pallas", accumulate_impl="pallas",
@@ -187,6 +188,13 @@ def main():
     ok &= check("visibility-volume scatter (ss=2)",
                 dataclasses.replace(BASE, **PALLAS_KNOBS,
                                     raycast_shadow_subsample=2), scene, None)
+    # the baked-RADIANCE variant (scatter_bake="radiance"): the whole
+    # per-light sum baked at low rate, 3-row ring + rgb accumulate inside the
+    # megakernel — a distinct Mosaic compile from the per-light vis ring
+    ok &= check("radiance-volume scatter (ss=2)",
+                dataclasses.replace(BASE, **PALLAS_KNOBS,
+                                    raycast_shadow_subsample=2,
+                                    scatter_bake="radiance"), scene, None)
     # fractional box opacity (SPEC "Occluder opacity"): the transmittance-
     # product any-hit variant compiled for real in every consumer (dir
     # shadow, scatter march, the inline visibility bake) — XLA frame as the

@@ -163,15 +163,17 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             prev_acc[c][:, 1:h + 1, 1:w + 1] if prev_padded \
             else prev_acc[c][:]
 
-    # stage 0: inline visibility bake — low-res slice bake_m[j] for every
-    # slice-active local light, at the latest step that still precedes its
-    # first read (visibility.inline_bake_schedule). Same math as the
-    # standalone bake kernel (shared helpers) — the separate pallas_call,
+    # stage 0: inline visibility/radiance bake — low-res slice bake_m[j] for
+    # every slice-active local light, at the latest step that still precedes
+    # its first read (visibility.inline_bake_schedule). Same math as the
+    # standalone bake kernels (shared helpers) — the separate pallas_call,
     # its HBM volume and the per-step block refetches are gone.
     if inline_vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import (
-            bake_light_plane, bake_world_planes)
+            bake_light_plane, bake_radiance_plane, bake_world_planes,
+            radiance_view_dirs)
         vss = vis_lowres[0]
+        radiance = scatter_statics.get("radiance", False)
         m = bkm_ref[0, 0, 0]
 
         @pl.when(m >= 0)
@@ -179,18 +181,49 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             bwx, bwy, bwz = bake_world_planes(spar_ref, m, grid_whd, vss,
                                               h_glob)
             slot = jnp.mod(m, ring_n)
-            for li in range(nl_v):
-                @pl.when(bact_ref[0, 0, li] != 0)
-                def _one(li=li):
-                    plane = bake_light_plane(
-                        lights_ref, li, bwx, bwy, bwz, planes_ref,
-                        spheres_ref, boxes_ref, hf_ref,
-                        n_planes=scatter_statics["n_planes"],
-                        n_spheres=scatter_statics["n_spheres"],
-                        n_boxes=scatter_statics["n_boxes"],
-                        hf_static=scatter_statics["hf_static"],
-                        fractional=scatter_statics["fractional"])
-                    vis_ring[pl.ds(li * ring_n + slot, 1)] = plane[None]
+            if radiance:
+                # rgb radiance accumulated over active lights into 3 ring
+                # rows (zeroed first; RMW under pl.when keeps culling live)
+                from volumetricrenderer_tpu.ops.pallas.material import \
+                    phase_g_plane
+                from volumetricrenderer_tpu.ops.phase import PI
+                bvx, bvy, bvz = radiance_view_dirs(spar_ref, bwx, bwy, bwz)
+                bphg = phase_g_plane(med_ref,
+                                     scatter_statics["media_static"],
+                                     bwx, bwy, bwz)
+                bg2 = bphg * bphg
+                bhg_num = (1.0 - bg2) / (4.0 * PI)
+                zero = jnp.zeros((1,) + bwx.shape, jnp.float32)
+                for c in range(3):
+                    vis_ring[pl.ds(c * ring_n + slot, 1)] = zero
+                for li in range(nl_v):
+                    @pl.when(bact_ref[0, 0, li] != 0)
+                    def _one(li=li):
+                        r, g, b = bake_radiance_plane(
+                            lights_ref, li, bwx, bwy, bwz, bvx, bvy, bvz,
+                            bphg, bg2, bhg_num, planes_ref, spheres_ref,
+                            boxes_ref, hf_ref,
+                            n_planes=scatter_statics["n_planes"],
+                            n_spheres=scatter_statics["n_spheres"],
+                            n_boxes=scatter_statics["n_boxes"],
+                            hf_static=scatter_statics["hf_static"],
+                            fractional=scatter_statics["fractional"])
+                        for c, p in enumerate((r, g, b)):
+                            row = pl.ds(c * ring_n + slot, 1)
+                            vis_ring[row] = vis_ring[row] + p[None]
+            else:
+                for li in range(nl_v):
+                    @pl.when(bact_ref[0, 0, li] != 0)
+                    def _one(li=li):
+                        plane = bake_light_plane(
+                            lights_ref, li, bwx, bwy, bwz, planes_ref,
+                            spheres_ref, boxes_ref, hf_ref,
+                            n_planes=scatter_statics["n_planes"],
+                            n_spheres=scatter_statics["n_spheres"],
+                            n_boxes=scatter_statics["n_boxes"],
+                            hf_static=scatter_statics["hf_static"],
+                            fractional=scatter_statics["fractional"])
+                        vis_ring[pl.ds(li * ring_n + slot, 1)] = plane[None]
 
     # stage 1: raycast shadow slice j
     @pl.when(j < d)
@@ -319,6 +352,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                        prev_acc_planes, grid_whd: Tuple[int, int, int],
                        k: int, prev_acc_padded: bool = False,
                        vis=None, vis_ss: int = 2,
+                       vis_radiance: bool = False,
                        inline_vis_bake: bool = False,
                        jitter_dir: bool = False,
                        heightfield_shadows: bool = False,
@@ -381,10 +415,11 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     shadow_statics = dict(n_planes=n_planes, n_spheres=n_spheres,
                           n_boxes=n_boxes, max_dist=1e4, hf_static=hf_sh,
                           fractional=frac)
+    use_radiance = bool(vis_radiance and (vis is not None or inline_vis_bake))
     scatter_statics = dict(jitter_dir=jitter_dir, n_planes=n_planes,
                            n_spheres=n_spheres, n_boxes=n_boxes,
                            media_static=media_static, hf_static=hf_sc,
-                           fractional=frac)
+                           fractional=frac, radiance=use_radiance)
 
     vis_lowres = None
     vis_specs = []
@@ -420,7 +455,8 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
             pl.BlockSpec((wl, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ]
         vis_inputs = (bake_m, bact, ay, axt)
-        vis_scratch = [pltpu.VMEM((nl_v * ring_n, hl, wl), jnp.float32)]
+        ring_rows = (3 if use_radiance else nl_v) * ring_n
+        vis_scratch = [pltpu.VMEM((ring_rows, hl, wl), jnp.float32)]
     elif vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
         nl_v, dl, hl, wl = vis.shape

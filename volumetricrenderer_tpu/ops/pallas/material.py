@@ -183,6 +183,41 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def phase_g_plane(med_ref, media_static: tuple, wx, wy, wz):
+    """Phase-g only (the `g` channel of material_planes) at world-pos planes.
+
+    g carries no noise/height factor (write_material_volumes: only the sigma
+    channels are noise-modulated, VolumetricCompute.compute:51-58), so this
+    skips the Perlin entirely — used by the low-rate radiance bake
+    (ops/pallas/visibility.py), where evaluating full material_planes per
+    light batch would pay the fBm for channels it never reads. Box masks and
+    blend order match material_planes exactly. Works on SMEM refs in-kernel
+    and on plain arrays in XLA."""
+    zero = jnp.zeros(wx.shape, jnp.float32)
+    g = zero
+    for mi, (_has_noise, _oct, _per, _seed, is_box, additive) \
+            in enumerate(media_static):
+        q = lambda i: med_ref[mi, i]
+        if is_box:
+            soft = jnp.maximum(q(19), 1e-6)
+            lo = jnp.minimum(jnp.minimum(
+                _smoothstep(q(13), q(13) + soft, wx),
+                _smoothstep(q(14), q(14) + soft, wy)),
+                _smoothstep(q(15), q(15) + soft, wz))
+            hi = jnp.minimum(jnp.minimum(
+                _smoothstep(-q(16), -(q(16) - soft), -wx),
+                _smoothstep(-q(17), -(q(17) - soft), -wy)),
+                _smoothstep(-q(18), -(q(18) - soft), -wz))
+            mask = lo * hi
+        else:
+            mask = jnp.ones(wx.shape, jnp.float32)
+        if additive:
+            g = g + q(4) * mask
+        else:
+            g = g * (1.0 - mask) + q(4) * mask
+    return g
+
+
 def material_planes(med_ref, media_static: tuple, wx, wy, wz):
     """Evaluate the folded media at jittered world-pos planes [h, w].
 

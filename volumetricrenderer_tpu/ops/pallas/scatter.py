@@ -109,6 +109,52 @@ def slice_light_order(params, view_to_world, positions, ranges,
     return order[:, None, :], count[:, None, None]
 
 
+def light_factor(q, wx, wy, wz, vdx, vdy, vdz, phg, g2, hg_num):
+    """Per-light scatter physics without the shadow term: HG phase x falloff
+    LUT x spot cone x range cull (VolumetricCompute.compute:87-167 semantics).
+
+    q is a row accessor over a pack_lights row (SMEM ref row in-kernel, or a
+    plain array row in XLA — the same formulas serve the full-rate fori body,
+    the low-rate radiance bake (ops/pallas/visibility.py), and the XLA
+    map-mode radiance bake). Returns (hg * fall, ldx, ldy, ldz, dist,
+    shadow_gate, cr, cg, cb)."""
+    lx_, ly_, lz_ = q(0), q(1), q(2)
+    cr, cg, cb = q(3), q(4), q(5)
+    rng, mult, is_spot = q(6), q(7), q(8)
+    sdx, sdy, sdz = q(9), q(10), q(11)
+    cos_outer, cos_inner_rcp, shadow_gate = q(12), q(13), q(14)
+
+    tx = wx - lx_
+    ty = wy - ly_
+    tz = wz - lz_
+    d2 = tx * tx + ty * ty + tz * tz
+    inv_d = jax.lax.rsqrt(d2 + 1e-18)
+    dist = d2 * inv_d
+    ldx, ldy, ldz = tx * inv_d, ty * inv_d, tz * inv_d
+
+    # falloff LUT (ops/falloff.py) + spot cone (helper:289-303)
+    x = d2 / (rng * rng)
+    fall = jnp.clip((1.0 - x) * 5.0, 0.0, 1.0) / (1.0 + 25.0 * x) * mult
+    cos_angle = ldx * sdx + ldy * sdy + ldz * sdz
+    # cos_outer < cos_inner for real spots; point-light rows have both = 1,
+    # so guard the 0-denominator (the result is gated off by is_spot).
+    cone_den = jnp.minimum(cos_outer - 1.0 / cos_inner_rcp, -1e-9)
+    t_cone = jnp.clip((cos_angle - 1.0 / cos_inner_rcp) / cone_den,
+                      0.0, 1.0)
+    cone = 1.0 - t_cone * t_cone * (3.0 - 2.0 * t_cone)
+    keep_spot = (cos_angle >= cos_outer).astype(jnp.float32)
+    fall = fall * (1.0 - is_spot + is_spot * cone * keep_spot)
+    fall = fall * (dist <= rng).astype(jnp.float32)
+
+    # HG phase at cos(view, -lightToPos); b^-1.5 as rsqrt^3 — one rsqrt +
+    # 2 muls instead of sqrt + divide (runs per light per froxel)
+    cos_t = -(vdx * ldx + vdy * ldy + vdz * ldz)
+    b = 1.0 + g2 - 2.0 * phg * cos_t
+    rb = jax.lax.rsqrt(b)
+    return hg_num * rb * rb * rb * fall, ldx, ldy, ldz, dist, shadow_gate, \
+        cr, cg, cb
+
+
 def pack_dir_lights(dir_lights) -> jax.Array:
     """[Nd, 8] f32 rows: direction(3) packed_color(3) pad(2). Used when the
     directional scatter (compute:64-85, rgb part) is folded into the fused
@@ -142,13 +188,17 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
                   jitter_dir: bool, n_planes: int, n_spheres: int,
                   n_boxes: int, h_glob: int, media_static: tuple = None,
                   hf_static: tuple = None, vis_lowres: tuple = None,
-                  fractional: bool = False):
+                  fractional: bool = False, radiance: bool = False):
     """One z-slice of the fused local+dir in-scatter (the body shared by the
     standalone kernel and the whole-volume megakernel, ops/pallas/
     frame_fused.py). material_src: ("fused", med_ref) to evaluate media
     in-kernel, or ("planes", (sr, sg, sb, phg)) plane values.
     shadow_planes: per-dir-light blended visibility planes (values). Returns
-    (ar, ag, ab, ext) — ext None unless material is fused."""
+    (ar, ag, ab, ext) — ext None unless material is fused.
+
+    radiance=True: the low-res volume behind vis_refs holds the 3 rgb
+    radiance channels (bake_radiance_*) instead of NL per-light visibility
+    planes — sampled once, no per-light loop."""
     fuse_material = media_static is not None
     w, h, d = grid_whd                  # local block shape (h may be a slab)
 
@@ -223,40 +273,9 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
         # (order/count from slice_light_order; skipping is exact)
         idx = order_ref[0, 0, li]
         q = lambda i: lights_ref[idx, i]
-        lx_, ly_, lz_ = q(0), q(1), q(2)
-        cr, cg, cb = q(3), q(4), q(5)
-        rng, mult, is_spot = q(6), q(7), q(8)
-        sdx, sdy, sdz = q(9), q(10), q(11)
-        cos_outer, cos_inner_rcp, shadow_gate = q(12), q(13), q(14)
-
-        tx = wx - lx_
-        ty = wy - ly_
-        tz = wz - lz_
-        d2 = tx * tx + ty * ty + tz * tz
-        inv_d = jax.lax.rsqrt(d2 + 1e-18)
-        dist = d2 * inv_d
-        ldx, ldy, ldz = tx * inv_d, ty * inv_d, tz * inv_d
-
-        # falloff LUT (ops/falloff.py) + spot cone (helper:289-303)
-        x = d2 / (rng * rng)
-        fall = jnp.clip((1.0 - x) * 5.0, 0.0, 1.0) / (1.0 + 25.0 * x) * mult
-        cos_angle = ldx * sdx + ldy * sdy + ldz * sdz
-        # cos_outer < cos_inner for real spots; point-light rows have both = 1,
-        # so guard the 0-denominator (the result is gated off by is_spot).
-        cone_den = jnp.minimum(cos_outer - 1.0 / cos_inner_rcp, -1e-9)
-        t_cone = jnp.clip((cos_angle - 1.0 / cos_inner_rcp) / cone_den,
-                          0.0, 1.0)
-        cone = 1.0 - t_cone * t_cone * (3.0 - 2.0 * t_cone)
-        keep_spot = (cos_angle >= cos_outer).astype(jnp.float32)
-        fall = fall * (1.0 - is_spot + is_spot * cone * keep_spot)
-        fall = fall * (dist <= rng).astype(jnp.float32)
-
-        # HG phase at cos(view, -lightToPos); b^-1.5 as rsqrt^3 — one rsqrt +
-        # 2 muls instead of sqrt + divide (runs per light per froxel)
-        cos_t = -(vdx * ldx + vdy * ldy + vdz * ldz)
-        b = 1.0 + g2 - 2.0 * phg * cos_t
-        rb = jax.lax.rsqrt(b)
-        hg = hg_num * rb * rb * rb
+        # phase x falloff x cone x range cull (shared physics, light_factor)
+        factor, ldx, ldy, ldz, dist, shadow_gate, cr, cg, cb = light_factor(
+            q, wx, wy, wz, vdx, vdy, vdz, phg, g2, hg_num)
 
         if vis_lowres is not None:
             # baked-visibility sampling: z-lerp the light's two low-res
@@ -288,12 +307,32 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
                           fractional=fractional)
             shadow = 1.0 - occ.astype(jnp.float32) * shadow_gate
 
-        base = hg * fall * shadow
+        base = factor * shadow
         return (ar + base * cr * sr, ag + base * cg * sg, ab + base * cb * sb)
 
-    zero = jnp.zeros((h, w), jnp.float32)
-    n_act = count_ref[0, 0, 0]
-    ar, ag, ab = jax.lax.fori_loop(0, n_act, light_body, (zero, zero, zero))
+    if radiance:
+        # Baked-RADIANCE mode (ops/pallas/visibility.py bake_radiance_*): the
+        # ENTIRE local-light sum (vis x falloff x cone x HG phase, weighted by
+        # light color and summed over lights) was baked at low rate, so the
+        # full-rate work is three tent upsamples + the sigma_s product —
+        # independent of light count. The per-light fori disappears.
+        ups = []
+        for c in range(3):
+            if ring_n is not None:
+                va = ring_ref[pl.ds(c * ring_n + slot_a, 1)][0]
+                vb = ring_ref[pl.ds(c * ring_n + slot_b, 1)][0]
+            else:
+                va = vis_a_ref[c, 0]
+                vb = vis_b_ref[c, 0]
+            low = va + vt * (vb - va)                      # [HL, WL]
+            ups.append(jax.lax.dot(ay_ref[...],
+                                   jax.lax.dot(low, axt_ref[...])))
+        ar, ag, ab = ups[0] * sr, ups[1] * sg, ups[2] * sb
+    else:
+        zero = jnp.zeros((h, w), jnp.float32)
+        n_act = count_ref[0, 0, 0]
+        ar, ag, ab = jax.lax.fori_loop(0, n_act, light_body,
+                                       (zero, zero, zero))
 
     # Directional scatter rgb (compute:64-85), folded in: visibility is the
     # (temporally blended) shadow-volume plane; NOT jittered by default
@@ -333,7 +372,8 @@ def _kernel(*refs,
             grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
             h_glob: int, media_static: tuple = None, hf_static: tuple = None,
-            vis_lowres: tuple = None, fractional: bool = False):
+            vis_lowres: tuple = None, fractional: bool = False,
+            radiance: bool = False):
     fuse_material = media_static is not None
     vis_refs = ()
     if vis_lowres is not None:
@@ -361,7 +401,7 @@ def _kernel(*refs,
         shadow_planes, grid_whd=grid_whd, n_dir=n_dir, jitter_dir=jitter_dir,
         n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
         h_glob=h_glob, media_static=media_static, hf_static=hf_static,
-        vis_lowres=vis_lowres, fractional=fractional)
+        vis_lowres=vis_lowres, fractional=fractional, radiance=radiance)
     out_r[0] = ar
     out_g[0] = ag
     out_b[0] = ab
@@ -378,7 +418,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
                          return_planes: bool = False,
                          media=None, time_x=None,
                          heightfield_shadows: bool = False,
-                         vis=None, vis_ss: int = 2) -> jax.Array:
+                         vis=None, vis_ss: int = 2,
+                         vis_radiance: bool = False) -> jax.Array:
     """Light in-scatter rgb [D, H, W, 3] (extinction is 0 for local lights,
     SPEC; the dir-light luma extinction stays in XLA — pure elementwise).
     material_a/b are [D, H, W, 4]. Pass dir_lights + the blended shadow
@@ -393,7 +434,9 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     pack_lights) to replace the in-kernel any-hit shadow march with the baked
     low-res visibility sample (z-lerp + exact tent upsample); geometry is then
     only used for packing empty tables. vis_ss is the bake's subsample
-    factor."""
+    factor. With vis_radiance=True, vis is instead the [3, DL, HL, WL] rgb
+    radiance volume (bake_radiance_*): the whole per-light sum is baked, and
+    the kernel's local-light work is three upsamples + the sigma_s product."""
     w, h, d = grid_whd
     fuse_material = media is not None
     lights = pack_lights(point_lights, spot_lights)
@@ -468,7 +511,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
         n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
         hf_static=hf_static, vis_lowres=vis_lowres,
-        fractional=bool(geometry.box_fractional))
+        fractional=bool(geometry.box_fractional),
+        radiance=bool(vis_radiance and vis is not None))
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

@@ -149,6 +149,219 @@ def bake_light_plane(lights_ref, li, wx, wy, wz, planes_ref, spheres_ref,
     return 1.0 - occ.astype(jnp.float32) * q(14)             # shadow gate
 
 
+def radiance_view_dirs(par_ref, wx, wy, wz):
+    """Normalized camera->sample direction planes (camera pos from the packed
+    scatter params, rows 20-22)."""
+    camx, camy, camz = par_ref[0, 20], par_ref[0, 21], par_ref[0, 22]
+    vdx = wx - camx
+    vdy = wy - camy
+    vdz = wz - camz
+    inv = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
+    return vdx * inv, vdy * inv, vdz * inv
+
+
+def bake_radiance_plane(lights_ref, li, wx, wy, wz, vdx, vdy, vdz, phg, g2,
+                        hg_num, planes_ref, spheres_ref, boxes_ref, hf_ref, *,
+                        n_planes: int, n_spheres: int, n_boxes: int,
+                        hf_static: tuple, fractional: bool = False):
+    """One light's rgb radiance contribution at the low-res sample planes:
+    visibility (any-hit march) x falloff x cone x HG phase x light color —
+    i.e. everything in the scatter sum except the froxel's own sigma_s.
+    Shares light_factor with the full-rate kernel so the physics cannot
+    drift. Returns (r, g, b) planes."""
+    from volumetricrenderer_tpu.ops.pallas.scatter import light_factor
+
+    q = lambda i: lights_ref[li, i]
+    factor, ldx, ldy, ldz, dist, gate, cr, cg, cb = light_factor(
+        q, wx, wy, wz, vdx, vdy, vdz, phg, g2, hg_num)
+    occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
+                  wx, wy, wz, -ldx, -ldy, -ldz, dist - 0.05,
+                  n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
+                  hf_static=hf_static, fractional=fractional)
+    base = factor * (1.0 - occ.astype(jnp.float32) * gate)
+    return base * cr, base * cg, base * cb
+
+
+def low_slice_light_order(active: jax.Array):
+    """active [NL, DL] (low_slice_active) -> per-low-slice schedule
+    (order [DL, 1, NL] int32 active-first, count [DL, 1, 1] int32). Skipping
+    an inactive light is exact: its low sample lies inside the tested AABB,
+    so out-of-range means falloff = 0 at the sample too."""
+    act = active.astype(bool).T                         # [DL, NL]
+    order = jnp.argsort(~act, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(act, axis=1, dtype=jnp.int32)
+    return order[:, None, :], count[:, None, None]
+
+
+def _radiance_kernel(par_ref, lights_ref, order_ref, count_ref, med_ref,
+                     planes_ref, spheres_ref, boxes_ref, hf_ref, out_ref, *,
+                     grid_whd: Tuple[int, int, int], ss: int, n_planes: int,
+                     n_spheres: int, n_boxes: int, h_glob: int,
+                     media_static: tuple, hf_static: tuple,
+                     fractional: bool = False):
+    from volumetricrenderer_tpu.ops.pallas.material import phase_g_plane
+    from volumetricrenderer_tpu.ops.phase import PI
+
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    zi = pl.program_id(0)
+    wx, wy, wz = bake_world_planes(par_ref, zi, grid_whd, ss, h_glob)
+    vdx, vdy, vdz = radiance_view_dirs(par_ref, wx, wy, wz)
+    phg = phase_g_plane(med_ref, media_static, wx, wy, wz)
+    g2 = phg * phg
+    hg_num = (1.0 - g2) / (4.0 * PI)
+
+    def body(k, acc):
+        ar, ag, ab = acc
+        li = order_ref[0, 0, k]
+        r, g, b = bake_radiance_plane(
+            lights_ref, li, wx, wy, wz, vdx, vdy, vdz, phg, g2, hg_num,
+            planes_ref, spheres_ref, boxes_ref, hf_ref, n_planes=n_planes,
+            n_spheres=n_spheres, n_boxes=n_boxes, hf_static=hf_static,
+            fractional=fractional)
+        return ar + r, ag + g, ab + b
+
+    zero = jnp.zeros((hl, wl), jnp.float32)
+    ar, ag, ab = jax.lax.fori_loop(0, count_ref[0, 0, 0], body,
+                                   (zero, zero, zero))
+    out_ref[0, 0] = ar
+    out_ref[1, 0] = ag
+    out_ref[2, 0] = ab
+
+
+def _pack_media_or_empty(media, time_x):
+    from volumetricrenderer_tpu.ops.pallas.material import pack_media
+    if media:
+        return pack_media(media, time_x)
+    return jnp.zeros((1, 20), jnp.float32), ()
+
+
+def bake_radiance_pallas(params, view_to_world, camera_pos, jitter,
+                         point_lights, spot_lights, geometry, media, time_x,
+                         grid_whd: Tuple[int, int, int], ss: int,
+                         interpret: bool = False,
+                         heightfield_shadows: bool = False) -> jax.Array:
+    """[3, DL, HL, WL] f32 local-light RADIANCE at 1/ss^3 rate: the full
+    per-light scatter sum (visibility x falloff x cone x phase, color-
+    weighted) with raycast occlusion. The scatter kernel then upsamples the
+    3 channels once and multiplies by sigma_s — its cost becomes independent
+    of light count. Phase g is evaluated at the low-rate samples
+    (material.phase_g_plane; g is noise-free, so this is exact per-sample)."""
+    from volumetricrenderer_tpu.ops.pallas.material import pack_heightfield
+    from volumetricrenderer_tpu.ops.pallas.scatter import (pack_lights,
+                                                           pack_params)
+
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    lights = pack_lights(point_lights, spot_lights)
+    par = pack_params(params, view_to_world, camera_pos, jitter)
+    positions = jnp.concatenate([point_lights.position, spot_lights.position])
+    ranges = jnp.concatenate([point_lights.range, spot_lights.range])
+    active = low_slice_active(params, view_to_world, positions, ranges,
+                              grid_whd, ss)
+    order, count = low_slice_light_order(active)
+
+    planes = jnp.concatenate([geometry.plane_normal,
+                              geometry.plane_d[:, None]], axis=-1)
+    spheres = jnp.concatenate([geometry.sphere_center,
+                               geometry.sphere_radius[:, None]], axis=-1)
+    boxes = pack_boxes(geometry)
+    n_planes = planes.shape[0]
+    n_spheres = spheres.shape[0]
+    n_boxes = boxes.shape[0]
+    planes = planes if n_planes else jnp.zeros((1, 4), jnp.float32)
+    spheres = spheres if n_spheres else jnp.zeros((1, 4), jnp.float32)
+    boxes = boxes if n_boxes else jnp.zeros((1, 8), jnp.float32)
+    hf = pack_heightfield(geometry)
+    hf_static = (geometry.hf_octaves, geometry.hf_period, geometry.hf_seed,
+                 geometry.hf_steps, geometry.hf_far) \
+        if (geometry.hf_enabled and heightfield_shadows) else None
+    med, media_static = _pack_media_or_empty(media, time_x)
+
+    kernel = functools.partial(
+        _radiance_kernel, grid_whd=grid_whd, ss=ss, n_planes=n_planes,
+        n_spheres=n_spheres, n_boxes=n_boxes, h_glob=params.grid[1],
+        media_static=media_static, hf_static=hf_static,
+        fractional=bool(geometry.box_fractional))
+    smem = lambda shape: pl.BlockSpec(shape, lambda j: tuple([0] * len(shape)),
+                                      memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(dl,),
+        in_specs=[
+            smem(par.shape),
+            smem(lights.shape),
+            pl.BlockSpec((1, 1, order.shape[2]), lambda j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            smem(med.shape),
+            smem(planes.shape),
+            smem(spheres.shape),
+            smem(boxes.shape),
+            smem(hf.shape),
+        ],
+        out_specs=pl.BlockSpec((3, 1, hl, wl), lambda j: (0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, dl, hl, wl), jnp.float32),
+        interpret=interpret,
+    )(par, lights, order, count, med, planes, spheres, boxes, hf)
+
+
+def bake_radiance_from_maps(cfg, params, view_to_world, camera_pos, jitter,
+                            point_lights, spot_lights, cube_shadow,
+                            spot_shadow, media, time_x, ss: int) -> jax.Array:
+    """[3, DL, HL, WL] radiance with visibility from the baked cube/spot
+    shadow MAPS (shadow_mode="map") — bake_visibility_from_maps' gathers plus
+    the same low-rate light physics as bake_radiance_pallas (shared
+    light_factor / phase_g_plane, evaluated in XLA on the low grid)."""
+    from volumetricrenderer_tpu import shadow as shadow_lib
+    from volumetricrenderer_tpu.ops.pallas.material import phase_g_plane
+    from volumetricrenderer_tpu.ops.pallas.scatter import (light_factor,
+                                                           pack_lights)
+    from volumetricrenderer_tpu.ops.phase import PI
+
+    world = low_res_world_positions(cfg, params, view_to_world, jitter, ss)
+    wx, wy, wz = world[..., 0], world[..., 1], world[..., 2]
+    vdx = wx - camera_pos[0]
+    vdy = wy - camera_pos[1]
+    vdz = wz - camera_pos[2]
+    inv = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
+    vdx, vdy, vdz = vdx * inv, vdy * inv, vdz * inv
+    med, media_static = _pack_media_or_empty(media, time_x)
+    phg = phase_g_plane(med, media_static, wx, wy, wz)
+    g2 = phg * phg
+    hg_num = (1.0 - g2) / (4.0 * PI)
+
+    lights = pack_lights(point_lights, spot_lights)
+    np_l = point_lights.count
+    ar = ag = ab = jnp.zeros(wx.shape, jnp.float32)
+    for li in range(lights.shape[0]):
+        q = lambda i: lights[li, i]
+        factor, _, _, _, _, _, cr, cg, cb = light_factor(
+            q, wx, wy, wz, vdx, vdy, vdz, phg, g2, hg_num)
+        if li < np_l:
+            if cube_shadow is not None:
+                s = shadow_lib.sample_cube_shadow(
+                    cube_shadow, li, world - point_lights.position[li])
+                g = point_lights.has_shadow[li].astype(jnp.float32)
+                vis = 1.0 + g * (s - 1.0)
+            else:
+                vis = jnp.ones(wx.shape, jnp.float32)
+        else:
+            si = li - np_l
+            if spot_shadow is not None:
+                s = shadow_lib.sample_spot_shadow(spot_shadow, si, world)
+                g = spot_lights.has_shadow[si].astype(jnp.float32)
+                vis = 1.0 + g * (s - 1.0)
+            else:
+                vis = jnp.ones(wx.shape, jnp.float32)
+        base = factor * vis
+        ar = ar + base * cr
+        ag = ag + base * cg
+        ab = ab + base * cb
+    return jnp.stack([ar, ag, ab])
+
+
 def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,
                  boxes_ref, hf_ref, out_ref, *,
                  grid_whd: Tuple[int, int, int], ss: int, n_planes: int,

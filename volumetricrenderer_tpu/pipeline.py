@@ -341,18 +341,36 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         interp = jax.default_backend() != "tpu"
         vis = None
         vis_ss = 1
+        # "radiance" bake needs the media model for low-rate phase g; with no
+        # media the g source is ambiguous (material volumes may come from
+        # elsewhere) -> keep the per-light visibility bake.
+        radiance = cfg.scatter_bake == "radiance" and bool(media)
         if vis_mode is not None:
             from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
             source, vis_ss = vis_mode
             if source == "raycast":
-                vis = vis_lib.bake_visibility_pallas(
-                    params, view_to_world, camera_pos, jitter, point_lights,
-                    spot_lights, geometry, cfg.grid, vis_ss, interpret=interp,
-                    heightfield_shadows=cfg.heightfield_local_shadows)
+                if radiance:
+                    vis = vis_lib.bake_radiance_pallas(
+                        params, view_to_world, camera_pos, jitter,
+                        point_lights, spot_lights, geometry, media, time_x,
+                        cfg.grid, vis_ss, interpret=interp,
+                        heightfield_shadows=cfg.heightfield_local_shadows)
+                else:
+                    vis = vis_lib.bake_visibility_pallas(
+                        params, view_to_world, camera_pos, jitter,
+                        point_lights, spot_lights, geometry, cfg.grid, vis_ss,
+                        interpret=interp,
+                        heightfield_shadows=cfg.heightfield_local_shadows)
             else:
-                vis = vis_lib.bake_visibility_from_maps(
-                    cfg, params, view_to_world, jitter, point_lights,
-                    spot_lights, cube_shadow, spot_shadow, vis_ss)
+                if radiance:
+                    vis = vis_lib.bake_radiance_from_maps(
+                        cfg, params, view_to_world, camera_pos, jitter,
+                        point_lights, spot_lights, cube_shadow, spot_shadow,
+                        media, time_x, vis_ss)
+                else:
+                    vis = vis_lib.bake_visibility_from_maps(
+                        cfg, params, view_to_world, jitter, point_lights,
+                        spot_lights, cube_shadow, spot_shadow, vis_ss)
         outs = scatter_local_pallas(
             params, view_to_world, camera_pos, jitter, material_a, material_b,
             point_lights, spot_lights, geometry, cfg.grid,
@@ -361,7 +379,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
             interpret=interp, return_planes=True,
             media=media if use_fused_material else None, time_x=time_x,
             heightfield_shadows=cfg.heightfield_local_shadows,
-            vis=vis, vis_ss=vis_ss)
+            vis=vis, vis_ss=vis_ss,
+            vis_radiance=radiance and vis is not None)
         if use_fused_material:
             pr, pg, pb, extinction = outs
         else:

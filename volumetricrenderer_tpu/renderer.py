@@ -334,6 +334,7 @@ class VolumetricRenderer:
         ss = max(int(cfg.raycast_shadow_subsample), 1)
         vis = None
         inline_bake = False
+        radiance = cfg.scatter_bake == "radiance" and bool(scene.media)
         if ss > 1 and not is_slab:
             from volumetricrenderer_tpu.ops.pallas import frame_fused as ffm
             if ffm.INLINE_VIS:
@@ -342,11 +343,18 @@ class VolumetricRenderer:
             else:
                 from volumetricrenderer_tpu.ops.pallas import \
                     visibility as vis_lib
-                vis = vis_lib.bake_visibility_pallas(
-                    params, view_to_world, scene.camera.position, jitter,
-                    scene.point_lights, scene.spot_lights, scene.geometry,
-                    cfg.grid, ss, interpret=interp,
-                    heightfield_shadows=cfg.heightfield_local_shadows)
+                if radiance:
+                    vis = vis_lib.bake_radiance_pallas(
+                        params, view_to_world, scene.camera.position, jitter,
+                        scene.point_lights, scene.spot_lights, scene.geometry,
+                        scene.media, time_x, cfg.grid, ss, interpret=interp,
+                        heightfield_shadows=cfg.heightfield_local_shadows)
+                else:
+                    vis = vis_lib.bake_visibility_pallas(
+                        params, view_to_world, scene.camera.position, jitter,
+                        scene.point_lights, scene.spot_lights, scene.geometry,
+                        cfg.grid, ss, interpret=interp,
+                        heightfield_shadows=cfg.heightfield_local_shadows)
 
         acc_prepadded = False
         padded_for = None
@@ -374,7 +382,7 @@ class VolumetricRenderer:
                 state.prev_shadow.astype(jnp.float32),
                 prev_planes, prev_acc_padded=prev_padded,
                 grid_whd=cfg.grid, k=cfg.reproj_window, vis=vis, vis_ss=ss,
-                inline_vis_bake=inline_bake,
+                vis_radiance=radiance, inline_vis_bake=inline_bake,
                 jitter_dir=cfg.jitter_dir_scatter,
                 heightfield_shadows=cfg.heightfield_local_shadows,
                 interpret=interp, padded_out=padded_for)
