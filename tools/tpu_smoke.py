@@ -188,13 +188,15 @@ def main():
     ok &= check("visibility-volume scatter (ss=2)",
                 dataclasses.replace(BASE, **PALLAS_KNOBS,
                                     raycast_shadow_subsample=2), scene, None)
-    # the baked-RADIANCE variant (scatter_bake="radiance"): the whole
-    # per-light sum baked at low rate, 3-row ring + rgb accumulate inside the
-    # megakernel — a distinct Mosaic compile from the per-light vis ring
-    ok &= check("radiance-volume scatter (ss=2)",
+    # the baked-RADIANCE variant (scatter_bake="radiance" + the baked fBm
+    # factor, the production pair): the whole per-light sum + noise baked at
+    # low rate, (3+Nn)-row ring + rgb accumulate inside the megakernel — a
+    # distinct Mosaic compile from the per-light vis ring
+    ok &= check("radiance+noise-bake scatter (ss=2)",
                 dataclasses.replace(BASE, **PALLAS_KNOBS,
                                     raycast_shadow_subsample=2,
-                                    scatter_bake="radiance"), scene, None)
+                                    scatter_bake="radiance",
+                                    bake_procedural_noise=True), scene, None)
     # fractional box opacity (SPEC "Occluder opacity"): the transmittance-
     # product any-hit variant compiled for real in every consumer (dir
     # shadow, scatter march, the inline visibility bake) — XLA frame as the

@@ -95,6 +95,15 @@ class RenderConfig:
     #                samples (exact per-sample: g carries no noise).
     scatter_bake: str = "vis"
 
+    # With scatter_bake="radiance" + fused material: also bake each
+    # noise-bearing medium's procedural fBm factor at the low rate (extra
+    # channels on the radiance volume/ring) and tent-upsample it in the
+    # scatter kernel instead of evaluating the Perlin per froxel. Only the
+    # fBm moves to low rate — sigma/box masks/height falloff stay per-froxel.
+    # The noise field is band-limited by its tiling, so the quality cost is
+    # tiny next to the radiance approximation itself (tests/test_noise_bake).
+    bake_procedural_noise: bool = False
+
     # Texture-mode noise sampling rate. 1 = per-froxel wrap-trilinear taps
     # (reference parity, compute:51-58 — gather-bound, ~260 ms at FULL size,
     # PERF.md). N > 1: the wrapped texture field is sampled at 1/N^3 froxel
@@ -198,6 +207,9 @@ FULL_CONFIG = RenderConfig(
     # ss=4 radiance reaches 5.86 ms at mean 0.045% / 99.67% within 2%.
     raycast_shadow_subsample=2,
     scatter_bake="radiance",
+    # fBm factor baked at the same low rate (5.80 vs 6.37 ms/frame measured;
+    # the noise field is band-limited far below even the 1/2-rate Nyquist)
+    bake_procedural_noise=True,
     reproj_impl="pallas",
     scatter_impl="pallas",
     dir_shadow_impl="pallas",

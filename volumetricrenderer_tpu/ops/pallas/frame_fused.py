@@ -184,8 +184,8 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             if radiance:
                 # rgb radiance accumulated over active lights into 3 ring
                 # rows (zeroed first; RMW under pl.when keeps culling live)
-                from volumetricrenderer_tpu.ops.pallas.material import \
-                    phase_g_plane
+                from volumetricrenderer_tpu.ops.pallas.material import (
+                    noise_factor_planes, phase_g_plane)
                 from volumetricrenderer_tpu.ops.phase import PI
                 bvx, bvy, bvz = radiance_view_dirs(spar_ref, bwx, bwy, bwz)
                 bphg = phase_g_plane(med_ref,
@@ -211,6 +211,16 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                         for c, p in enumerate((r, g, b)):
                             row = pl.ds(c * ring_n + slot, 1)
                             vis_ring[row] = vis_ring[row] + p[None]
+                # per-medium fBm factors at the same low-rate samples
+                # (unconditional — noise is per-medium, not per-light)
+                n_noise = scatter_statics.get("n_noise", 0)
+                if n_noise:
+                    nz = noise_factor_planes(
+                        med_ref, scatter_statics["media_static"],
+                        bwx, bwy, bwz)
+                    for c in range(n_noise):
+                        vis_ring[pl.ds((3 + c) * ring_n + slot, 1)] = \
+                            nz[c][None]
             else:
                 for li in range(nl_v):
                     @pl.when(bact_ref[0, 0, li] != 0)
@@ -353,6 +363,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                        k: int, prev_acc_padded: bool = False,
                        vis=None, vis_ss: int = 2,
                        vis_radiance: bool = False,
+                       bake_noise: bool = False,
                        inline_vis_bake: bool = False,
                        jitter_dir: bool = False,
                        heightfield_shadows: bool = False,
@@ -416,10 +427,19 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                           n_boxes=n_boxes, max_dist=1e4, hf_static=hf_sh,
                           fractional=frac)
     use_radiance = bool(vis_radiance and (vis is not None or inline_vis_bake))
+    # low-rate fBm channels ride the radiance volume/ring after rgb: from the
+    # passed volume's shape, or baked inline per noise-bearing medium
+    n_noise = 0
+    if use_radiance:
+        if vis is not None:
+            n_noise = max(vis.shape[0] - 3, 0)
+        elif bake_noise:
+            n_noise = sum(int(st[0]) for st in media_static)
     scatter_statics = dict(jitter_dir=jitter_dir, n_planes=n_planes,
                            n_spheres=n_spheres, n_boxes=n_boxes,
                            media_static=media_static, hf_static=hf_sc,
-                           fractional=frac, radiance=use_radiance)
+                           fractional=frac, radiance=use_radiance,
+                           n_noise=n_noise)
 
     vis_lowres = None
     vis_specs = []
@@ -455,7 +475,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
             pl.BlockSpec((wl, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ]
         vis_inputs = (bake_m, bact, ay, axt)
-        ring_rows = (3 if use_radiance else nl_v) * ring_n
+        ring_rows = (3 + n_noise if use_radiance else nl_v) * ring_n
         vis_scratch = [pltpu.VMEM((ring_rows, hl, wl), jnp.float32)]
     elif vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats

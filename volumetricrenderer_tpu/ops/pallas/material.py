@@ -218,14 +218,37 @@ def phase_g_plane(med_ref, media_static: tuple, wx, wy, wz):
     return g
 
 
-def material_planes(med_ref, media_static: tuple, wx, wy, wz):
+def noise_factor_planes(med_ref, media_static: tuple, wx, wy, wz):
+    """The per-medium procedural fBm factors at world-pos planes, in
+    media_static order, noise-bearing media only — the bake-side producer for
+    material_planes(noise_planes=...). Splitting ONLY the fBm out of the
+    material (not sigma/masks/height) keeps box edges and the height falloff
+    at full rate; the noise field is band-limited by its tiling so the tent
+    upsample sits far above its Nyquist rate (tests/test_noise_bake.py)."""
+    out = []
+    for mi, (has_noise, octaves, period, seed, *_rest) \
+            in enumerate(media_static):
+        if not has_noise:
+            continue
+        q = lambda i: med_ref[mi, i]
+        out.append(perlin_planes(wx * q(5) + q(8), wy * q(6) + q(9),
+                                 wz * q(7) + q(10), octaves, period, seed))
+    return out
+
+
+def material_planes(med_ref, media_static: tuple, wx, wy, wz,
+                    noise_planes=None):
     """Evaluate the folded media at jittered world-pos planes [h, w].
 
     med_ref: SMEM ref of the pack_media table. Returns (sr, sg, sb, sa, g) —
-    the per-slice material planes, matching write_material_volumes exactly."""
+    the per-slice material planes, matching write_material_volumes exactly.
+    noise_planes: optional precomputed fBm factor planes (one per
+    noise-bearing medium, media order — noise_factor_planes upsampled from
+    the low-rate bake); when given, the in-kernel Perlin is skipped."""
     h, w = wx.shape
     zero = jnp.zeros((h, w), jnp.float32)
     sr = sg = sb = sa = g = zero
+    noise_i = 0
 
     for mi, (has_noise, octaves, period, seed, is_box, additive) \
             in enumerate(media_static):
@@ -233,10 +256,15 @@ def material_planes(med_ref, media_static: tuple, wx, wy, wz):
 
         factor = jnp.ones((h, w), jnp.float32)
         if has_noise:
-            uxp = wx * q(5) + q(8)
-            uyp = wy * q(6) + q(9)
-            uzp = wz * q(7) + q(10)
-            factor = factor * perlin_planes(uxp, uyp, uzp, octaves, period, seed)
+            if noise_planes is not None:
+                factor = factor * noise_planes[noise_i]
+                noise_i += 1
+            else:
+                uxp = wx * q(5) + q(8)
+                uyp = wy * q(6) + q(9)
+                uzp = wz * q(7) + q(10)
+                factor = factor * perlin_planes(uxp, uyp, uzp, octaves,
+                                                period, seed)
         # exponential height falloff (extension, BASELINE config 2)
         factor = factor * jnp.exp(-jnp.maximum(q(11), 0.0)
                                   * jnp.maximum(wy - q(12), 0.0))

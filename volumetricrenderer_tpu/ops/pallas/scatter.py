@@ -188,7 +188,8 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
                   jitter_dir: bool, n_planes: int, n_spheres: int,
                   n_boxes: int, h_glob: int, media_static: tuple = None,
                   hf_static: tuple = None, vis_lowres: tuple = None,
-                  fractional: bool = False, radiance: bool = False):
+                  fractional: bool = False, radiance: bool = False,
+                  n_noise: int = 0):
     """One z-slice of the fused local+dir in-scatter (the body shared by the
     standalone kernel and the whole-volume megakernel, ops/pallas/
     frame_fused.py). material_src: ("fused", med_ref) to evaluate media
@@ -229,22 +230,6 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
     inv_vd = jax.lax.rsqrt(vdx * vdx + vdy * vdy + vdz * vdz + 1e-18)
     vdx, vdy, vdz = vdx * inv_vd, vdy * inv_vd, vdz * inv_vd
 
-    ext = None
-    if fuse_material:
-        # WriteMaterialVolume evaluated in-kernel at the jittered world pos
-        # (the same wx/wy/wz planes): no material volume ever touches HBM
-        from volumetricrenderer_tpu.ops.pallas.material import material_planes
-        med_ref = material_src[1]
-        sr, sg, sb, s_a, phg = material_planes(med_ref, media_static,
-                                               wx, wy, wz)
-        # dir-light luma extinction (compute:82) — one Rgb2Gray(sigma_s) +
-        # sigma_a per dir light; was XLA elementwise on the material volume
-        ext = (0.3 * sr + 0.59 * sg + 0.11 * sb + s_a) * float(n_dir)
-    else:
-        sr, sg, sb, phg = material_src[1]
-    g2 = phg * phg
-    hg_num = (1.0 - g2) / (4.0 * PI)
-
     if vis_lowres is not None:
         # z-lerp weight for the baked visibility volume: full slice zi sits at
         # u = (zi - (ss-1)/2)/ss between low slices floor(u), floor(u)+1
@@ -266,6 +251,40 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             ka_i = vkf.astype(jnp.int32)
             slot_a = jnp.mod(ka_i, ring_n)
             slot_b = jnp.mod(jnp.minimum(ka_i + 1, vdl - 1), ring_n)
+
+        def upsample_low(c):
+            """z-lerp + exact separable tent upsample of low-rate channel c
+            (ring rows c*ring_n+slot, or HBM volume channel c)."""
+            if ring_n is not None:
+                va = ring_ref[pl.ds(c * ring_n + slot_a, 1)][0]
+                vb = ring_ref[pl.ds(c * ring_n + slot_b, 1)][0]
+            else:
+                va = vis_a_ref[c, 0]
+                vb = vis_b_ref[c, 0]
+            low = va + vt * (vb - va)                      # [HL, WL]
+            return jax.lax.dot(ay_ref[...], jax.lax.dot(low, axt_ref[...]))
+
+    ext = None
+    if fuse_material:
+        # WriteMaterialVolume evaluated in-kernel at the jittered world pos
+        # (the same wx/wy/wz planes): no material volume ever touches HBM.
+        # n_noise > 0 (radiance mode): the per-medium fBm factors were baked
+        # at the low rate (channels 3..3+n_noise of the radiance volume) —
+        # upsample them instead of evaluating the Perlin per froxel.
+        from volumetricrenderer_tpu.ops.pallas.material import material_planes
+        med_ref = material_src[1]
+        noise_planes = [upsample_low(3 + c) for c in range(n_noise)] \
+            if (radiance and n_noise) else None
+        sr, sg, sb, s_a, phg = material_planes(med_ref, media_static,
+                                               wx, wy, wz,
+                                               noise_planes=noise_planes)
+        # dir-light luma extinction (compute:82) — one Rgb2Gray(sigma_s) +
+        # sigma_a per dir light; was XLA elementwise on the material volume
+        ext = (0.3 * sr + 0.59 * sg + 0.11 * sb + s_a) * float(n_dir)
+    else:
+        sr, sg, sb, phg = material_src[1]
+    g2 = phg * phg
+    hg_num = (1.0 - g2) / (4.0 * PI)
 
     def light_body(li, acc):
         ar, ag, ab = acc
@@ -316,17 +335,7 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
         # light color and summed over lights) was baked at low rate, so the
         # full-rate work is three tent upsamples + the sigma_s product —
         # independent of light count. The per-light fori disappears.
-        ups = []
-        for c in range(3):
-            if ring_n is not None:
-                va = ring_ref[pl.ds(c * ring_n + slot_a, 1)][0]
-                vb = ring_ref[pl.ds(c * ring_n + slot_b, 1)][0]
-            else:
-                va = vis_a_ref[c, 0]
-                vb = vis_b_ref[c, 0]
-            low = va + vt * (vb - va)                      # [HL, WL]
-            ups.append(jax.lax.dot(ay_ref[...],
-                                   jax.lax.dot(low, axt_ref[...])))
+        ups = [upsample_low(c) for c in range(3)]
         ar, ag, ab = ups[0] * sr, ups[1] * sg, ups[2] * sb
     else:
         zero = jnp.zeros((h, w), jnp.float32)
@@ -373,7 +382,7 @@ def _kernel(*refs,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
             h_glob: int, media_static: tuple = None, hf_static: tuple = None,
             vis_lowres: tuple = None, fractional: bool = False,
-            radiance: bool = False):
+            radiance: bool = False, n_noise: int = 0):
     fuse_material = media_static is not None
     vis_refs = ()
     if vis_lowres is not None:
@@ -401,7 +410,8 @@ def _kernel(*refs,
         shadow_planes, grid_whd=grid_whd, n_dir=n_dir, jitter_dir=jitter_dir,
         n_planes=n_planes, n_spheres=n_spheres, n_boxes=n_boxes,
         h_glob=h_glob, media_static=media_static, hf_static=hf_static,
-        vis_lowres=vis_lowres, fractional=fractional, radiance=radiance)
+        vis_lowres=vis_lowres, fractional=fractional, radiance=radiance,
+        n_noise=n_noise)
     out_r[0] = ar
     out_g[0] = ag
     out_b[0] = ab
@@ -512,7 +522,9 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
         hf_static=hf_static, vis_lowres=vis_lowres,
         fractional=bool(geometry.box_fractional),
-        radiance=bool(vis_radiance and vis is not None))
+        radiance=bool(vis_radiance and vis is not None),
+        n_noise=max(vis.shape[0] - 3, 0)
+        if (vis_radiance and vis is not None and fuse_material) else 0)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)

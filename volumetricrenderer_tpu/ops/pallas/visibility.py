@@ -198,8 +198,9 @@ def _radiance_kernel(par_ref, lights_ref, order_ref, count_ref, med_ref,
                      grid_whd: Tuple[int, int, int], ss: int, n_planes: int,
                      n_spheres: int, n_boxes: int, h_glob: int,
                      media_static: tuple, hf_static: tuple,
-                     fractional: bool = False):
-    from volumetricrenderer_tpu.ops.pallas.material import phase_g_plane
+                     fractional: bool = False, n_noise: int = 0):
+    from volumetricrenderer_tpu.ops.pallas.material import (
+        noise_factor_planes, phase_g_plane)
     from volumetricrenderer_tpu.ops.phase import PI
 
     wl, hl, dl = low_res_dims(grid_whd, ss)
@@ -226,6 +227,11 @@ def _radiance_kernel(par_ref, lights_ref, order_ref, count_ref, med_ref,
     out_ref[0, 0] = ar
     out_ref[1, 0] = ag
     out_ref[2, 0] = ab
+    if n_noise:
+        # per-medium fBm factors at the same low-rate samples (channels 3+)
+        nz = noise_factor_planes(med_ref, media_static, wx, wy, wz)
+        for c in range(n_noise):
+            out_ref[3 + c, 0] = nz[c]
 
 
 def _pack_media_or_empty(media, time_x):
@@ -239,13 +245,17 @@ def bake_radiance_pallas(params, view_to_world, camera_pos, jitter,
                          point_lights, spot_lights, geometry, media, time_x,
                          grid_whd: Tuple[int, int, int], ss: int,
                          interpret: bool = False,
-                         heightfield_shadows: bool = False) -> jax.Array:
-    """[3, DL, HL, WL] f32 local-light RADIANCE at 1/ss^3 rate: the full
+                         heightfield_shadows: bool = False,
+                         bake_noise: bool = False) -> jax.Array:
+    """[3(+Nn), DL, HL, WL] f32 local-light RADIANCE at 1/ss^3 rate: the full
     per-light scatter sum (visibility x falloff x cone x phase, color-
     weighted) with raycast occlusion. The scatter kernel then upsamples the
     3 channels once and multiplies by sigma_s — its cost becomes independent
     of light count. Phase g is evaluated at the low-rate samples
-    (material.phase_g_plane; g is noise-free, so this is exact per-sample)."""
+    (material.phase_g_plane; g is noise-free, so this is exact per-sample).
+    bake_noise=True appends one channel per noise-bearing medium holding the
+    procedural fBm factor at the same samples (material.noise_factor_planes),
+    letting the fused-material scatter skip the per-froxel Perlin too."""
     from volumetricrenderer_tpu.ops.pallas.material import pack_heightfield
     from volumetricrenderer_tpu.ops.pallas.scatter import (pack_lights,
                                                            pack_params)
@@ -276,12 +286,14 @@ def bake_radiance_pallas(params, view_to_world, camera_pos, jitter,
                  geometry.hf_steps, geometry.hf_far) \
         if (geometry.hf_enabled and heightfield_shadows) else None
     med, media_static = _pack_media_or_empty(media, time_x)
+    n_noise = sum(int(st[0]) for st in media_static) if bake_noise else 0
+    n_ch = 3 + n_noise
 
     kernel = functools.partial(
         _radiance_kernel, grid_whd=grid_whd, ss=ss, n_planes=n_planes,
         n_spheres=n_spheres, n_boxes=n_boxes, h_glob=params.grid[1],
         media_static=media_static, hf_static=hf_static,
-        fractional=bool(geometry.box_fractional))
+        fractional=bool(geometry.box_fractional), n_noise=n_noise)
     smem = lambda shape: pl.BlockSpec(shape, lambda j: tuple([0] * len(shape)),
                                       memory_space=pltpu.SMEM)
     return pl.pallas_call(
@@ -300,22 +312,25 @@ def bake_radiance_pallas(params, view_to_world, camera_pos, jitter,
             smem(boxes.shape),
             smem(hf.shape),
         ],
-        out_specs=pl.BlockSpec((3, 1, hl, wl), lambda j: (0, j, 0, 0),
+        out_specs=pl.BlockSpec((n_ch, 1, hl, wl), lambda j: (0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, dl, hl, wl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_ch, dl, hl, wl), jnp.float32),
         interpret=interpret,
     )(par, lights, order, count, med, planes, spheres, boxes, hf)
 
 
 def bake_radiance_from_maps(cfg, params, view_to_world, camera_pos, jitter,
                             point_lights, spot_lights, cube_shadow,
-                            spot_shadow, media, time_x, ss: int) -> jax.Array:
-    """[3, DL, HL, WL] radiance with visibility from the baked cube/spot
+                            spot_shadow, media, time_x, ss: int,
+                            bake_noise: bool = False) -> jax.Array:
+    """[3(+Nn), DL, HL, WL] radiance with visibility from the baked cube/spot
     shadow MAPS (shadow_mode="map") — bake_visibility_from_maps' gathers plus
     the same low-rate light physics as bake_radiance_pallas (shared
-    light_factor / phase_g_plane, evaluated in XLA on the low grid)."""
+    light_factor / phase_g_plane, evaluated in XLA on the low grid).
+    bake_noise as in bake_radiance_pallas."""
     from volumetricrenderer_tpu import shadow as shadow_lib
-    from volumetricrenderer_tpu.ops.pallas.material import phase_g_plane
+    from volumetricrenderer_tpu.ops.pallas.material import (
+        noise_factor_planes, phase_g_plane)
     from volumetricrenderer_tpu.ops.pallas.scatter import (light_factor,
                                                            pack_lights)
     from volumetricrenderer_tpu.ops.phase import PI
@@ -359,7 +374,10 @@ def bake_radiance_from_maps(cfg, params, view_to_world, camera_pos, jitter,
         ar = ar + base * cr
         ag = ag + base * cg
         ab = ab + base * cb
-    return jnp.stack([ar, ag, ab])
+    chans = [ar, ag, ab]
+    if bake_noise:
+        chans += noise_factor_planes(med, media_static, wx, wy, wz)
+    return jnp.stack(chans)
 
 
 def _bake_kernel(par_ref, lights_ref, active_ref, planes_ref, spheres_ref,

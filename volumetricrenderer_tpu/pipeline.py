@@ -345,6 +345,9 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
         # media the g source is ambiguous (material volumes may come from
         # elsewhere) -> keep the per-light visibility bake.
         radiance = cfg.scatter_bake == "radiance" and bool(media)
+        # the fBm channels only pay off when the scatter evaluates material
+        # in-kernel (noise_planes feeds material_planes)
+        bk_noise = bool(cfg.bake_procedural_noise and use_fused_material)
         if vis_mode is not None:
             from volumetricrenderer_tpu.ops.pallas import visibility as vis_lib
             source, vis_ss = vis_mode
@@ -354,7 +357,8 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                         params, view_to_world, camera_pos, jitter,
                         point_lights, spot_lights, geometry, media, time_x,
                         cfg.grid, vis_ss, interpret=interp,
-                        heightfield_shadows=cfg.heightfield_local_shadows)
+                        heightfield_shadows=cfg.heightfield_local_shadows,
+                        bake_noise=bk_noise)
                 else:
                     vis = vis_lib.bake_visibility_pallas(
                         params, view_to_world, camera_pos, jitter,
@@ -366,7 +370,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
                     vis = vis_lib.bake_radiance_from_maps(
                         cfg, params, view_to_world, camera_pos, jitter,
                         point_lights, spot_lights, cube_shadow, spot_shadow,
-                        media, time_x, vis_ss)
+                        media, time_x, vis_ss, bake_noise=bk_noise)
                 else:
                     vis = vis_lib.bake_visibility_from_maps(
                         cfg, params, view_to_world, jitter, point_lights,

@@ -348,7 +348,8 @@ class VolumetricRenderer:
                         params, view_to_world, scene.camera.position, jitter,
                         scene.point_lights, scene.spot_lights, scene.geometry,
                         scene.media, time_x, cfg.grid, ss, interpret=interp,
-                        heightfield_shadows=cfg.heightfield_local_shadows)
+                        heightfield_shadows=cfg.heightfield_local_shadows,
+                        bake_noise=cfg.bake_procedural_noise)
                 else:
                     vis = vis_lib.bake_visibility_pallas(
                         params, view_to_world, scene.camera.position, jitter,
@@ -382,7 +383,9 @@ class VolumetricRenderer:
                 state.prev_shadow.astype(jnp.float32),
                 prev_planes, prev_acc_padded=prev_padded,
                 grid_whd=cfg.grid, k=cfg.reproj_window, vis=vis, vis_ss=ss,
-                vis_radiance=radiance, inline_vis_bake=inline_bake,
+                vis_radiance=radiance,
+                bake_noise=cfg.bake_procedural_noise,
+                inline_vis_bake=inline_bake,
                 jitter_dir=cfg.jitter_dir_scatter,
                 heightfield_shadows=cfg.heightfield_local_shadows,
                 interpret=interp, padded_out=padded_for)
