@@ -104,6 +104,54 @@ def test_shardmap_xla_impls_match_single_device():
                                    err_msg=f"frame {i}")
 
 
+def test_shardmap_megakernel_radiance_bake_matches_single_device():
+    """The FULL production pair — megakernel (material fused) + baked
+    radiance/noise at ss=2 — under H-sharded slabs ~= single device. Each
+    slab bakes its own low-rate rows, phase-aligned with the global low grid
+    (h_loc and halo even), so interior rows match exactly; at the GLOBAL
+    top/bottom rows the slab formulation clamps the y-tent against a
+    replicated-halo low row where the unsharded grid clamps its weights —
+    a bounded difference intrinsic to the (approximate) bake, not an error.
+    Bounded-equivalence assertion instead of allclose."""
+    from volumetricrenderer_tpu import Medium
+    cfg = dataclasses.replace(CFG, material_impl="fused",
+                              raycast_shadow_subsample=2,
+                              scatter_bake="radiance",
+                              bake_procedural_noise=True)
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    fog = Medium.create(
+        scattering_color=(1.0, 0.9, 0.8), absorption=0.19, phase_g=0.3,
+        noise_mode="procedural", noise_tiling=(0.05, 0.04, 0.05),
+        noise_scroll=(3.0, 0.5, 0.0))
+    base = dataclasses.replace(base, media=(fog,))
+    scenes = [_move_cam(base, 0.4 * i) for i in range(3)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, _, new_state = renderer.render_frame(state, scene, t,
+                                                  scene_color=sc,
+                                                  view_depth=vd)
+        return img, new_state
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:4], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        assert np.isfinite(a).all()
+        err = np.abs(a - b) / max(np.abs(b).max(), 1e-6)
+        assert err.mean() < 5e-4, (i, err.mean())
+        assert err.max() < 0.02, (i, err.max())
+        # interior rows (away from the global edge clamp) match tightly
+        interior = err[2:-2]
+        assert interior.max() < 2e-3, (i, interior.max())
+
+
 def test_shardmap_map_dir_pcf_matches_single_device():
     """The cascaded-PCF Pallas sampler under H-sharded slabs (params.y0 != 0
     enters the affine atlas coords) == the same config single-device."""

@@ -88,18 +88,19 @@ def check(name, cfg, scene, ref_img, rel_tol=1e-3):
     return True
 
 
-def check_shardmap_1dev(scene):
+def check_shardmap_1dev(scene, name="shard_map 1-device slab (pallas)",
+                        **cfg_kw):
     """Compile + run the shard_map slab pipeline on a 1-device TPU mesh and
     compare against the unsharded all-Pallas frame (equivalence-class: the
-    1-shard slab only adds clamped halo rows at the global edges)."""
+    1-shard slab only adds clamped halo rows at the global edges; with the
+    ss=2 bake the slab's low grid is phase-aligned — halo=2 is even)."""
     from volumetricrenderer_tpu.parallel.shard_render import \
         make_shardmap_render
     from volumetricrenderer_tpu.parallel.sharding import make_mesh
 
-    name = "shard_map 1-device slab (pallas)"
     t0 = time.perf_counter()
     try:
-        cfg = dataclasses.replace(BASE, **PALLAS_KNOBS)
+        cfg = dataclasses.replace(BASE, **PALLAS_KNOBS, **cfg_kw)
         r = VolumetricRenderer(cfg)
         sc_col, vd = jax.jit(r.render_scene_inputs)(scene)
         mesh = make_mesh(jax.devices()[:1], axis_name="y")
@@ -223,6 +224,12 @@ def main():
     # plane shapes) compile for real here — the CPU-mesh tests only ever run
     # them in interpret mode (VERDICT r2 weak #3)
     ok &= check_shardmap_1dev(scene)
+    # the production shard config: slab-local radiance+noise bake at ss=2
+    # (renderer no longer gates the bake off for slabs)
+    ok &= check_shardmap_1dev(
+        scene, name="shard_map slab radiance+noise (ss=2)",
+        raycast_shadow_subsample=2, scatter_bake="radiance",
+        bake_procedural_noise=True)
 
     if not ok and "--bisect" in sys.argv:
         for knob, val in PALLAS_KNOBS.items():

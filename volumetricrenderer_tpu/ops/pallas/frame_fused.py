@@ -45,6 +45,7 @@ from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
 from volumetricrenderer_tpu.ops.pallas.scatter import scatter_slice
 from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
                                                         _tent_pass,
+                                                        _tent_weights,
                                                         pack_blend_params)
 
 
@@ -110,13 +111,15 @@ def _warp_taps(z, off_z, k, ring_n, d):
     return taps
 
 
-def _warp(ring, taps, off_x, off_y, k):
-    """Tent-warp one channel from its history ring (temporal.py z/y/x tents)."""
-    acc = jnp.zeros(off_x.shape, jnp.float32)
+def _warp(ring, taps, wys, wxs, k):
+    """Tent-warp one channel from its history ring (temporal.py z/y/x tents).
+    wys/wxs: hoisted _tent_weights of the blend site's y/x offsets — shared
+    across the 4 accumulation + Nd shadow channels."""
+    acc = jnp.zeros(wys[0].shape, jnp.float32)
     for slot, wz in taps:
         acc = acc + ring[pl.ds(slot, 1)][0] * wz
-    acc = _tent_pass(acc, off_y, 0, k)
-    return _tent_pass(acc, off_x, 1, k)
+    acc = _tent_pass(acc, None, 0, k, ws=wys)
+    return _tent_pass(acc, None, 1, k, ws=wxs)
 
 
 def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
@@ -293,7 +296,9 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         aox, aoy, aoz_, _ = _reproj_offsets(abpar_ref, zi2, grid_whd, h_glob,
                                             k, with_jitter=False)
         a_taps = _warp_taps(zi2, aoz_, k, rn_a, d)
-        warped = [_warp(a_ring[c], a_taps, aox, aoy, k) for c in range(4)]
+        awy = _tent_weights(aoy, k)
+        awx = _tent_weights(aox, k)
+        warped = [_warp(a_ring[c], a_taps, awy, awx, k) for c in range(4)]
         wgt = alpha_a * (warped[3] != 0.0).astype(jnp.float32)
         for c in range(4):
             res = vals[c] + wgt * (warped[c] - vals[c])
@@ -311,10 +316,12 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                                                h_glob, k, with_jitter=True)
         swgt = alpha_s * ssucc
         s_taps = _warp_taps(zb, soz, k, rn_s, d)
+        swy = _tent_weights(soy, k)
+        swx = _tent_weights(sox, k)
         cslot = jnp.mod(zb, k + 2)
         blended = []
         for c in range(n_dir):
-            warped = _warp(s_ring[c], s_taps, sox, soy, k)
+            warped = _warp(s_ring[c], s_taps, swy, swx, k)
             cur = s_cur[c][pl.ds(cslot, 1)][0]
             b = cur + swgt * (warped - cur)
             out_sh[c][0] = b

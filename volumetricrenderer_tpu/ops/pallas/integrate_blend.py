@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
                                                         _tent_pass,
+                                                        _tent_weights,
                                                         pack_blend_params)
 
 
@@ -161,15 +162,18 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
         off_x = jnp.clip(tx - base_x, -k, k)
 
         warped = []
+        # weight planes shared across channels (hoisted, temporal._tent_weights)
+        ztaps = [(jnp.mod(jnp.clip(z + dd, 0, d - 1), ring_n),
+                  jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd)))
+                 for dd in range(-k, k + 2)]
+        wys = _tent_weights(off_y, k)
+        wxs = _tent_weights(off_x, k)
         for c in range(n_ch):
             acc = jnp.zeros((h, w), jnp.float32)
-            for dd in range(-k, k + 2):
-                s = jnp.clip(z + dd, 0, d - 1)
-                wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
-                tap = prev_ring[c][pl.ds(jnp.mod(s, ring_n), 1)][0]
-                acc = acc + tap * wz
-            acc = _tent_pass(acc, off_y, 0, k)
-            acc = _tent_pass(acc, off_x, 1, k)
+            for slot, wz in ztaps:
+                acc = acc + prev_ring[c][pl.ds(slot, 1)][0] * wz
+            acc = _tent_pass(acc, None, 0, k, ws=wys)
+            acc = _tent_pass(acc, None, 1, k, ws=wxs)
             warped.append(acc)
 
         wgt = alpha * (warped[3] != 0.0).astype(jnp.float32)

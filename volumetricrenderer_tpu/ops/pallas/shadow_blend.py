@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
 from volumetricrenderer_tpu.ops.pallas.temporal import (_tent_pass,
+                                                        _tent_weights,
                                                         pack_blend_params)
 
 
@@ -107,15 +108,18 @@ def _kernel(par_ref, bpar_ref, lights_ref, planes_ref, spheres_ref,
 
         wgt = alpha * success
         cslot = jnp.mod(z, k + 2)
+        # weight planes shared across channels (hoisted, temporal._tent_weights)
+        ztaps = [(jnp.mod(jnp.clip(z + dd, 0, d - 1), ring_n),
+                  jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd)))
+                 for dd in range(-k, k + 2)]
+        wys = _tent_weights(off_y, k)
+        wxs = _tent_weights(off_x, k)
         for c in range(n_lights):
             acc = jnp.zeros((h, w), jnp.float32)
-            for dd in range(-k, k + 2):
-                s = jnp.clip(z + dd, 0, d - 1)
-                wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
-                tap = prev_ring[c][pl.ds(jnp.mod(s, ring_n), 1)][0]
-                acc = acc + tap * wz
-            acc = _tent_pass(acc, off_y, 0, k)
-            acc = _tent_pass(acc, off_x, 1, k)
+            for slot, wz in ztaps:
+                acc = acc + prev_ring[c][pl.ds(slot, 1)][0] * wz
+            acc = _tent_pass(acc, None, 0, k, ws=wys)
+            acc = _tent_pass(acc, None, 1, k, ws=wxs)
             cur = cur_ring[c][pl.ds(cslot, 1)][0]
             outs[c][0] = cur + wgt * (acc - cur)
 

@@ -60,16 +60,27 @@ def _edge_pad(x, axis, k):
                            axis=axis)
 
 
-def _tent_pass(plane, off, axis, k):
-    """1D windowed tent along `axis` of an [H, W] plane; off pre-clipped."""
+def _tent_weights(off, k):
+    """Per-tap tent weight planes for _tent_pass — hoist these when several
+    channels share one offset plane (the megakernel warps 4 accumulation +
+    Nd shadow channels per blend site; the weight math would otherwise be
+    re-emitted per channel, ops/pallas/frame_fused._warp)."""
+    return [jnp.maximum(0.0, 1.0 - jnp.abs(off - dd))
+            for dd in range(-k, k + 2)]
+
+
+def _tent_pass(plane, off, axis, k, ws=None):
+    """1D windowed tent along `axis` of an [H, W] plane; off pre-clipped.
+    ws: precomputed _tent_weights(off, k) (off is then ignored)."""
     padded = _edge_pad(plane, axis, k + 1)
     n = plane.shape[axis]
     acc = jnp.zeros_like(plane)
-    for dd in range(-k, k + 2):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(off - dd))
+    if ws is None:
+        ws = _tent_weights(off, k)
+    for t, dd in enumerate(range(-k, k + 2)):
         idx = [slice(None)] * 2
         idx[axis] = slice(k + 1 + dd, k + 1 + dd + n)
-        acc = acc + padded[tuple(idx)] * w
+        acc = acc + padded[tuple(idx)] * ws[t]
     return acc
 
 
@@ -160,18 +171,21 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
         off_x = jnp.clip(tx - base_x, -k, k)
 
         warped = []
+        # weight planes shared across channels (hoisted once per blend site)
+        ztaps = [(jnp.mod(jnp.clip(z + dd, 0, d - 1), ring_n),
+                  jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd)))
+                 for dd in range(-k, k + 2)]
+        wys = _tent_weights(off_y, k)
+        wxs = _tent_weights(off_x, k)
         for c in range(n_ch):
             # z tent from the ring: tap slice clip(z+dd, 0, d-1), slot proof:
             # slice s lives in slot s % ring_n from step s until s + ring_n,
             # and every tap needed at step j = z+k+1 is within that window
             acc = jnp.zeros((h, w), jnp.float32)
-            for dd in range(-k, k + 2):
-                s = jnp.clip(z + dd, 0, d - 1)
-                wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
-                tap = rings[c][pl.ds(jnp.mod(s, ring_n), 1)][0]
-                acc = acc + tap * wz
-            acc = _tent_pass(acc, off_y, 0, k)
-            acc = _tent_pass(acc, off_x, 1, k)
+            for slot, wz in ztaps:
+                acc = acc + rings[c][pl.ds(slot, 1)][0] * wz
+            acc = _tent_pass(acc, None, 0, k, ws=wys)
+            acc = _tent_pass(acc, None, 1, k, ws=wxs)
             warped.append(acc)
 
         if mode == "weight":

@@ -283,7 +283,6 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
 
     local_raycast = cfg.shadow_mode in ("raycast", "map_dir")
     n_local = point_lights.count + spot_lights.count
-    is_slab = h != params.grid[1]       # H-sharded slab (local rows != global)
 
     # Local-light shadow source for the fused kernel (VERDICT r2 #1):
     #   - ss == 1, raycast: exact in-kernel any-hit march (round-2 path).
@@ -297,7 +296,7 @@ def write_scatter_volume(cfg: RenderConfig, params: FroxelParams,
     #     ~2.5 s/frame parity path) — ss floors at 2 here to bound the
     #     gather count and the kernel's VMEM blocks.
     vis_mode = None
-    if cfg.scatter_impl == "pallas" and n_local > 0 and not is_slab:
+    if cfg.scatter_impl == "pallas" and n_local > 0:
         if local_raycast and geometry is not None and ss > 1:
             vis_mode = ("raycast", ss)
         elif (cfg.shadow_mode == "map" and geometry is not None

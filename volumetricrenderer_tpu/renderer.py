@@ -335,7 +335,13 @@ class VolumetricRenderer:
         vis = None
         inline_bake = False
         radiance = cfg.scatter_bake == "radiance" and bool(scene.media)
-        if ss > 1 and not is_slab:
+        # Slabs bake too: every helper is slab-generic (bake_world_planes /
+        # low_slice_active read params.y0; the upsample matrices live in the
+        # LOCAL row frame). With h_loc and the halo both even, the slab's
+        # low grid is phase-aligned with the unsharded one; the only
+        # semantic difference is tent clamp-to-edge at slab borders, which
+        # lands on cropped halo rows (tests/test_shard_render.py bounds it).
+        if ss > 1:
             from volumetricrenderer_tpu.ops.pallas import frame_fused as ffm
             if ffm.INLINE_VIS:
                 # visibility bakes inside the megakernel's own grid (stage 0)
