@@ -222,10 +222,31 @@ def main():
 
         return pipelined(frame_4k, r_4k.init_state(scene.dir_lights.count))
 
+    def run_texture():
+        # texture-mode noise (_WITH_NOISE wrap-trilinear, compute:51-58) at
+        # the production low-rate sampling (texture_noise_subsample=4) —
+        # records the VERDICT r2 #8 criterion (within ~2x of procedural;
+        # full-rate texture sampling remains the ~260 ms parity cliff)
+        cfg_tex = dataclasses.replace(cfg, texture_noise_subsample=4)
+        r_tex = VolumetricRenderer(cfg_tex)
+        scene_tex = benchmark_scene(
+            aspect=cfg.image_width / cfg.image_height, num_local_lights=16,
+            noise_tex=jnp.asarray(perlin_texture_3d()), noise_mode="texture")
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame_tex(state, time_x):
+            image, _, new_state = r_tex.render_frame(
+                state, scene_tex, time_x, scene_color, view_depth,
+                shadow_data)
+            return jnp.sum(image), new_state
+
+        return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count))
+
     scope("frame_post_ms", run_frame_post)
     if "--small" not in sys.argv and "--map-shadows" not in sys.argv:
         scope("map_ms", run_map)
         scope("ms_4k", run_4k)
+        scope("tex_ms", run_texture)
 
     print(json.dumps({
         "metric": "ms/frame (inject+scatter+integrate+composite) at "

@@ -71,7 +71,13 @@ def _tent_weights(off, k):
 
 def _tent_pass(plane, off, axis, k, ws=None):
     """1D windowed tent along `axis` of an [H, W] plane; off pre-clipped.
-    ws: precomputed _tent_weights(off, k) (off is then ignored)."""
+    ws: precomputed _tent_weights(off, k) (off is then ignored).
+
+    TRIED AND REVERTED (round 3): replacing the edge-padded copy + shifted
+    slices with clamped pltpu.roll chains (the xy_blend pattern) measured
+    2.716 vs 2.630 ms in the megakernel trace — Mosaic compiles the padded
+    slices to cheap offset reads, while roll+edge-select pays a real
+    rotate + select per tap. The materialized pad is the fast form here."""
     padded = _edge_pad(plane, axis, k + 1)
     n = plane.shape[axis]
     acc = jnp.zeros_like(plane)
