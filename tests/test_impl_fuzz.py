@@ -121,3 +121,28 @@ def test_production_impls_match_reference_impls(seed):
     rel = np.abs(a - b) / (1.0 + np.abs(a))
     assert np.isfinite(b).all()
     assert (rel > 2e-3).mean() < 1e-2, (rel.max(), (rel > 2e-3).mean())
+
+
+@pytest.mark.parametrize("seed", [23, 71, 146])
+def test_bake_knobs_bounded_vs_exact_fused(seed):
+    """Randomized configs/scenes through the low-rate bake knob space
+    (scatter_bake vis/radiance x bake_procedural_noise x ss in {2, 4}) vs the
+    SAME production impls at ss=1 (the exact per-froxel fused path). Bounds
+    are looser than the impl fuzz — the bake is a documented approximation —
+    but still tight relative to signal scale; catches knob interactions
+    (map_dir, heightfield, fractional boxes, spot-only slices, temporal
+    blends off) the fixed-config bake tests miss."""
+    rng = np.random.RandomState(seed)
+    cfg, scene, n_frames = _random_case(rng)
+    cfg = dataclasses.replace(cfg, **PRODUCTION_IMPLS)
+    baked = dataclasses.replace(
+        cfg,
+        raycast_shadow_subsample=int(rng.choice([2, 4])),
+        scatter_bake=str(rng.choice(["vis", "radiance"])),
+        bake_procedural_noise=bool(rng.rand() < 0.5))
+    a = _run(cfg, scene, n_frames)
+    b = _run(baked, scene, n_frames)
+    assert np.isfinite(b).all()
+    err = np.abs(a - b)[..., :3] / max(np.abs(a[..., :3]).max(), 1e-6)
+    assert err.mean() < 0.02, (baked.scatter_bake, err.mean())
+    assert (err > 0.2).mean() < 5e-3, (baked.scatter_bake, (err > 0.2).mean())
