@@ -97,3 +97,49 @@ def test_pcf_full_frame_runs():
     got = frame(cfg_p)
     assert np.isfinite(got).all()
     assert got.min() >= 0.0 and got.max() <= 1.0 + 1e-6
+
+
+def test_lowrate_pcf_exact_at_low_samples():
+    """dir_shadow_subsample's coordinate remap is EXACT: the same kernel on
+    grid (W/N, H, D/N) with params.grid[2] scaled and jitter (jx/N, jy, jz/N)
+    must equal the gather sampler evaluated at the low-rate continuous
+    positions (full coords N*i + (N-1)/2, y full rate) — knife-edge compare
+    flips allowed as isolated texels, like the full-rate kernel test."""
+    from volumetricrenderer_tpu.ops.pallas.pcf_shadow import \
+        pcf_dir_shadow_pallas
+    cam, geom, lights, data, params, v2w, jitter = _setup(jitter_idx=2)
+    ssd = 2
+    w, h, d = CFG.grid
+    wl, dl = w // ssd, d // ssd
+    params_l = dataclasses.replace(
+        params, grid=(params.grid[0], params.grid[1], dl))
+    jit_l = jitter * jnp.asarray([0.5, 1.0, 0.5], jnp.float32)
+    low = pcf_dir_shadow_pallas(params_l, v2w, jit_l, lights, data,
+                                (wl, h, dl), interpret=True)
+
+    fz = ssd * jnp.arange(dl, dtype=jnp.float32) + (ssd - 1) * 0.5 + 0.5
+    fy = jnp.arange(h, dtype=jnp.float32) + 0.5
+    fx = ssd * jnp.arange(wl, dtype=jnp.float32) + (ssd - 1) * 0.5 + 0.5
+    zz, yy, xx = jnp.meshgrid(fz, fy, fx, indexing="ij")
+    fro = jnp.stack([xx, yy, zz], axis=-1) + jitter
+    world = froxel.transform_points(v2w, froxel.froxel_to_view(params, fro))
+    vis = shadow_lib.sample_dir_shadow(data, 0, world)
+    ref = np.asarray(vis * vis)[None]
+    diff = np.abs(np.asarray(low) - ref)
+    assert (diff > 1e-4).mean() < 5e-3, (diff.max(), (diff > 1e-4).mean())
+
+
+def test_lowrate_pcf_pipeline_bounded():
+    """write_shadow_volume_dir at dir_shadow_subsample=2: bounded drift vs
+    the full-rate fused sampler (shadow boundaries blur at the low rate —
+    large on this coarse test grid, sub-1e-3 at FULL size per the TPU
+    measurement in config.py)."""
+    cam, geom, lights, data, params, v2w, jitter = _setup()
+    cfg_p = dataclasses.replace(CFG, dir_shadow_impl="pallas")
+    full = _run(cfg_p, params, v2w, jitter, lights, data, geom)
+    low = _run(dataclasses.replace(cfg_p, dir_shadow_subsample=2),
+               params, v2w, jitter, lights, data, geom)
+    assert np.isfinite(low).all()
+    err = np.abs(full - low)
+    assert err.mean() < 0.04, err.mean()
+    assert (err > 0.5).mean() < 0.02, (err > 0.5).mean()

@@ -41,7 +41,7 @@ BASE = dataclasses.replace(
     # production ss=2 changes semantics on the two paths differently); the
     # baked-visibility/radiance kernels get their own dedicated checks below
     # (scatter_bake pinned so the ss=2 cases select the intended bake)
-    raycast_shadow_subsample=1, scatter_bake="vis")
+    raycast_shadow_subsample=1, scatter_bake="vis", dir_shadow_subsample=1)
 
 PALLAS_KNOBS = dict(reproj_impl="pallas", scatter_impl="pallas",
                     dir_shadow_impl="pallas", accumulate_impl="pallas",
@@ -151,6 +151,16 @@ def main():
     ok &= check("map_dir gather vs pallas",
                 dataclasses.replace(BASE, shadow_mode="map_dir"), scene,
                 ref_md)
+    # production low-rate PCF (dir_shadow_subsample=2): distinct Mosaic
+    # compile (half-x/z grid) + the XLA tent/lerp upsample; finite + its own
+    # checksum (low-rate shadows are not equivalence-class at this shallow
+    # smoke depth — image bounds live in tests/test_pcf_pallas.py and the
+    # FULL-size measurement in config.py)
+    ok &= check("map_dir low-rate PCF (ssd=2)",
+                dataclasses.replace(BASE, shadow_mode="map_dir",
+                                    dir_shadow_impl="pallas",
+                                    scatter_impl="pallas",
+                                    dir_shadow_subsample=2), scene, None)
     # heightfield-occluder branch of the fused kernels (terrain march inside
     # scatter + dir-shadow; benchmark_scene has no heightfield so this is the
     # only TPU compile of that branch). Cheap march (2 lights, 4 steps,

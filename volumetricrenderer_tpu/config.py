@@ -104,6 +104,15 @@ class RenderConfig:
     # tiny next to the radiance approximation itself (tests/test_noise_bake).
     bake_procedural_noise: bool = False
 
+    # Map-mode (cascaded-PCF) dir-shadow sampling rate: N > 1 runs the fused
+    # PCF sampler (ops/pallas/pcf_shadow.py) on a 1/N x-rate, 1/N z-rate grid
+    # (full H rate — 135 is odd) and tent/lerp-upsamples the visibility
+    # volume. The coordinate remap is exact: the same kernel + schedule with
+    # grid (W/N, H, D/N) and jitter (jx/N, jy, jz/N) samples precisely the
+    # upsample_mats low-rate positions. Raycast-mode dir shadows ignore this
+    # (already 0.31 ms in-kernel). Needs W % N == D % N == 0, else full rate.
+    dir_shadow_subsample: int = 1
+
     # Texture-mode noise sampling rate. 1 = per-froxel wrap-trilinear taps
     # (reference parity, compute:51-58 — gather-bound, ~260 ms at FULL size,
     # PERF.md). N > 1: the wrapped texture field is sampled at 1/N^3 froxel
@@ -210,6 +219,11 @@ FULL_CONFIG = RenderConfig(
     # fBm factor baked at the same low rate (5.80 vs 6.37 ms/frame measured;
     # the noise field is band-limited far below even the 1/2-rate Nyquist)
     bake_procedural_noise=True,
+    # cascaded-PCF at (2,1,2)-rate when shadow_mode is map/map_dir (inert in
+    # the raycast production mode): map_dir frame 7.52 -> 6.39 ms; image
+    # error vs full-rate PCF < 5e-4 of image max everywhere (isolated
+    # shadow-boundary froxel flips integrate away over the 128-slice march)
+    dir_shadow_subsample=2,
     reproj_impl="pallas",
     scatter_impl="pallas",
     dir_shadow_impl="pallas",

@@ -208,9 +208,41 @@ def write_shadow_volume_dir(cfg: RenderConfig, params: FroxelParams,
         # camera-aligned bake (renderer passes align_up when this impl is on)
         from volumetricrenderer_tpu.ops.pallas.pcf_shadow import \
             pcf_dir_shadow_pallas
+        interp = jax.default_backend() != "tpu"
+        ssd = max(int(cfg.dir_shadow_subsample), 1)
+        if ssd > 1 and w % ssd == 0 and d % ssd == 0:
+            # low-rate PCF: the SAME kernel + schedule on grid (W/N, H, D/N)
+            # with jitter (jx/N, jy, jz/N) and params.grid[2] scaled samples
+            # exactly the upsample_mats low-rate positions (config.py
+            # dir_shadow_subsample) — then an exact x-tent matmul + z-lerp
+            # restores the full-rate volume for the blend/scatter consumers.
+            import dataclasses as _dc
+
+            from volumetricrenderer_tpu.ops.pallas.visibility import \
+                upsample_mats
+            wl, dl = w // ssd, d // ssd
+            params_l = _dc.replace(params,
+                                   grid=(params.grid[0], params.grid[1], dl))
+            jit_l = jitter * jnp.asarray([1.0 / ssd, 1.0, 1.0 / ssd],
+                                         jnp.float32)
+            low = pcf_dir_shadow_pallas(params_l, view_to_world, jit_l,
+                                        dir_lights, dir_shadow, (wl, h, dl),
+                                        interpret=interp)   # [Nd, DL, H, WL]
+            # z-lerp on the low-x volume first (smaller), then the x-tent
+            import numpy as _np
+            u = (_np.arange(d) - (ssd - 1) * 0.5) / ssd
+            ka = _np.clip(_np.floor(u).astype(_np.int64), 0, dl - 1)
+            t = _np.clip(u - ka, 0.0, 1.0).astype(_np.float32)
+            kb = _np.minimum(ka + 1, dl - 1)
+            la = jnp.take(low, jnp.asarray(ka), axis=1)
+            lb = jnp.take(low, jnp.asarray(kb), axis=1)
+            full_z = la + jnp.asarray(t)[None, :, None, None] * (lb - la)
+            axt = jnp.asarray(upsample_mats(w, wl, ssd).T)     # [WL, W]
+            return jnp.matmul(full_z, axt,
+                              precision=jax.lax.Precision.HIGHEST)
         return pcf_dir_shadow_pallas(params, view_to_world, jitter,
                                      dir_lights, dir_shadow, cfg.grid,
-                                     interpret=jax.default_backend() != "tpu")
+                                     interpret=interp)
 
     world_j = froxel_world_positions(cfg, params, view_to_world, jitter)
 
