@@ -2,7 +2,7 @@
 """Render the demo scene (the reference's VolumetricRenderer.unity) to PNGs.
 
 Usage: python demo.py [--frames N] [--out DIR] [--small] [--debug-slice Z]
-                      [--showcase]
+                      [--showcase] [--production]
 
 --showcase: full post chain (bloom, DoF on the scene depth, camera motion
 blur from the temporal matrices, grading, chromatic aberration, grain) with
@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--debug-slice", type=int, default=-1)
     ap.add_argument("--showcase", action="store_true")
+    ap.add_argument("--production", action="store_true",
+                    help="FULL_CONFIG production impl set (megakernel + "
+                         "radiance/noise bake + zgather composite) at the "
+                         "demo grid — visual check of the fast paths")
     ap.add_argument("--mesh-env", action="store_true",
                     help="FBX-derived tree occluders (models/tree_assets.py)")
     args = ap.parse_args()
@@ -40,6 +44,14 @@ def main():
         cfg = dataclasses.replace(cfg, volume_width=80, volume_height=44,
                                   volume_depth=32, image_width=480,
                                   image_height=270, shadow_map_size=128)
+    if args.production:
+        cfg = dataclasses.replace(
+            cfg, shadow_mode="raycast", reproj_impl="pallas",
+            scatter_impl="pallas", dir_shadow_impl="pallas",
+            accumulate_impl="pallas", material_impl="fused",
+            composite_impl="zgather", composite_precision="high",
+            raycast_shadow_subsample=2, scatter_bake="radiance",
+            bake_procedural_noise=True)
     renderer = VolumetricRenderer(cfg)
     noise = perlin_texture_3d(32) if args.noise else None
     scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
