@@ -108,19 +108,52 @@ def main():
     # buffers without per-frame CPU sync. The chip is also pooled: take the
     # best batch over 12 batches to reduce external-contention bias
     # (PERF.md "Measurement hygiene").
-    batch_means = []
-    for _ in range(12):
-        t0 = time.perf_counter()
-        for i in range(n_meas):
-            probe, state = frame(state, scene, jnp.float32(0.1 + 0.01 * i),
-                                 scene_color, view_depth, shadow_data)
+    def measure_batches(state, n_batches=12):
+        means = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            for i in range(n_meas):
+                probe, state = frame(state, scene,
+                                     jnp.float32(0.1 + 0.01 * (b * 37 + i)),
+                                     scene_color, view_depth, shadow_data)
+            jax.block_until_ready(probe)
+            means.append((time.perf_counter() - t0) / n_meas)
+        return means, state
+
+    batch_means, state = measure_batches(state)
+
+    # Wedged-relay guard: a wedged device/relay once returned ~0.2 ms batch
+    # means with a perfectly VALID image (the checksum guard below cannot
+    # catch it — the data is right, only the completion signaling is broken).
+    # A genuinely executed FULL-size frame cannot beat a small fraction of
+    # one per-frame-SYNC frame (which pays a ~20 ms relay round trip): if it
+    # does, re-measure; if it persists, flag the estimator.
+    t0 = time.perf_counter()
+    for i in range(3):
+        probe, state = frame(state, scene, jnp.float32(0.9 + 0.01 * i),
+                             scene_color, view_depth, shadow_data)
         jax.block_until_ready(probe)
-        batch_means.append((time.perf_counter() - t0) / n_meas)
+    sync_ms = (time.perf_counter() - t0) / 3 * 1e3
+    timing_tag = "pipelined-best-batch-mean"
+    for _ in range(2):
+        if min(batch_means) * 1e3 >= 0.05 * sync_ms:
+            break
+        print(f"# suspect batch timing {min(batch_means)*1e3:.3f} ms vs "
+              f"sync {sync_ms:.1f} ms — remeasuring", file=sys.stderr)
+        batch_means, state = measure_batches(state)
+    else:
+        timing_tag = "pipelined-best-batch-mean-SUSPECT"
 
     # Self-validation: a too-good-to-be-true time with a garbage image means a
-    # wedged device, not a fast renderer.
-    img, _ = frame_image(state, scene, jnp.float32(0.5), scene_color,
-                         view_depth, shadow_data)
+    # wedged device, not a fast renderer. DETERMINISTIC checksum: a fresh
+    # state + a fixed 4-frame time sequence, so the value is comparable
+    # across rounds regardless of how many measurement frames ran above
+    # (the temporal history otherwise shifts it).
+    st_c = renderer.init_state(scene.dir_lights.count)
+    img = None
+    for i in range(4):
+        img, st_c = frame_image(st_c, scene, jnp.float32(0.1 * i),
+                                scene_color, view_depth, shadow_data)
     checksum = float(jnp.sum(img))
     assert bool(jnp.isfinite(img).all()), "non-finite frame output"
     assert float(jnp.std(img[..., :3])) > 1e-4, "degenerate frame output"
@@ -152,13 +185,22 @@ def main():
         for i in range(3):                     # warm
             out, st = fn(st, jnp.float32(0.31 + 0.01 * i))
         jax.block_until_ready(out)
-        best = float("inf")
-        for b in range(n_batches):
-            t0 = time.perf_counter()
-            for i in range(n_frames):
-                out, st = fn(st, jnp.float32(0.5 + 0.01 * (b * n_frames + i)))
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / n_frames)
+
+        def batches(st, t_base):
+            best = float("inf")
+            for b in range(n_batches):
+                t0 = time.perf_counter()
+                for i in range(n_frames):
+                    out, st = fn(st, jnp.float32(
+                        t_base + 0.01 * (b * n_frames + i)))
+                jax.block_until_ready(out)
+                best = min(best, (time.perf_counter() - t0) / n_frames)
+            return best, st
+
+        best, st = batches(st, 0.5)
+        if best * 1e3 < 0.5:   # wedged-relay guard (see the headline guard)
+            best2, st = batches(st, 2.5)
+            best = max(best, best2)
         return best * 1e3
 
     extra = {}
@@ -242,11 +284,30 @@ def main():
 
         return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count))
 
+    def run_slab1():
+        # the shard_map slab pipeline on a 1-device mesh: quantifies the
+        # per-shard overhead of the multi-chip path (halo overcompute rows +
+        # crop; no cross-device traffic at n=1) so the linear-scaling claim
+        # in BASELINE.md has a measured slab-cost anchor
+        from volumetricrenderer_tpu.parallel.shard_render import \
+            make_shardmap_render
+        from volumetricrenderer_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(jax.devices()[:1], axis_name="y")
+        fn = make_shardmap_render(renderer, mesh)
+        st = renderer.init_state(scene.dir_lights.count)
+
+        def step(st, t):
+            img, st = fn(st, scene, t, scene_color, view_depth)
+            return jnp.sum(img), st
+
+        return pipelined(step, st)
+
     scope("frame_post_ms", run_frame_post)
     if "--small" not in sys.argv and "--map-shadows" not in sys.argv:
         scope("map_ms", run_map)
         scope("ms_4k", run_4k)
         scope("tex_ms", run_texture)
+        scope("slab1_ms", run_slab1)
 
     print(json.dumps({
         "metric": "ms/frame (inject+scatter+integrate+composite) at "
@@ -255,7 +316,7 @@ def main():
         "value": round(frame_ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / frame_ms, 3),
-        "timing": "pipelined-best-batch-mean",
+        "timing": timing_tag,
         **extra,
     }))
     print(f"# best={frame_ms:.3f}ms post={post_ms:.3f}ms "

@@ -179,3 +179,50 @@ def test_shardmap_map_dir_pcf_matches_single_device():
     for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
                                    err_msg=f"frame {i}")
+
+
+def test_shardmap_zgather_composite_matches_single_device():
+    """The slab-wise zgather composite (pipeline.composite's halo_rows
+    branch): each shard composites its image band with the production
+    kernel, reading REAL cross-shard neighbor rows from the halo where the
+    unsharded pad would only edge-clamp at the global borders. Production
+    set + zgather-eligible shapes (8x8 px cells), 2 shards vs single."""
+    from volumetricrenderer_tpu import Medium
+    cfg = RenderConfig(volume_width=16, volume_height=24, volume_depth=8,
+                       image_width=128, image_height=192, shadow_map_size=32,
+                       shadow_mode="raycast", scatter_impl="pallas",
+                       dir_shadow_impl="pallas", accumulate_impl="pallas",
+                       reproj_impl="pallas", material_impl="fused",
+                       composite_impl="zgather",
+                       raycast_shadow_subsample=2, scatter_bake="radiance",
+                       bake_procedural_noise=True, temporal_blend_alpha=0.6)
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    fog = Medium.create(
+        scattering_color=(1.0, 0.9, 0.8), absorption=0.19, phase_g=0.3,
+        noise_mode="procedural", noise_tiling=(0.05, 0.04, 0.05))
+    base = dataclasses.replace(base, media=(fog,))
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, _, new_state = renderer.render_frame(state, scene, t,
+                                                  scene_color=sc,
+                                                  view_depth=vd)
+        return img, new_state
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:2], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        assert np.isfinite(a).all()
+        err = np.abs(a - b) / max(np.abs(b).max(), 1e-6)
+        assert err.mean() < 5e-4, (i, err.mean())
+        assert err.max() < 0.02, (i, err.max())
+        interior = err[8:-8]   # global-edge rows: bake clamp-site difference
+        assert interior.max() < 2e-3, (i, interior.max())

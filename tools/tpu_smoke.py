@@ -235,11 +235,11 @@ def main():
     # them in interpret mode (VERDICT r2 weak #3)
     ok &= check_shardmap_1dev(scene)
     # the production shard config: slab-local radiance+noise bake at ss=2
-    # (renderer no longer gates the bake off for slabs)
+    # + the slab-wise zgather composite (halo_rows branch)
     ok &= check_shardmap_1dev(
-        scene, name="shard_map slab radiance+noise (ss=2)",
+        scene, name="shard_map slab radiance+noise+zgather (ss=2)",
         raycast_shadow_subsample=2, scatter_bake="radiance",
-        bake_procedural_noise=True)
+        bake_procedural_noise=True, composite_impl="zgather")
 
     if not ok and "--bisect" in sys.argv:
         for knob, val in PALLAS_KNOBS.items():

@@ -102,13 +102,18 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                              grid_whd: Tuple[int, int, int],
                              interpret: bool = False,
                              prepadded: bool = False,
+                             halo_rows: bool = False,
                              w9_override=None,
                              _return_cells: bool = False):
     """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T)
     — or, with prepadded=True, [DLANES, hp, wstride] planes already in the
     padded cell layout (padded_dims; the fused temporal blend emits these).
-    fz_texel [IH, IW] froxel-z per pixel. Returns per-channel SCREEN planes
-    [IH, IW] (trilinear accumulation sample per pixel, shader:69-93).
+    halo_rows=True: planes are [D, H+2, W] with REAL neighbor rows at 0 and
+    H+1 (an H-sharded slab's halo) standing in for the edge-clamp pads —
+    the y-tent then reads true cross-shard neighbors (pipeline.composite's
+    slab branch). fz_texel [IH, IW] froxel-z per pixel. Returns per-channel
+    SCREEN planes [IH, IW] (trilinear accumulation sample per pixel,
+    shader:69-93).
 
     _return_cells=True (internal) skips the unshuffle and returns the raw
     cell-layout outputs [H, W, 64] — the multi-of-8 decomposition below
@@ -132,9 +137,14 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         # cols: 1 left edge + W + right edge pads to WSTRIDE
         p = jnp.concatenate([p[:, :, :1], p]
                             + [p[:, :, -1:]] * (WSTRIDE - w - 1), axis=2)
-        # rows: 1 top edge + H + bottom edge pads to hp
-        p = jnp.concatenate([p[:, :1], p] + [p[:, -1:]] * (hp - h - 1),
-                            axis=1)
+        if halo_rows:
+            # rows arrive as padded rows 0..h+1 already (slab halo rows);
+            # extend the bottom edge to hp
+            p = jnp.concatenate([p] + [p[:, -1:]] * (hp - h - 2), axis=1)
+        else:
+            # rows: 1 top edge + H + bottom edge pads to hp
+            p = jnp.concatenate([p[:, :1], p] + [p[:, -1:]] * (hp - h - 1),
+                                axis=1)
         return p.reshape(DLANES, hp * WSTRIDE)
 
     if py * px != 64:
@@ -171,6 +181,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                 row.append(composite_zgather_planes(
                     planes, sub_fz, grid_whd, interpret=interpret,
                     prepadded=True, w9_override=w9_sub, _return_cells=True))
+
             cells.append(row)
 
         nb = NB if (NB and h % NB == 0) \
@@ -280,6 +291,7 @@ def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
                       grid_whd: Tuple[int, int, int],
                       interpret: bool = False,
                       prepadded: bool = False,
+                      halo_rows: bool = False,
                       return_planes: bool = False) -> jax.Array:
     """Full composite: per-pixel trilinear accumulation sample + scene blend
     (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W].
@@ -291,7 +303,8 @@ def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
     strided ~0.7 ms/channel read, measured slower than the packed chain)."""
     lr, lg, lb, tt = composite_zgather_planes(planes, fz_texel, grid_whd,
                                               interpret=interpret,
-                                              prepadded=prepadded)
+                                              prepadded=prepadded,
+                                              halo_rows=halo_rows)
     if return_planes:
         scp = scene_color if isinstance(scene_color, (tuple, list)) \
             else tuple(scene_color[..., c] for c in range(3))

@@ -141,4 +141,6 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         # pallas_call out_shapes carry no vma annotation; the varying-axis
         # checker cannot see through them
         check_vma=False)
-    return jax.jit(fn)
+    # donate the history volumes (production steady-state: ~86 MB of f32
+    # state per frame would otherwise copy on every call)
+    return jax.jit(fn, donate_argnums=0)

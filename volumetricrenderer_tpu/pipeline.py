@@ -722,6 +722,31 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         # halo'd local block; pixel rows map to cell rows by a shard-invariant
         # static pattern offset by the halo.
         assert iw % w == 0, "sharded composite needs IW % W == 0"
+        h_out = h - 2 * slab.halo
+        py_s = ih // max(h_out, 1)
+        px_s = iw // w
+        if (cfg.composite_impl == "zgather" and h_out > 0 and d <= 128
+                and ih == py_s * h_out and (h_out % 3 == 0 or h_out % 5 == 0)
+                and (py_s * px_s == 64
+                     or (py_s % 8 == 0 and px_s % 8 == 0))):
+            # the production zgather kernel, slab-wise: slicing the halo'd
+            # planes at rows [halo-1, halo+h_out+1) IS the kernel's padded
+            # row layout — with REAL neighbor rows where the unsharded pad
+            # would edge-clamp (exact cross-shard y-tent). Each shard then
+            # composites its own image band at the 0.75 ms-class cost
+            # instead of the tentmm-class rowmm fallback (bench slab1_ms
+            # 15.5 -> see PERF.md).
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                composite_zgather
+            p0 = int(slab.halo)
+            pl4 = planes if planes is not None \
+                else tuple(accumulation[..., c] for c in range(4))
+            pl4 = tuple(p[:, p0 - 1:p0 + h_out + 1] for p in pl4)
+            fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+            return composite_zgather(
+                pl4, scene_color, fz, (w, h_out, d),
+                interpret=jax.default_backend() != "tpu", halo_rows=True,
+                return_planes=return_planes)
         import numpy as np
         h_glob = params.grid[1]
         from volumetricrenderer_tpu.ops.rowmm_composite import composite_rowmm
