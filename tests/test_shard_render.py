@@ -68,9 +68,14 @@ def test_shardmap_pallas_render_matches_single_device():
     for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
                                    err_msg=f"frame {i}")
-    np.testing.assert_allclose(np.asarray(state_sh.prev_accumulation),
-                               np.asarray(state_ref.prev_accumulation),
-                               rtol=1e-4, atol=1e-5)
+    # the slab path keeps accumulation history PLANAR (the kernels' own
+    # layout); the single-device path may keep it packed — normalize both
+    from volumetricrenderer_tpu.state import packed_accumulation
+    dhw = (CFG.volume_depth, CFG.volume_height, CFG.volume_width)
+    np.testing.assert_allclose(
+        np.asarray(packed_accumulation(state_sh.prev_accumulation, dhw)),
+        np.asarray(packed_accumulation(state_ref.prev_accumulation, dhw)),
+        rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(state_sh.prev_shadow),
                                np.asarray(state_ref.prev_shadow),
                                rtol=1e-4, atol=1e-5)

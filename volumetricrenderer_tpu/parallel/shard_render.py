@@ -105,9 +105,10 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         slab = Slab(y0=(idx * h_loc - p).astype(jnp.float32), halo=p,
                     grid_global=cfg.grid, image_height_global=ih_g)
         # H axis: 2 for prev_shadow [Nd, D, H, W]; 1 for the [D, H, W, C]
-        # channel-last volumes.
-        halo1 = lambda x: None if x is None \
-            else _halo_rows(x, p, axis_name, n, 1)
+        # channel-last volumes AND the planar-history [D, H, W] plane tuples
+        # (the fused frame keeps accumulation history as 4 channel planes).
+        halo1 = lambda x: None if x is None else jax.tree.map(
+            lambda a: _halo_rows(a, p, axis_name, n, 1), x)
         state_ext = dataclasses.replace(
             state,
             prev_shadow=_halo_rows(state.prev_shadow, p, axis_name, n, 2),
@@ -117,30 +118,53 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         image, _, new_state = renderer_loc.render_frame(
             state_ext, scene, time_x, scene_color=scene_color,
             view_depth=view_depth, slab=slab)
-        crop1 = lambda x: None if x is None else _crop_rows(x, p, 1)
+        crop1 = lambda x: None if x is None else jax.tree.map(
+            lambda a: _crop_rows(a, p, 1), x)
+        # normalize accumulation history to PLANAR (4 channel planes): the
+        # fused frame already emits planes, and render_frame repacks planar
+        # input on the unfused paths — one fixed structure keeps the
+        # out_specs static across paths
+        acc = new_state.prev_accumulation
+        if not isinstance(acc, (tuple, list)):
+            acc = tuple(acc[..., c] for c in range(4))
         new_state = dataclasses.replace(
             new_state,
             prev_shadow=_crop_rows(new_state.prev_shadow, p, 2),
             prev_material_a=crop1(new_state.prev_material_a),
             prev_scatter=crop1(new_state.prev_scatter),
-            prev_accumulation=crop1(new_state.prev_accumulation))
+            prev_accumulation=crop1(tuple(acc)))
         return image, new_state
 
     vol_spec = P(None, axis_name, None, None)
-    state_specs = FrameState(
-        prev_shadow=P(None, None, axis_name, None),
-        prev_material_a=vol_spec if cfg.temporal_blend_material else None,
-        prev_scatter=vol_spec if cfg.temporal_blend_scatter else None,
-        prev_accumulation=vol_spec,
-        prev_world_to_view=P(), frame_count=P())
-    fn = jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(state_specs, P(), P(), P(axis_name, None, None),
-                  P(axis_name, None)),
-        out_specs=(P(axis_name, None, None), state_specs),
-        # pallas_call out_shapes carry no vma annotation; the varying-axis
-        # checker cannot see through them
-        check_vma=False)
+    plane_spec = P(None, axis_name, None)
+
+    def state_specs(acc_tree):
+        # spec RANKS must match the leaves: packed [D, H, W, 4] history
+        # (frame 0 / init) vs the planar tuple of [D, H, W] planes
+        acc_spec = jax.tree.map(lambda _: plane_spec, acc_tree) \
+            if isinstance(acc_tree, (tuple, list)) else vol_spec
+        return FrameState(
+            prev_shadow=P(None, None, axis_name, None),
+            prev_material_a=vol_spec if cfg.temporal_blend_material else None,
+            prev_scatter=vol_spec if cfg.temporal_blend_scatter else None,
+            prev_accumulation=acc_spec,
+            prev_world_to_view=P(), frame_count=P())
+
+    out_state_specs = state_specs((plane_spec,) * 4)   # always planar out
+
+    def dispatch(state, scene, time_x, scene_color, view_depth):
+        # jit retraces per state STRUCTURE, so each structure binds the
+        # matching in_specs (frame 0 arrives packed; thereafter planar)
+        fn = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(state_specs(state.prev_accumulation), P(), P(),
+                      P(axis_name, None, None), P(axis_name, None)),
+            out_specs=(P(axis_name, None, None), out_state_specs),
+            # pallas_call out_shapes carry no vma annotation; the varying-
+            # axis checker cannot see through them
+            check_vma=False)
+        return fn(state, scene, time_x, scene_color, view_depth)
+
     # donate the history volumes (production steady-state: ~86 MB of f32
     # state per frame would otherwise copy on every call)
-    return jax.jit(fn, donate_argnums=0)
+    return jax.jit(dispatch, donate_argnums=0)

@@ -411,9 +411,10 @@ class VolumetricRenderer:
         # keep accumulation history in the kernels' own layout (planes, padded
         # when the zgather composite is on): next frame streams them straight
         # back into the megakernel — no channel interleave, no strided slices.
-        # Slabs keep the packed volume (parallel/shard_render.py halos it).
-        new_acc = accumulation.astype(dt) if slab is not None \
-            else tuple(p.astype(dt) for p in acc_planes)
+        # Slabs keep planar history too (unpadded planes; shard_render halos
+        # each plane along its H axis) — the packed [D, H, W, 4] interleave
+        # was ~1 ms/frame of the slab path's overhead.
+        new_acc = tuple(p.astype(dt) for p in acc_planes)
         new_state = FrameState(
             prev_shadow=shadow_vol.astype(dt),
             prev_material_a=None,
