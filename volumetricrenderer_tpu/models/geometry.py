@@ -64,6 +64,13 @@ class Geometry:
     # trace time; the default all-solid path compiles unchanged)
     box_fractional: bool = dataclasses.field(default=False,
                                              metadata=dict(static=True))
+    # static: the LAST n boxes are shadow-only PROXIES for rasterized mesh
+    # content (models/mesh.py): they occlude shadow rays / froxel visibility
+    # exactly like any box, but primary-visibility rays skip them
+    # (ops/raycast.intersect include_proxies=False) so the G-buffer shows
+    # the mesh surface instead of its voxelized hull.
+    n_proxy_boxes: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
     hf_enabled: bool = dataclasses.field(default=False, metadata=dict(static=True))
     hf_octaves: int = dataclasses.field(default=2, metadata=dict(static=True))
     hf_period: int = dataclasses.field(default=4, metadata=dict(static=True))
@@ -72,11 +79,13 @@ class Geometry:
     hf_far: float = dataclasses.field(default=200.0, metadata=dict(static=True))
 
     @staticmethod
-    def create(planes=(), spheres=(), boxes=(), heightfield=None) -> "Geometry":
+    def create(planes=(), spheres=(), boxes=(), heightfield=None,
+               n_proxy_boxes: int = 0) -> "Geometry":
         """planes: [(normal, d, albedo)], spheres: [(center, r, albedo)],
         boxes: [(min, max, albedo)] or [(min, max, albedo, opacity)];
         heightfield: optional dict with keys amp, base, tiling, offset,
-        albedo (+ static octaves/period/seed/steps/far)."""
+        albedo (+ static octaves/period/seed/steps/far); n_proxy_boxes:
+        the last n boxes are shadow-only mesh proxies (see field doc)."""
         def pack(items, shapes):
             if not items:
                 return [jnp.zeros((0,) + s, jnp.float32) for s in shapes]
@@ -91,9 +100,11 @@ class Geometry:
         pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-9)
 
         hf = heightfield or {}
+        assert 0 <= n_proxy_boxes <= len(boxes)
         return Geometry(
             pn, pd, pa, sc, sr, sa, bmin, bmax, ba, bo,
             box_fractional=frac,
+            n_proxy_boxes=int(n_proxy_boxes),
             hf_amp=_f32(hf.get("amp", 0.0)),
             hf_base=_f32(hf.get("base", 0.0)),
             hf_tiling=_f32(hf.get("tiling", (0.05, 0.05))),

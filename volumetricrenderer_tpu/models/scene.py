@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,7 @@ from volumetricrenderer_tpu.models.camera import Camera
 from volumetricrenderer_tpu.models.geometry import Geometry
 from volumetricrenderer_tpu.models.lights import DirectionalLights, PointLights, SpotLights
 from volumetricrenderer_tpu.models.media import Medium
+from volumetricrenderer_tpu.models.mesh import TriMesh
 
 
 @jax.tree_util.register_dataclass
@@ -31,10 +32,15 @@ class Scene:
     media: Tuple[Medium, ...]
     geometry: Geometry
     ambient: jax.Array            # [3] flat ambient term for the demo shading
+    # optional triangle-soup environment: rasterized into the G-buffer at
+    # bake time (ops/raster.py) and depth-composited over the analytic pass
+    # (the reference's FBX meshes via Unity's rasterizer, SURVEY §2.1 #15)
+    mesh: Optional[TriMesh] = None
 
     @staticmethod
     def create(camera, dir_lights=None, point_lights=None, spot_lights=None,
-               media=(), geometry=None, ambient=(0.0, 0.0, 0.0)) -> "Scene":
+               media=(), geometry=None, ambient=(0.0, 0.0, 0.0),
+               mesh=None) -> "Scene":
         return Scene(
             camera=camera,
             dir_lights=dir_lights if dir_lights is not None else DirectionalLights.empty(),
@@ -43,6 +49,7 @@ class Scene:
             media=tuple(media),
             geometry=geometry if geometry is not None else Geometry.empty(),
             ambient=jnp.asarray(ambient, jnp.float32),
+            mesh=mesh,
         )
 
 
@@ -96,12 +103,17 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
     #     (models/tree_assets.py) — real mesh content driving the G-buffer
     #     and every shadow path through the analytic box tables.
     trees = [(-9.0, 18.0), (7.0, 9.0), (-14.0, 25.0)]
+    mesh = None
     if mesh_env:
+        from volumetricrenderer_tpu.models.mesh import (concat_meshes,
+                                                        demo_tree,
+                                                        transform_mesh)
         from volumetricrenderer_tpu.models.tree_assets import TREE_0, TREE_1
         from volumetricrenderer_tpu.models.voxelize import transform_boxes
         leaf = (0.18, 0.32, 0.12)
         tree_spheres = []
         tree_trunks = []
+        insts = []
         for i, (x, z) in enumerate(trees):
             src = TREE_0 if i % 2 == 0 else TREE_1
             inst = transform_boxes(src, scale=0.55 if i % 2 else 0.5,
@@ -112,6 +124,13 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
             # stand-in, SPEC "Occluder opacity")
             tree_trunks += [(tuple(bm), tuple(bx), leaf, op)
                             for bm, bx, op in inst]
+            # the SAME instancing transform for the rasterized triangles, so
+            # the visible mesh and its shadow-proxy boxes stay aligned
+            insts.append(transform_mesh(demo_tree(i % 2),
+                                        scale=0.55 if i % 2 else 0.5,
+                                        translate=(x, 0.0, z),
+                                        yaw=i * math.pi / 2))
+        mesh = concat_meshes(insts)
     else:
         tree_spheres = [((x, 3.2, z), 1.6, (0.18, 0.32, 0.12))
                         for x, z in trees]
@@ -125,11 +144,15 @@ def demo_scene(aspect: float = 16.0 / 9.0, with_noise: bool = False,
             ((2.0, 0.0, 14.0), (5.0, 4.0, 17.0), (0.45, 0.5, 0.45)),
             ((-12.0, 0.0, 10.0), (-10.0, 6.0, 12.0), (0.35, 0.4, 0.3)),
         ] + tree_trunks,
+        # mesh_env: the trunk/canopy boxes are shadow-only proxies for the
+        # rasterized tree mesh (primary rays skip them; the mesh covers them)
+        n_proxy_boxes=len(tree_trunks) if mesh_env else 0,
         heightfield=dict(amp=2.0, base=-0.3, tiling=(0.03, 0.03),
                          offset=(0.0, 0.0), albedo=(0.24, 0.28, 0.18)))
 
     return Scene.create(camera=camera, dir_lights=sun, spot_lights=spot,
-                        media=(fog,), geometry=geometry, ambient=(0.08, 0.09, 0.11))
+                        media=(fog,), geometry=geometry,
+                        ambient=(0.08, 0.09, 0.11), mesh=mesh)
 
 
 def benchmark_scene(aspect: float = 16.0 / 9.0, num_local_lights: int = 16,

@@ -54,12 +54,16 @@ def _hf_band(geom: Geometry, oy, dy, max_t):
     return jnp.clip(lo, EPS, max_t), jnp.clip(hi, EPS, max_t)
 
 
-def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
+def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array,
+              include_proxies: bool = True
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest hit along each ray.
 
     origins/dirs: [..., 3] (dirs need not be unit — t is in units of |dir|).
     Returns (t [...], albedo [..., 3], normal [..., 3]); t == BIG where no hit.
+    include_proxies=False skips the trailing geom.n_proxy_boxes shadow-proxy
+    boxes (primary-visibility rays when a rasterized mesh covers them —
+    shadow/occlusion rays must keep them).
     """
     shape = origins.shape[:-1]
     best_t = jnp.full(shape, BIG, jnp.float32)
@@ -103,7 +107,10 @@ def intersect(geom: Geometry, origins: jax.Array, dirs: jax.Array
         state = closer(t, jnp.broadcast_to(geom.sphere_albedo[i], origins.shape), normal, state)
 
     # Axis-aligned boxes (slab method).
-    for i in range(geom.box_min.shape[0]):
+    n_box = geom.box_min.shape[0]
+    if not include_proxies:
+        n_box -= geom.n_proxy_boxes
+    for i in range(n_box):
         bmin = geom.box_min[i]
         bmax = geom.box_max[i]
         inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
@@ -334,13 +341,17 @@ def camera_rays(width: int, height: int, fov_y, aspect, view_to_world
 
 def render_scene(geom: Geometry, camera_pos: jax.Array, ray_dirs: jax.Array,
                  sun_dir: jax.Array, sun_color: jax.Array, ambient: jax.Array,
-                 far: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                 far: jax.Array, skip_proxy_boxes: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
     """Minimal Lambert shading pass producing (color [H, W, 3], view_depth [H, W]).
 
     view_depth is linear view-space z (ray_dirs have unit view z, so the hit t
-    IS the view depth). Pixels with no hit get depth = far and sky color."""
+    IS the view depth). Pixels with no hit get depth = far and sky color.
+    skip_proxy_boxes: primary rays skip the trailing n_proxy_boxes (a
+    rasterized mesh will cover them); their shadows still cast."""
     origins = jnp.broadcast_to(camera_pos, ray_dirs.shape)
-    t, albedo, normal = intersect(geom, origins, ray_dirs)
+    t, albedo, normal = intersect(geom, origins, ray_dirs,
+                                  include_proxies=not skip_proxy_boxes)
     hit = t < BIG
     depth = jnp.where(hit, t, far)
 

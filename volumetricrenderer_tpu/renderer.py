@@ -76,8 +76,11 @@ class VolumetricRenderer:
         return dir_shadow, cube_shadow, spot_shadow
 
     def render_scene_inputs(self, scene: Scene) -> Tuple[jax.Array, jax.Array]:
-        """Demo scene color + linear view depth via the analytic ray caster
-        (stands in for Unity's G-buffer / _CameraDepthTexture)."""
+        """Demo scene color + linear view depth (stands in for Unity's
+        G-buffer / _CameraDepthTexture): analytic ray caster for the
+        primitive/heightfield environment, plus — when the scene carries a
+        TriMesh — the bake-time triangle rasterizer (ops/raster.py),
+        depth-composited like the deferred pass composites its draws."""
         cfg = self.config
         cam = scene.camera
         dirs, _ = raycast.camera_rays(cfg.image_width, cfg.image_height,
@@ -86,8 +89,20 @@ class VolumetricRenderer:
             else jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
         sun_color = scene.dir_lights.packed_color[0] if scene.dir_lights.count \
             else jnp.zeros((3,), jnp.float32)
-        return raycast.render_scene(scene.geometry, cam.position, dirs, sun_dir,
-                                    sun_color, scene.ambient, cam.far)
+        color, depth = raycast.render_scene(
+            scene.geometry, cam.position, dirs, sun_dir, sun_color,
+            scene.ambient, cam.far, skip_proxy_boxes=scene.mesh is not None)
+        if scene.mesh is not None:
+            from volumetricrenderer_tpu.ops import raster
+            malb, mnrm, mdepth = raster.rasterize_mesh(
+                scene.mesh, cam, cfg.image_width, cfg.image_height)
+            mcolor, _ = raster.shade_mesh_gbuffer(
+                malb, mnrm, mdepth, cam.position, dirs, scene.geometry,
+                sun_dir, sun_color, scene.ambient)
+            near = jnp.minimum(mdepth, depth)
+            color = jnp.where((mdepth < depth)[..., None], mcolor, color)
+            depth = jnp.minimum(near, cam.far)
+        return color, depth
 
     # ------------------------------------------------------------------ #
 
