@@ -15,7 +15,9 @@ import numpy as np
 
 from volumetricrenderer_tpu.io.fbx import (load_fbx_meshes, merge_meshes,
                                            normalize_mesh)
-from volumetricrenderer_tpu.models.voxelize import mesh_to_boxes
+# the native (C++) ingestion core when a toolchain exists, else numpy —
+# bit-identical either way (tests/test_native_ingest.py)
+from volumetricrenderer_tpu.io.native import mesh_to_boxes
 
 TREES = [
     ("TREE_0", "Assets/Fbxs/Nature_Tree_0_Up.fbx", 6.0),

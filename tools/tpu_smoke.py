@@ -229,6 +229,26 @@ def main():
                 dataclasses.replace(BASE, **PALLAS_KNOBS,
                                     raycast_shadow_subsample=2), frac_scene,
                 None)
+    # mesh-rasterized G-buffer (ops/raster.py — pure-XLA scan, but the
+    # shapes/layout differ enough from the froxel kernels to smoke it here;
+    # measured 1.05 s steady bake at 1080p x 11.6k tris, PERF.md round 3)
+    try:
+        from volumetricrenderer_tpu import VolumetricRenderer, demo_scene
+        from volumetricrenderer_tpu.config import RenderConfig
+        cfg_m = RenderConfig(volume_width=16, volume_height=16,
+                             volume_depth=8, image_width=160,
+                             image_height=96, shadow_map_size=32)
+        scene_m = demo_scene(aspect=160 / 96, mesh_env=True)
+        r_m = VolumetricRenderer(cfg_m)
+        sc_m, vd_m = jax.block_until_ready(
+            jax.jit(r_m.render_scene_inputs)(scene_m))
+        assert bool(jnp.isfinite(sc_m).all() & jnp.isfinite(vd_m).all())
+        assert float(vd_m.min()) > 0.0
+        print(f"ok   mesh-raster G-buffer: {scene_m.mesh.num_tris} tris, "
+              f"depth[{float(vd_m.min()):.1f}, {float(vd_m.max()):.1f}]")
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL mesh-raster G-buffer: {type(e).__name__}: {e}")
+        ok = False
     # 1-device shard_map of the production kernel set ON the TPU: the slab
     # variants of every Mosaic kernel (traced y0 row offsets, halo-extended
     # plane shapes) compile for real here — the CPU-mesh tests only ever run
