@@ -163,6 +163,63 @@ def test_mesh_gbuffer_integration():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_fuzz_vs_numpy_oracle():
+    """Random triangle soups vs an INDEPENDENT numpy rasterizer (straight
+    [T, H, W] broadcasting, no chunking/scan) — same SPEC contract
+    ("Mesh G-buffer rasterization"): signed-area barycentrics, 1/z depth,
+    first-index tie-break, whole-triangle near cull. Pixels whose winner
+    differs are allowed only where two depths are within float noise."""
+    rng = np.random.default_rng(11)
+    w, h = 40, 32
+    cam = _cam(aspect=w / h)
+    tan_y = float(np.tan(np.asarray(cam.fov_y) / 2.0))
+    tan_x = tan_y * (w / h)
+
+    def oracle(verts, tris):
+        v = verts[tris]                                   # [T, 3, 3] view==world (identity cam)
+        z = v[..., 2]
+        sx = (v[..., 0] / (z * tan_x) + 1.0) * 0.5 * w - 0.5
+        sy = (v[..., 1] / (z * tan_y) + 1.0) * 0.5 * h - 0.5
+        area = ((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0])
+                - (sy[:, 1] - sy[:, 0]) * (sx[:, 2] - sx[:, 0]))
+        valid = (z.min(axis=1) > 1e-3) & (np.abs(area) > 1e-8)
+        px = np.arange(w, dtype=np.float32)[None, None, :]
+        py = np.arange(h, dtype=np.float32)[None, :, None]
+        ia = np.where(valid, 1.0 / np.where(valid, area, 1.0), 0.0)
+        b3 = lambda a: a[:, None, None]
+        w0 = ((b3(sx[:, 2] - sx[:, 1])) * (py - b3(sy[:, 1]))
+              - (b3(sy[:, 2] - sy[:, 1])) * (px - b3(sx[:, 1]))) * b3(ia)
+        w1 = ((b3(sx[:, 0] - sx[:, 2])) * (py - b3(sy[:, 2]))
+              - (b3(sy[:, 0] - sy[:, 2])) * (px - b3(sx[:, 2]))) * b3(ia)
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & b3(valid)
+        iz = w0 * b3(1.0 / z[:, 0]) + w1 * b3(1.0 / z[:, 1]) \
+            + w2 * b3(1.0 / z[:, 2])
+        zp = 1.0 / np.maximum(iz, 1e-9)
+        zc = np.where(inside, zp, raster.BIG).astype(np.float32)
+        return zc.min(axis=0)
+
+    for trial in range(4):
+        n = 12 + 10 * trial
+        verts = np.stack([
+            (rng.random(n * 3, dtype=np.float32) - 0.5) * 10.0,
+            (rng.random(n * 3, dtype=np.float32) - 0.5) * 8.0,
+            rng.random(n * 3, dtype=np.float32) * 10.0 - 1.0,  # some behind
+        ], axis=-1)
+        tris = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+        mesh = TriMesh.create(verts, tris,
+                              np.ones((n, 3), np.float32))
+        _, _, depth = _raster(mesh, cam, w, h)
+        d_ref = oracle(np.asarray(verts, np.float32), tris)
+        d = np.asarray(depth)
+        both_hit = (d < raster.BIG) & (d_ref < raster.BIG)
+        np.testing.assert_allclose(d[both_hit], d_ref[both_hit], rtol=2e-4,
+                                   err_msg=f"trial {trial}")
+        # coverage agrees except possibly at edge-on float-noise pixels
+        mismatch = (d < raster.BIG) != (d_ref < raster.BIG)
+        assert mismatch.mean() < 0.01, (trial, mismatch.sum())
+
+
 def test_instancing_transform_matches_boxes():
     """transform_mesh composes scale -> yaw -> translate exactly like
     transform_boxes, so the rasterized tree lands inside its shadow-proxy
