@@ -197,7 +197,9 @@ def test_inline_vis_bake_matches_input_vis():
                      for _ in range(4))
     alpha = jnp.float32(0.7)
 
-    for ss, k in ((2, 2), (2, 1), (4, 2)):
+    # bake-group sweep: group=1 (ungrouped), 3 (tail for dl % 3), 4 (the
+    # production default; dl=6 at ss=2 also exercises the tail guard)
+    for ss, k, bg in ((2, 2, 4), (2, 1, 1), (4, 2, 3), (2, 2, 3)):
         vis = vis_lib.bake_visibility_pallas(
             params, v2w, cam.position, jitter, scene.point_lights,
             scene.spot_lights, scene.geometry, GRID, ss, interpret=True)
@@ -210,28 +212,37 @@ def test_inline_vis_bake_matches_input_vis():
             params, v2w, prev_w2v, jitter, alpha, scene.dir_lights,
             scene.point_lights, scene.spot_lights, scene.geometry,
             scene.media, 0.3, cam.position, prev_sh, prev_acc, GRID, k,
-            vis=None, vis_ss=ss, inline_vis_bake=True, interpret=True)
+            vis=None, vis_ss=ss, inline_vis_bake=True, bake_group=bg,
+            interpret=True)
         np.testing.assert_array_equal(np.asarray(out_sh), np.asarray(ref_sh),
-                                      err_msg=f"shadow ss={ss} k={k}")
+                                      err_msg=f"shadow ss={ss} k={k} bg={bg}")
         for c in range(4):
             np.testing.assert_array_equal(
                 np.asarray(out_acc[c]), np.asarray(ref_acc[c]),
-                err_msg=f"acc ss={ss} k={k} c={c}")
+                err_msg=f"acc ss={ss} k={k} c={c} bg={bg}")
 
 
 def test_inline_bake_schedule_covers_reads():
     """Every (ka, ka+1) low-slice read of every scatter step is baked at or
-    before the reading step, and ring slots never alias while live."""
+    before the reading step, and ring slots never alias while live — at
+    every bake-group size (grouped bakes stamp `group` consecutive slices
+    per step; tail slices past dl-1 are skipped in-kernel)."""
     for d, ss, k in ((128, 2, 2), (128, 2, 1), (128, 4, 2), (12, 2, 2),
                      (7, 2, 1), (128, 8, 3)):
+      for group in (1, 2, 3, 4):
         dl = -(-d // ss)
+        if group > dl:
+            continue
         n_steps = d + k + 2
-        bake_m, ring_n = vis_lib.inline_bake_schedule(d, dl, ss, k, n_steps)
+        bake_m, ring_n = vis_lib.inline_bake_schedule(d, dl, ss, k, n_steps,
+                                                      group=group)
         baked_at = {}
         for j, m in enumerate(bake_m):
             if m >= 0:
-                assert m not in baked_at
-                baked_at[int(m)] = j
+                for b in range(group):
+                    if m + b < dl:
+                        assert (m + b) not in baked_at
+                        baked_at[int(m + b)] = j
         slot_live = {}
         for zb in range(d):
             j = zb + k + 1

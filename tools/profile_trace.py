@@ -32,6 +32,10 @@ def main():
     if "--ss2" in sys.argv:          # baked-visibility local shadows
         cfg = dataclasses.replace(cfg, raycast_shadow_subsample=2)
         sys.argv.remove("--ss2")
+    for a in list(sys.argv):         # --group=N: inline-bake batch size
+        if a.startswith("--group="):
+            cfg = dataclasses.replace(cfg, inline_bake_group=int(a[8:]))
+            sys.argv.remove(a)
     if "--no-lights" in sys.argv:    # the zero-light frame floor
         sys.argv.remove("--no-lights")
         no_lights = True

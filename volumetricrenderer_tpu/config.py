@@ -95,6 +95,15 @@ class RenderConfig:
     #                samples (exact per-sample: g carries no noise).
     scatter_bake: str = "vis"
 
+    # Inline-bake batch: the megakernel bakes this many consecutive low-res
+    # slices per bake step as one stacked [group, hl, wl] batch
+    # (visibility.inline_bake_schedule(group=)). Bit-identical at any value
+    # (tests/test_frame_fused group sweep) but MEASURED SLOWER than 1 at
+    # FULL config (in-trace megakernel: 2.62 ms g=1, 5.42 g=2, 3.35 g=4):
+    # light culling coarsens to the union of the group's slices, which
+    # outweighs the issue-count amortization the stacking buys. Keep at 1.
+    inline_bake_group: int = 1
+
     # With scatter_bake="radiance" + fused material: also bake each
     # noise-bearing medium's procedural fBm factor at the low rate (extra
     # channels on the radiance volume/ring) and tent-upsample it in the

@@ -148,9 +148,11 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         # low-res visibility slices live in a VMEM ring (scratch), written
         # here on the inline_bake_schedule and read back by scatter_slice
         # (ring row = light*ring_n + m % ring_n)
-        nl_v, ring_n = inline_vis
+        nl_v, ring_n, bgroup, hlp = inline_vis
         bkm_ref, bact_ref, ay_ref, axt_ref = vis_refs
-        vis_ring = scratch[3 * n_dir + 12]       # [nl*ring_n, hl, wl]
+        vis_ring = scratch[3 * n_dir + 12]       # [rows*ring_n, hl, wl]
+        bake_acc = scratch[3 * n_dir + 13] \
+            if scatter_statics.get("radiance", False) else None
         vis_refs = (vis_ring, ay_ref, axt_ref)
 
     j = pl.program_id(0)
@@ -166,27 +168,41 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
             prev_acc[c][:, 1:h + 1, 1:w + 1] if prev_padded \
             else prev_acc[c][:]
 
-    # stage 0: inline visibility/radiance bake — low-res slice bake_m[j] for
-    # every slice-active local light, at the latest step that still precedes
-    # its first read (visibility.inline_bake_schedule). Same math as the
+    # stage 0: inline visibility/radiance bake — low-res slices
+    # bake_m[j]..bake_m[j]+bgroup-1 for every group-active local light, at
+    # the latest step that still precedes the group's first read
+    # (visibility.inline_bake_schedule). Same per-sample math as the
     # standalone bake kernels (shared helpers) — the separate pallas_call,
-    # its HBM volume and the per-step block refetches are gone.
+    # its HBM volume and the per-step block refetches are gone. Slices are
+    # baked `bgroup` at a time as one [bgroup, hlp, wl] stack: the planes
+    # are tiny ([68, 120] at FULL/ss=2), so the bake is issue-bound and
+    # batching cuts its instruction count ~bgroup-fold, bit-exactly.
     if inline_vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import (
-            bake_light_plane, bake_radiance_plane, bake_world_planes,
-            radiance_view_dirs)
-        vss = vis_lowres[0]
+            bake_light_plane, bake_radiance_plane, bake_world_planes_stacked,
+            low_res_dims, radiance_view_dirs)
+        vss, dl = vis_lowres[0], vis_lowres[1]
+        wl, hl, _ = low_res_dims(grid_whd, vss)
         radiance = scatter_statics.get("radiance", False)
-        m = bkm_ref[0, 0, 0]
+        m0 = bkm_ref[0, 0, 0]
+        # dl % bgroup != 0: the last group has tail slices past dl-1 whose
+        # ring writes must be skipped (their data is clamped slice dl-1)
+        has_tail = (dl % bgroup) != 0
 
-        @pl.when(m >= 0)
+        def _tail_guard(bi, body):
+            if has_tail:
+                pl.when(m0 + bi <= dl - 1)(body)
+            else:
+                body()
+
+        @pl.when(m0 >= 0)
         def _bake_vis():
-            bwx, bwy, bwz = bake_world_planes(spar_ref, m, grid_whd, vss,
-                                              h_glob)
-            slot = jnp.mod(m, ring_n)
+            bwx, bwy, bwz = bake_world_planes_stacked(
+                spar_ref, m0, grid_whd, vss, h_glob, bgroup, hlp)
             if radiance:
-                # rgb radiance accumulated over active lights into 3 ring
-                # rows (zeroed first; RMW under pl.when keeps culling live)
+                # rgb radiance accumulated over active lights into a stacked
+                # scratch accumulator (RMW under pl.when keeps culling live),
+                # then distributed to the ring rows per group member
                 from volumetricrenderer_tpu.ops.pallas.material import (
                     noise_factor_planes, phase_g_plane)
                 from volumetricrenderer_tpu.ops.phase import PI
@@ -196,9 +212,7 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                                      bwx, bwy, bwz)
                 bg2 = bphg * bphg
                 bhg_num = (1.0 - bg2) / (4.0 * PI)
-                zero = jnp.zeros((1,) + bwx.shape, jnp.float32)
-                for c in range(3):
-                    vis_ring[pl.ds(c * ring_n + slot, 1)] = zero
+                bake_acc[...] = jnp.zeros((3, bgroup, hlp, wl), jnp.float32)
                 for li in range(nl_v):
                     @pl.when(bact_ref[0, 0, li] != 0)
                     def _one(li=li):
@@ -212,18 +226,23 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                             hf_static=scatter_statics["hf_static"],
                             fractional=scatter_statics["fractional"])
                         for c, p in enumerate((r, g, b)):
-                            row = pl.ds(c * ring_n + slot, 1)
-                            vis_ring[row] = vis_ring[row] + p[None]
+                            bake_acc[c] = bake_acc[c] + p
                 # per-medium fBm factors at the same low-rate samples
                 # (unconditional — noise is per-medium, not per-light)
                 n_noise = scatter_statics.get("n_noise", 0)
-                if n_noise:
-                    nz = noise_factor_planes(
-                        med_ref, scatter_statics["media_static"],
-                        bwx, bwy, bwz)
-                    for c in range(n_noise):
-                        vis_ring[pl.ds((3 + c) * ring_n + slot, 1)] = \
-                            nz[c][None]
+                nz = noise_factor_planes(
+                    med_ref, scatter_statics["media_static"],
+                    bwx, bwy, bwz) if n_noise else []
+                for bi in range(bgroup):
+                    def _write(bi=bi):
+                        slot = jnp.mod(m0 + bi, ring_n)
+                        for c in range(3):
+                            vis_ring[pl.ds(c * ring_n + slot, 1)] = \
+                                bake_acc[c, bi, 0:hl][None]
+                        for c in range(n_noise):
+                            vis_ring[pl.ds((3 + c) * ring_n + slot, 1)] = \
+                                nz[c][bi, 0:hl][None]
+                    _tail_guard(bi, _write)
             else:
                 for li in range(nl_v):
                     @pl.when(bact_ref[0, 0, li] != 0)
@@ -236,7 +255,12 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
                             n_boxes=scatter_statics["n_boxes"],
                             hf_static=scatter_statics["hf_static"],
                             fractional=scatter_statics["fractional"])
-                        vis_ring[pl.ds(li * ring_n + slot, 1)] = plane[None]
+                        for bi in range(bgroup):
+                            def _write(bi=bi, li=li):
+                                slot = jnp.mod(m0 + bi, ring_n)
+                                vis_ring[pl.ds(li * ring_n + slot, 1)] = \
+                                    plane[bi, 0:hl][None]
+                            _tail_guard(bi, _write)
 
     # stage 1: raycast shadow slice j
     @pl.when(j < d)
@@ -372,6 +396,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                        vis_radiance: bool = False,
                        bake_noise: bool = False,
                        inline_vis_bake: bool = False,
+                       bake_group: int = 1,
                        jitter_dir: bool = False,
                        heightfield_shadows: bool = False,
                        interpret: bool = False, padded_out=None):
@@ -461,18 +486,28 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
         wl, hl, dl = low_res_dims(grid_whd, vis_ss)
         nl_v = lights.shape[0]
         n_steps = d + k + 2
-        bake_m_np, ring_n = inline_bake_schedule(d, dl, vis_ss, k, n_steps)
+        bg = max(1, min(int(bake_group), dl))
+        hlp = -(-hl // 8) * 8     # pad to a sublane multiple: the in-kernel
+        #                           per-member block extraction stays aligned
+        bake_m_np, ring_n = inline_bake_schedule(d, dl, vis_ss, k, n_steps,
+                                                 group=bg)
         active = low_slice_active(params, view_to_world, positions, ranges,
                                   grid_whd, vis_ss).astype(jnp.int32)
+        # group-level culling: a light active in ANY member slice is baked
+        # for the whole stack (exact — out-of-range samples get falloff 0)
+        ng = -(-dl // bg)
+        act_pad = jnp.concatenate(
+            [active.T, jnp.zeros((ng * bg - dl, nl_v), jnp.int32)], axis=0)
+        act_grp = act_pad.reshape(ng, bg, nl_v).max(axis=1)   # [NG, NL]
         bm_clip = np.clip(bake_m_np, 0, dl - 1)
-        bact = active.T[bm_clip] \
+        bact = act_grp[bm_clip // bg] \
             * jnp.asarray((bake_m_np >= 0).astype(np.int32))[:, None]
         bake_m = jnp.asarray(bake_m_np[:, None, None])       # [G, 1, 1]
         bact = bact[:, None, :]                              # [G, 1, NL]
         ay = jnp.asarray(upsample_mats(h, hl, vis_ss))
         axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)
         vis_lowres = (vis_ss, dl, ring_n)
-        inline_vis = (nl_v, ring_n)
+        inline_vis = (nl_v, ring_n, bg, hlp)
         vis_specs = [
             pl.BlockSpec((1, 1, 1), lambda j: (j, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -484,6 +519,9 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
         vis_inputs = (bake_m, bact, ay, axt)
         ring_rows = (3 + n_noise if use_radiance else nl_v) * ring_n
         vis_scratch = [pltpu.VMEM((ring_rows, hl, wl), jnp.float32)]
+        if use_radiance:
+            # stacked rgb accumulator for the grouped bake (stage 0)
+            vis_scratch.append(pltpu.VMEM((3, bg, hlp, wl), jnp.float32))
     elif vis is not None:
         from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
         nl_v, dl, hl, wl = vis.shape

@@ -128,6 +128,43 @@ def bake_world_planes(par_ref, zi, grid_whd: Tuple[int, int, int], ss: int,
     return wx, wy, wz
 
 
+def bake_world_planes_stacked(par_ref, m0, grid_whd: Tuple[int, int, int],
+                              ss: int, h_glob: int, group: int, hlp: int):
+    """[group, hlp, wl] world-position planes for low slices m0..m0+group-1
+    — the batched form of bake_world_planes for grouped inline bakes
+    (inline_bake_schedule(group=...)). Block b of the leading dim is low
+    slice min(m0+b, dl-1); rows >= hl repeat row hl-1 (hlp pads hl to a
+    sublane multiple so in-kernel block extraction stays 8-aligned). Every
+    per-sample value is bit-identical to bake_world_planes: identical
+    inputs through identical elementwise ops, just issued as one
+    [group*hlp, wl] batch instead of `group` small planes."""
+    w, h, d = grid_whd
+    wl, hl, dl = low_res_dims(grid_whd, ss)
+    p = lambda i: par_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+    y0 = p(23)
+
+    shape = (group, hlp, wl)
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    rr = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, shape, 1), hl - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    mz = jnp.minimum(m0 + b, dl - 1).astype(jnp.float32)
+
+    off = (ss - 1) * 0.5
+    fz = float(ss) * mz + off + 0.5 + jz
+    vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
+    xs = cols.astype(jnp.float32) * float(ss) + off
+    ys = rr.astype(jnp.float32) * float(ss) + off
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+    vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
+    wx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    wy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    wz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+    return wx, wy, wz
+
+
 def bake_light_plane(lights_ref, li, wx, wy, wz, planes_ref, spheres_ref,
                      boxes_ref, hf_ref, *, n_planes: int, n_spheres: int,
                      n_boxes: int, hf_static: tuple,
@@ -466,7 +503,8 @@ def bake_visibility_pallas(params, view_to_world, camera_pos, jitter,
     )(par, lights, active, planes, spheres, boxes, hf)
 
 
-def inline_bake_schedule(d: int, dl: int, ss: int, k: int, n_steps: int):
+def inline_bake_schedule(d: int, dl: int, ss: int, k: int, n_steps: int,
+                         group: int = 1):
     """Per-grid-step schedule for baking low-res visibility slices INSIDE the
     megakernel (ops/pallas/frame_fused.py) instead of a separate pallas_call.
 
@@ -476,9 +514,16 @@ def inline_bake_schedule(d: int, dl: int, ss: int, k: int, n_steps: int):
     any slice must stay resident, so the bakes live in a small VMEM ring of
     ring_n slots per light (slot = m % ring_n) instead of an HBM volume.
 
-    Returns (bake_m [n_steps] int32 — low slice to bake at each step, -1 =
-    none; ring_n). Asserts the schedule fits (>= 1 free step per bake) and
-    that ring slots never alias a live slice."""
+    group > 1 bakes `group` consecutive low slices per bake step (stacked
+    into one [group, hlp, wl] batch in-kernel): the bake planes are tiny, so
+    the bake is instruction-issue-bound and batching slices cuts its issue
+    count ~group-fold with bit-identical per-sample math. A group is
+    scheduled at the latest step preceding the FIRST member's first read,
+    which extends later members' residency — ring_n grows accordingly.
+
+    Returns (bake_m [n_steps] int32 — FIRST low slice of the group baked at
+    each step, -1 = none; ring_n). Asserts the schedule fits (>= 1 free step
+    per group) and grows ring_n until no ring slot aliases a live slice."""
     zb = np.arange(d)
     ka = np.clip((2 * zb - (ss - 1)) // (2 * ss), 0, dl - 1)
     kb = np.minimum(ka + 1, dl - 1)
@@ -490,23 +535,49 @@ def inline_bake_schedule(d: int, dl: int, ss: int, k: int, n_steps: int):
             first[m] = min(first[m], z + k + 1)
             last[m] = max(last[m], z + k + 1)
     used = first < big
-    jb = np.full(dl, -1, np.int64)
+    # group g covers slices [g*group, min((g+1)*group, dl)); it is baked
+    # whole (tail slices past dl-1 are skipped in-kernel), so every member
+    # of a used group is effectively baked/live from the group's step
+    ng = -(-dl // group)
+    gused = np.array([used[g * group:(g + 1) * group].any()
+                      for g in range(ng)])
+    gfirst = np.array([first[g * group:(g + 1) * group].min()
+                       for g in range(ng)])
+    gjb = np.full(ng, -1, np.int64)
     nxt = big
-    for m in range(dl - 1, -1, -1):
-        if not used[m]:
+    for g in range(ng - 1, -1, -1):
+        if not gused[g]:
             continue
-        jb[m] = min(first[m], nxt - 1)
-        nxt = jb[m]
-    assert (jb[used] >= 0).all(), "bake schedule does not fit the grid"
-    ring_n = int((last[used] - jb[used]).max()) + 1
-    for m in range(dl):
-        if used[m] and m + ring_n < dl and used[m + ring_n]:
-            assert jb[m + ring_n] > last[m], (m, ring_n)
+        gjb[g] = min(gfirst[g], nxt - 1)
+        nxt = gjb[g]
+    assert (gjb[gused] >= 0).all(), "bake schedule does not fit the grid"
+    jb = np.full(dl, -1, np.int64)
+    baked = np.zeros(dl, bool)
+    for g in range(ng):
+        if gused[g]:
+            jb[g * group:(g + 1) * group] = gjb[g]
+            baked[g * group:(g + 1) * group] = True
+    last_eff = np.maximum(last, jb)  # unused-but-baked: live only at its step
+    ring_n = int((last_eff[baked] - jb[baked]).max()) + 1
+    # slot m % ring_n must be exclusive over [jb, last_eff]; grow ring_n
+    # until no two baked slices sharing a slot have overlapping lifetimes
+    def aliases(rn):
+        for m in range(dl):
+            if not baked[m]:
+                continue
+            m2 = m + rn
+            while m2 < dl:
+                if baked[m2] and jb[m2] <= last_eff[m]:
+                    return True
+                m2 += rn
+        return False
+    while aliases(ring_n):
+        ring_n += 1
     bake_m = np.full(n_steps, -1, np.int64)
-    for m in range(dl):
-        if used[m]:
-            assert 0 <= jb[m] < n_steps and bake_m[jb[m]] == -1
-            bake_m[jb[m]] = m
+    for g in range(ng):
+        if gused[g]:
+            assert 0 <= gjb[g] < n_steps and bake_m[gjb[g]] == -1
+            bake_m[gjb[g]] = g * group
     return bake_m.astype(np.int32), ring_n
 
 

@@ -407,6 +407,7 @@ class VolumetricRenderer:
                 vis_radiance=radiance,
                 bake_noise=cfg.bake_procedural_noise,
                 inline_vis_bake=inline_bake,
+                bake_group=cfg.inline_bake_group,
                 jitter_dir=cfg.jitter_dir_scatter,
                 heightfield_shadows=cfg.heightfield_local_shadows,
                 interpret=interp, padded_out=padded_for)
