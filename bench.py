@@ -302,8 +302,10 @@ def main():
 
         return pipelined(step, st)
 
-    scope("frame_post_ms", run_frame_post)
-    if "--small" not in sys.argv and "--map-shadows" not in sys.argv:
+    if "--headline-only" not in sys.argv:
+        scope("frame_post_ms", run_frame_post)
+    if ("--small" not in sys.argv and "--map-shadows" not in sys.argv
+            and "--headline-only" not in sys.argv):
         scope("map_ms", run_map)
         scope("ms_4k", run_4k)
         scope("tex_ms", run_texture)

@@ -60,7 +60,12 @@ def main():
     sc_col, vd = jax.block_until_ready(
         jax.jit(lambda sc: r.render_scene_inputs(sc))(scene))
 
-    @jax.jit
+    import functools
+
+    # donate like production (bench.py / render_frame_jit): the megakernel's
+    # in-place state aliasing (frame_fused.ALIAS_STATE) otherwise forces
+    # defensive copies that production never pays
+    @functools.partial(jax.jit, donate_argnums=0)
     def frame(state, scene, t):
         img, _, new_state = r.render_frame(state, scene, t, sc_col, vd,
                                            shadow_data)

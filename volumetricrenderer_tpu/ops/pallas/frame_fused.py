@@ -40,6 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 INLINE_VIS = True   # bake local-light visibility INSIDE the megakernel
                     # (stage 0 + VMEM ring) instead of a separate pallas_call
                     # + HBM volume; probe knob (tools/probe_inline_vis.py)
+ALIAS_STATE = True  # input_output_aliases: write the blended shadow/acc
+                    # volumes IN PLACE over their own history inputs. Safe by
+                    # the grid's stagger — input slice s is read (ring fill) at
+                    # step s while output slice s is written at step s+k+1
+                    # (shadow) / s+k+2 (acc), so every read completes >= k+1
+                    # sequential steps before the write; the clamped re-reads
+                    # of slice d-1 at steps > d feed ring slots no later tap
+                    # reads. Kills the XLA state-plumbing copies (PERF.md
+                    # copies/glue tail).
 
 from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
 from volumetricrenderer_tpu.ops.pallas.scatter import scatter_slice
@@ -584,9 +593,23 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
                + [pltpu.VMEM((h, w), jnp.float32)] * (8 + nd)
                + vis_scratch)
 
+    # in-place state update (see ALIAS_STATE): operand index of the first
+    # history stream is the 13 packed tables + the vis inputs
+    aliases = {}
+    if ALIAS_STATE and not interpret:
+        base = 13 + len(vis_inputs)
+        for c in range(nd):
+            aliases[base + c] = c
+        if prev_acc_padded and padded_out is not None \
+                and prev_acc_planes[0].shape == acc_out_shape.shape \
+                and prev_acc_planes[0].dtype == jnp.float32:
+            for c in range(4):
+                aliases[base + nd + c] = nd + c
+
     outs = pl.pallas_call(
         kernel,
         grid=(d + k + 2,),
+        input_output_aliases=aliases,
         in_specs=([smem(spar.shape), smem(sbpar.shape), smem(abpar.shape),
                    smem(slights.shape), smem(lights.shape), smem(dirs.shape),
                    pl.BlockSpec((1, 1, order.shape[2]),
