@@ -113,7 +113,9 @@ def _warp_taps(z, off_z, k, ring_n, d):
     the per-channel warps (4 accumulation + Nd shadow channels share the
     same reprojection offsets) don't re-derive the weight planes."""
     taps = []
-    for dd in range(-k, k + 2):
+    # dd spans [-k, k] only: off_z is clipped to [-k, k], so the k+1 tap's
+    # tent weight is identically zero (temporal._tent_weights)
+    for dd in range(-k, k + 1):
         s = jnp.clip(z + dd, 0, d - 1)
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd))
         taps.append((jnp.mod(s, ring_n), wz))

@@ -111,7 +111,7 @@ def _kernel(par_ref, bpar_ref, lights_ref, planes_ref, spheres_ref,
         # weight planes shared across channels (hoisted, temporal._tent_weights)
         ztaps = [(jnp.mod(jnp.clip(z + dd, 0, d - 1), ring_n),
                   jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd)))
-                 for dd in range(-k, k + 2)]
+                 for dd in range(-k, k + 1)]
         wys = _tent_weights(off_y, k)
         wxs = _tent_weights(off_x, k)
         for c in range(n_lights):

@@ -64,9 +64,10 @@ def _tent_weights(off, k):
     """Per-tap tent weight planes for _tent_pass — hoist these when several
     channels share one offset plane (the megakernel warps 4 accumulation +
     Nd shadow channels per blend site; the weight math would otherwise be
-    re-emitted per channel, ops/pallas/frame_fused._warp)."""
+    re-emitted per channel, ops/pallas/frame_fused._warp). Taps span [-k, k]:
+    off is pre-clipped to [-k, k], so a k+1 tap's weight is identically 0."""
     return [jnp.maximum(0.0, 1.0 - jnp.abs(off - dd))
-            for dd in range(-k, k + 2)]
+            for dd in range(-k, k + 1)]
 
 
 def _tent_pass(plane, off, axis, k, ws=None):
@@ -78,14 +79,14 @@ def _tent_pass(plane, off, axis, k, ws=None):
     2.716 vs 2.630 ms in the megakernel trace — Mosaic compiles the padded
     slices to cheap offset reads, while roll+edge-select pays a real
     rotate + select per tap. The materialized pad is the fast form here."""
-    padded = _edge_pad(plane, axis, k + 1)
+    padded = _edge_pad(plane, axis, k)
     n = plane.shape[axis]
     acc = jnp.zeros_like(plane)
     if ws is None:
         ws = _tent_weights(off, k)
-    for t, dd in enumerate(range(-k, k + 2)):
+    for t, dd in enumerate(range(-k, k + 1)):
         idx = [slice(None)] * 2
-        idx[axis] = slice(k + 1 + dd, k + 1 + dd + n)
+        idx[axis] = slice(k + dd, k + dd + n)
         acc = acc + padded[tuple(idx)] * ws[t]
     return acc
 
@@ -180,7 +181,7 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
         # weight planes shared across channels (hoisted once per blend site)
         ztaps = [(jnp.mod(jnp.clip(z + dd, 0, d - 1), ring_n),
                   jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd)))
-                 for dd in range(-k, k + 2)]
+                 for dd in range(-k, k + 1)]
         wys = _tent_weights(off_y, k)
         wxs = _tent_weights(off_x, k)
         for c in range(n_ch):

@@ -2,7 +2,7 @@
 
 Semantics identical to ops/warp.windowed_warp_sample_3d (three sequential 1D
 windowed tent passes, SPEC "Reprojection sampling"), but each axis pass is a
-Pallas kernel whose (2k+2) taps stay in VMEM. The XLA version materializes
+Pallas kernel whose (2k+1) taps stay in VMEM. The XLA version materializes
 every padded copy and shifted slice in HBM (~50 GB/s effective, measured
 ~25 ms/frame for the blends); here traffic is one read + one write per pass.
 
@@ -63,12 +63,14 @@ def _pass_kernel(*refs, axis: int, k: int, c: int, blend: str = "none"):
     vol = vol_ref[:]
     shift = c if axis == 2 else 1
     pad_axis = 2 if axis == 2 else axis
-    padded = _edge_pad(vol, pad_axis, (k + 1) * shift)
+    padded = _edge_pad(vol, pad_axis, k * shift)
 
+    # taps span [-k, k]: off is clipped to [-k, k], so the d = k+1 tap's tent
+    # weight is identically zero (same dead-tap elision as ops/warp.py)
     acc = jnp.zeros_like(vol)
-    for d in range(-k, k + 2):
+    for d in range(-k, k + 1):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(off - d))
-        start = (k + 1 + d) * shift
+        start = (k + d) * shift
         idx = [slice(None)] * 3
         idx[pad_axis] = slice(start, start + vol.shape[pad_axis])
         acc = acc + padded[tuple(idx)] * w

@@ -9,7 +9,7 @@ the resample into a fixed stencil:
 
     out[p] = sum_d  tent(target_axis(p) - (p_axis + d)) * shift(vol, d, axis)
 
-with d in [-K, K+1] — static shifts (pad + slice) and elementwise tent weights,
+with d in [-K, K] — static shifts (pad + slice) and elementwise tent weights,
 pure VPU work. The three axes are applied as *sequential 1D passes* (z, then y,
 then x), each using the target coordinate evaluated at the output point. For a
 warp whose offset field varies slowly (any camera reprojection), this separable
@@ -41,14 +41,16 @@ def _axis_pass(vol: jax.Array, target: jax.Array, axis: int, k: int) -> jax.Arra
     off = jnp.clip(target - base, -k, k)
 
     pad_cfg = [(0, 0)] * vol.ndim
-    pad_cfg[axis] = (k + 1, k + 1)
+    pad_cfg[axis] = (k, k)
     pvol = jnp.pad(vol, pad_cfg, mode="edge")
 
+    # taps span [-k, k]: the offset is clipped to [-k, k], so a d = k+1 tap's
+    # tent weight max(0, 1 - |off - (k+1)|) is identically zero — not a tap
     out = jnp.zeros_like(vol)
-    for d in range(-k, k + 2):
+    for d in range(-k, k + 1):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(off - d))
         idx = [slice(None)] * vol.ndim
-        idx[axis] = slice(k + 1 + d, k + 1 + d + n)
+        idx[axis] = slice(k + d, k + d + n)
         out = out + pvol[tuple(idx)] * w[..., None]
     return out
 
