@@ -69,8 +69,13 @@ def test_shardmap_pallas_render_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
                                    err_msg=f"frame {i}")
     # the slab path keeps accumulation history PLANAR (the kernels' own
-    # layout); the single-device path may keep it packed — normalize both
+    # layout) and halo-EXTENDED across frames (persistent halos) — crop to
+    # the global layout, then normalize packing on both sides
+    from volumetricrenderer_tpu.parallel.shard_render import \
+        crop_sharded_state
     from volumetricrenderer_tpu.state import packed_accumulation
+    state_sh = crop_sharded_state(state_sh, fn.n_shards, fn.halo,
+                                  fn.h_global)
     dhw = (CFG.volume_depth, CFG.volume_height, CFG.volume_width)
     np.testing.assert_allclose(
         np.asarray(packed_accumulation(state_sh.prev_accumulation, dhw)),

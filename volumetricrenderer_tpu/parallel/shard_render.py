@@ -13,10 +13,16 @@ Design (SURVEY §2.8/§5 — froxel rays are independent in XY):
   integrate taps ±1 row, the windowed reprojection warp taps ±reproj_window
   rows, the composite's y-tent taps ±1 cell row. Instead of per-pass halo
   exchanges, each shard renders an OVERLAPPED slab of h/n + 2·halo rows:
-  one ppermute-based halo exchange of the history volumes per frame, pure
-  recompute for everything else, and a crop of the outputs. Cross-device
-  traffic per frame: 2·halo rows of the 4 history volumes over ICI —
-  independent of the grid size.
+  one ppermute-based halo exchange of the history volumes per frame and pure
+  recompute for everything else. Cross-device traffic per frame: 2·halo rows
+  of the history volumes over ICI — independent of the grid size.
+- PERSISTENT HALOS: the state volumes stay halo-extended across frames; each
+  frame only overwrites the 2·halo stale rows with the neighbors' freshly-
+  computed interior edges (the locally-overcomputed halo rows lack their own
+  stencil support and are discarded by the overwrite), so the naive
+  formulation's full-volume crop + re-concat round trip (~330 MB/frame at
+  FULL size) never touches HBM. `crop_sharded_state` recovers the plain
+  global layout for checkpointing/inspection.
 - Froxel y coordinates stay GLOBAL (FroxelParams.y0 carries the slab offset
   into every pass and kernel); rows past the grid edges clamp to the edge
   row, reproducing the single-device clamp-sampler semantics exactly, so a
@@ -72,6 +78,78 @@ def _crop_rows(x: jax.Array, p: int, axis: int) -> jax.Array:
     return jax.lax.slice_in_dim(x, p, x.shape[axis] - p, axis=axis)
 
 
+def _refresh_halo(x: jax.Array, p: int, axis_name: str, n: int,
+                  axis: int) -> jax.Array:
+    """Overwrite the halo rows of an ALREADY-EXTENDED slab (persistent-halo
+    state) with the neighbors' freshly-computed interior edge rows — the
+    same values _halo_rows would concat, but as two p-row dynamic updates
+    into the (donated) extended buffer instead of a full-volume concat+crop
+    round trip per frame. Rows [0, p) and [size-p, size) are the halos;
+    interior is [p, size-p)."""
+    axis = axis % x.ndim
+    size = x.shape[axis]
+    idx = jax.lax.axis_index(axis_name)
+    last_int = jax.lax.slice_in_dim(x, size - 2 * p, size - p, axis=axis)
+    first_int = jax.lax.slice_in_dim(x, p, 2 * p, axis=axis)
+    top = jax.lax.ppermute(last_int, axis_name,
+                           [(s, s + 1) for s in range(n - 1)])
+    edge0 = jnp.repeat(jax.lax.slice_in_dim(x, p, p + 1, axis=axis), p,
+                       axis=axis)
+    top = jnp.where(idx == 0, edge0, top)
+    bot = jax.lax.ppermute(first_int, axis_name,
+                           [(s, s - 1) for s in range(1, n)])
+    edge1 = jnp.repeat(jax.lax.slice_in_dim(x, size - p - 1, size - p,
+                                            axis=axis), p, axis=axis)
+    bot = jnp.where(idx == n - 1, edge1, bot)
+    x = jax.lax.dynamic_update_slice_in_dim(x, top, 0, axis=axis)
+    return jax.lax.dynamic_update_slice_in_dim(x, bot, size - p, axis=axis)
+
+
+def crop_sharded_state(state: FrameState, n: int, halo: int,
+                       h_global: Optional[int] = None) -> FrameState:
+    """Global-layout view of a persistent-halo sharded state: each shard's
+    rows in the stacked [.., n*(h_loc+2*halo), ..] arrays are cropped to the
+    interior and re-concatenated to the plain [.., H, ..] layout (for
+    checkpointing, inspection, or switching back to unsharded rendering).
+    Pass `h_global` (the unextended grid height, e.g. `fn.h_global`) to make
+    the already-plain pass-through exact — without it a plain state whose
+    row count happens to divide `n` with room for the halos would be
+    mis-cropped, so only call the 3-arg form on states returned by the
+    sharded render fn (always extended)."""
+    def crop(x, axis):
+        axis = axis % x.ndim
+        rows = x.shape[axis]
+        if h_global is not None and rows == h_global:
+            return x
+        if rows % n != 0:
+            return x
+        h_ext = rows // n
+        h_loc = h_ext - 2 * halo
+        if h_loc <= 0 or rows == n * h_loc:
+            return x
+        shape = list(x.shape)
+        shape[axis:axis + 1] = [n, h_ext]
+        xs = x.reshape(shape)
+        xs = jax.lax.slice_in_dim(xs, halo, h_ext - halo, axis=axis + 1)
+        shape2 = list(x.shape)
+        shape2[axis] = n * h_loc
+        return xs.reshape(shape2)
+
+    acc = state.prev_accumulation
+    if isinstance(acc, (tuple, list)):
+        acc = tuple(crop(a, 1) for a in acc)
+    else:
+        acc = crop(acc, 1)
+    return dataclasses.replace(
+        state,
+        prev_shadow=crop(state.prev_shadow, 2),
+        prev_material_a=None if state.prev_material_a is None
+        else crop(state.prev_material_a, 1),
+        prev_scatter=None if state.prev_scatter is None
+        else crop(state.prev_scatter, 1),
+        prev_accumulation=acc)
+
+
 def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
                          axis_name: str = "y", halo: Optional[int] = None):
     """Returns fn(state, scene, time_x, scene_color, view_depth) ->
@@ -104,35 +182,39 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         idx = jax.lax.axis_index(axis_name)
         slab = Slab(y0=(idx * h_loc - p).astype(jnp.float32), halo=p,
                     grid_global=cfg.grid, image_height_global=ih_g)
+        # PERSISTENT HALOS: state volumes stay halo-EXTENDED across frames.
+        # Frame 0 arrives in the plain global layout (h_loc rows/shard) and
+        # is extended once via the concat path; every later frame only
+        # REFRESHES the 2·p halo rows from the neighbors' interior (the
+        # locally-overcomputed halo rows lack their own stencil support and
+        # are discarded by the overwrite) — the full-volume crop + re-concat
+        # round trip (~330 MB/frame at FULL size) never happens.
+        extended = state.prev_shadow.shape[2] == h_loc + 2 * p
         # H axis: 2 for prev_shadow [Nd, D, H, W]; 1 for the [D, H, W, C]
         # channel-last volumes AND the planar-history [D, H, W] plane tuples
         # (the fused frame keeps accumulation history as 4 channel planes).
+        ext = _refresh_halo if extended else _halo_rows
         halo1 = lambda x: None if x is None else jax.tree.map(
-            lambda a: _halo_rows(a, p, axis_name, n, 1), x)
+            lambda a: ext(a, p, axis_name, n, 1), x)
         state_ext = dataclasses.replace(
             state,
-            prev_shadow=_halo_rows(state.prev_shadow, p, axis_name, n, 2),
+            prev_shadow=ext(state.prev_shadow, p, axis_name, n, 2),
             prev_material_a=halo1(state.prev_material_a),
             prev_scatter=halo1(state.prev_scatter),
             prev_accumulation=halo1(state.prev_accumulation))
         image, _, new_state = renderer_loc.render_frame(
             state_ext, scene, time_x, scene_color=scene_color,
             view_depth=view_depth, slab=slab)
-        crop1 = lambda x: None if x is None else jax.tree.map(
-            lambda a: _crop_rows(a, p, 1), x)
         # normalize accumulation history to PLANAR (4 channel planes): the
         # fused frame already emits planes, and render_frame repacks planar
         # input on the unfused paths — one fixed structure keeps the
-        # out_specs static across paths
+        # out_specs static across paths. Outputs stay EXTENDED (see above);
+        # crop_sharded_state recovers the global layout when needed.
         acc = new_state.prev_accumulation
         if not isinstance(acc, (tuple, list)):
             acc = tuple(acc[..., c] for c in range(4))
-        new_state = dataclasses.replace(
-            new_state,
-            prev_shadow=_crop_rows(new_state.prev_shadow, p, 2),
-            prev_material_a=crop1(new_state.prev_material_a),
-            prev_scatter=crop1(new_state.prev_scatter),
-            prev_accumulation=crop1(tuple(acc)))
+        new_state = dataclasses.replace(new_state,
+                                        prev_accumulation=tuple(acc))
         return image, new_state
 
     vol_spec = P(None, axis_name, None, None)
@@ -167,4 +249,12 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
 
     # donate the history volumes (production steady-state: ~86 MB of f32
     # state per frame would otherwise copy on every call)
-    return jax.jit(dispatch, donate_argnums=0)
+    jitted = jax.jit(dispatch, donate_argnums=0)
+
+    def fn(state, scene, time_x, scene_color, view_depth):
+        return jitted(state, scene, time_x, scene_color, view_depth)
+
+    fn.halo = p          # for crop_sharded_state on the returned state
+    fn.n_shards = n
+    fn.h_global = h_g
+    return fn
