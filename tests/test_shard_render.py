@@ -74,9 +74,9 @@ def test_shardmap_pallas_render_matches_single_device():
     from volumetricrenderer_tpu.parallel.shard_render import \
         crop_sharded_state
     from volumetricrenderer_tpu.state import packed_accumulation
-    state_sh = crop_sharded_state(state_sh, fn.n_shards, fn.halo,
-                                  fn.h_global)
     dhw = (CFG.volume_depth, CFG.volume_height, CFG.volume_width)
+    state_sh = crop_sharded_state(state_sh, fn.n_shards, fn.halo,
+                                  fn.h_global, grid_dhw=dhw)
     np.testing.assert_allclose(
         np.asarray(packed_accumulation(state_sh.prev_accumulation, dhw)),
         np.asarray(packed_accumulation(state_ref.prev_accumulation, dhw)),
@@ -222,12 +222,12 @@ def test_shardmap_zgather_composite_matches_single_device():
                                                   view_depth=vd)
         return img, new_state
 
-    imgs_ref, _ = _run_frames(single, renderer.init_state(
+    imgs_ref, state_ref = _run_frames(single, renderer.init_state(
         base.dir_lights.count), scenes, inputs)
 
     mesh = make_mesh(jax.devices()[:2], axis_name="y")
     fn = make_shardmap_render(renderer, mesh)
-    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+    imgs_sh, state_sh = _run_frames(fn, renderer.init_state(
         base.dir_lights.count), scenes, inputs)
     for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
         assert np.isfinite(a).all()
@@ -236,3 +236,22 @@ def test_shardmap_zgather_composite_matches_single_device():
         assert err.max() < 0.02, (i, err.max())
         interior = err[8:-8]   # global-edge rows: bake clamp-site difference
         assert interior.max() < 2e-3, (i, interior.max())
+
+    # persistent-halo state rides the zgather PADDED plane layout here
+    # ([DLANES, hp_ext, WSTRIDE] per shard) — crop recovers plain planes
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import (DLANES,
+                                                                WSTRIDE)
+    from volumetricrenderer_tpu.parallel.shard_render import \
+        crop_sharded_state
+    from volumetricrenderer_tpu.state import packed_accumulation
+    assert state_sh.prev_accumulation[0].shape[0] == DLANES
+    assert state_sh.prev_accumulation[0].shape[2] == WSTRIDE
+    dhw = (cfg.volume_depth, cfg.volume_height, cfg.volume_width)
+    state_c = crop_sharded_state(state_sh, fn.n_shards, fn.halo,
+                                 fn.h_global, grid_dhw=dhw)
+    acc_sh = np.asarray(packed_accumulation(state_c.prev_accumulation, dhw))
+    acc_ref = np.asarray(packed_accumulation(state_ref.prev_accumulation,
+                                             dhw))
+    err = np.abs(acc_sh - acc_ref) / max(np.abs(acc_ref).max(), 1e-6)
+    assert err[:, 2:-2].max() < 2e-3, err[:, 2:-2].max()
+    assert err.max() < 0.02, err.max()

@@ -104,3 +104,41 @@ def test_unit_16x16_cells_matches_tentmm():
     got = composite_zgather(planes, sc, fz, (w, h, d), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unit_row_off_extended_plane_matches_halo_rows():
+    """row_off window read of a halo-EXTENDED padded plane (the slab path's
+    persistent padded history) == the halo_rows slice+prep path on the same
+    data: out rows [p, p+h_out) of the extended rows, with REAL neighbor
+    rows as the y-tent edge taps."""
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import (
+        DLANES, WSTRIDE, composite_zgather_planes, padded_dims)
+    rng = np.random.RandomState(7)
+    w, d = 16, 8
+    p, h_out = 4, 12                      # halo 4 (sub-block), 8x8 px cells
+    h_ext = h_out + 2 * p
+    ih, iw = 8 * h_out, 8 * w
+    ext = rng.rand(d, h_ext, w).astype(np.float32)    # one channel suffices x4
+    fz = jnp.asarray((rng.rand(ih, iw) * (d - 1.0)).astype(np.float32))
+
+    # build the padded-extended plane the megakernel emits: padded row r =
+    # ext row clamp(r-1), padded col c = clamp(c-1), depth padded to DLANES
+    hp_e, _ = padded_dims(h_ext)
+    padded = np.zeros((DLANES, hp_e, WSTRIDE), np.float32)
+    rr = np.clip(np.arange(hp_e) - 1, 0, h_ext - 1)
+    cc = np.clip(np.arange(WSTRIDE) - 1, 0, w - 1)
+    padded[:d] = ext[:, rr][:, :, cc]
+    planes4 = tuple(jnp.asarray(padded) for _ in range(4))
+
+    got = composite_zgather_planes(planes4, fz, (w, h_out, d),
+                                   interpret=True, prepadded=True, row_off=p)
+
+    # reference: the existing slab branch — slice rows [p-1, p+h_out+1)
+    # and prep with halo_rows=True
+    sl = jnp.asarray(ext[:, p - 1:p + h_out + 1])
+    ref = composite_zgather_planes(tuple(sl for _ in range(4)), fz,
+                                   (w, h_out, d), interpret=True,
+                                   halo_rows=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6)

@@ -62,14 +62,27 @@ def main():
 
     import functools
 
-    # donate like production (bench.py / render_frame_jit): the megakernel's
-    # in-place state aliasing (frame_fused.ALIAS_STATE) otherwise forces
-    # defensive copies that production never pays
-    @functools.partial(jax.jit, donate_argnums=0)
-    def frame(state, scene, t):
-        img, _, new_state = r.render_frame(state, scene, t, sc_col, vd,
-                                           shadow_data)
-        return jnp.sum(img), new_state
+    if "--slab" in sys.argv:
+        # profile the shard_map slab pipeline on a 1-device mesh (the
+        # multi-chip path's per-shard overhead — bench.py's slab1_ms scope)
+        from volumetricrenderer_tpu.parallel.shard_render import \
+            make_shardmap_render
+        from volumetricrenderer_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(jax.devices()[:1], axis_name="y")
+        slab_fn = make_shardmap_render(r, mesh)
+
+        def frame(state, scene, t):
+            img, new_state = slab_fn(state, scene, t, sc_col, vd)
+            return jnp.sum(img), new_state
+    else:
+        # donate like production (bench.py / render_frame_jit): the
+        # megakernel's in-place state aliasing (frame_fused.ALIAS_STATE)
+        # otherwise forces defensive copies that production never pays
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame(state, scene, t):
+            img, _, new_state = r.render_frame(state, scene, t, sc_col, vd,
+                                               shadow_data)
+            return jnp.sum(img), new_state
 
     s, state = frame(state, scene, jnp.float32(0.0))
     jax.block_until_ready(s)
@@ -86,9 +99,10 @@ def main():
         path = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))[-1]
         with gzip.open(path, "rt") as f:
             trace = json.load(f)
+        modprefix = "jit_dispatch" if "--slab" in sys.argv else "jit_frame"
         mods = {ev.get("name", "") for ev in trace.get("traceEvents", [])
                 if ev.get("ph") == "X"}
-        if any(m.startswith("jit_frame") for m in mods):
+        if any(m.startswith(modprefix) for m in mods):
             break
         print(f"# capture {attempt}: no jit_frame windows "
               "(foreign tenant flooded the buffer), retrying", flush=True)
@@ -112,7 +126,7 @@ def main():
     windows = [(ev["ts"], ev["ts"] + ev.get("dur", 0)) for ev in events
                if ev.get("ph") == "X"
                and "XLA Modules" in thread.get((ev.get("pid"), ev.get("tid")), "")
-               and ev.get("name", "").startswith("jit_frame")]
+               and ev.get("name", "").startswith(modprefix)]
 
     durs = defaultdict(float)
     counts = defaultdict(int)

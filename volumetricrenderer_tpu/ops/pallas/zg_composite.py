@@ -59,11 +59,15 @@ def padded_dims(h: int) -> Tuple[int, int]:
     return (nblk + 1) * HB, WSTRIDE
 
 
-def _kernel(*refs, w: int, d: int, cp: int, n_planes: int):
-    """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; then per plane blk_a/blk_b
-    [128, HB*256] (padded rows [i*HB, (i+2)*HB)); outs [HB, W, cp]. All
-    n_planes channels share one launch (and one fetch of fz/w9) — the z taps
-    and weights are channel-independent."""
+def _kernel(*refs, w: int, d: int, cp: int, n_planes: int, nwin: int = 2,
+            sub: int = 0):
+    """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; then per plane nwin block
+    refs [128, HB*256] (padded rows [(i+bb)*HB, (i+bb+nwin)*HB)); outs
+    [HB, W, cp]. All n_planes channels share one launch (and one fetch of
+    fz/w9) — the z taps and weights are channel-independent. nwin/sub: with
+    a sub-block row offset (row_off % HB != 0 — the slab path reading the
+    out-rows window of a halo-EXTENDED padded plane), a third block covers
+    the tail and every tap shifts by sub rows."""
     fz_ref, w9_ref = refs[0], refs[1]
     cells = HB * WSTRIDE
 
@@ -76,18 +80,18 @@ def _kernel(*refs, w: int, d: int, cp: int, n_planes: int):
     wz = jnp.concatenate([1.0 - f, f], axis=1)           # z-lerp per lane
 
     for c in range(n_planes):
-        blk_a = refs[2 + 2 * c]
-        blk_b = refs[3 + 2 * c]
-        out_ref = refs[2 + 2 * n_planes + c]
-        stack = jnp.concatenate([blk_a[...], blk_b[...]], axis=1)
-        t = stack.T                                      # [2*cells, 128]
+        blks = refs[2 + nwin * c:2 + nwin * (c + 1)]
+        out_ref = refs[2 + nwin * n_planes + c]
+        stack = jnp.concatenate([b[...] for b in blks], axis=1)
+        t = stack.T                                      # [nwin*cells, 128]
         acc = jnp.zeros((cells, DLANES), jnp.float32)
         for dy in (0, 1, 2):
             for dx in (0, 1, 2):
                 # out cell (rb, xp) = actual (row i*HB + rb, col xp); src row
-                # (rb + dy)*WSTRIDE + xp + dx = padded (row + dy-1, col + dx-1)
-                # (the +1 paddings bake the neighbor offsets and edge clamps)
-                start = dy * WSTRIDE + dx
+                # (rb + sub + dy)*WSTRIDE + xp + dx = padded (row + dy-1,
+                # col + dx-1) (the +1 paddings bake the neighbor offsets and
+                # edge clamps; sub shifts into the extended plane's window)
+                start = (sub + dy) * WSTRIDE + dx
                 src = jax.lax.slice_in_dim(t, start, start + cells, axis=0)
                 g = jnp.take_along_axis(src, idx, axis=1)
                 n = dy * 3 + dx
@@ -103,6 +107,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                              interpret: bool = False,
                              prepadded: bool = False,
                              halo_rows: bool = False,
+                             row_off: int = 0,
                              w9_override=None,
                              _return_cells: bool = False):
     """planes: per-channel [D, H, W] froxel volumes (accumulation L_r/g/b, T)
@@ -115,6 +120,15 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     SCREEN planes [IH, IW] (trilinear accumulation sample per pixel,
     shader:69-93).
 
+    row_off (with prepadded=True): planes are the halo-EXTENDED padded
+    layout of an H-sharded slab ([DLANES, hp_ext, wstride], interior =
+    halo + out rows + halo); the kernel reads the out-rows window starting
+    at padded row `row_off` (= the slab halo: padded row row_off is the
+    real row ABOVE out row 0) directly from the extended plane — no
+    per-frame slice or re-pad. Taps shift by whole blocks (row_off // HB)
+    in the index maps and by row_off % HB in-kernel (a third block covers
+    the tail when the sub-offset is nonzero).
+
     _return_cells=True (internal) skips the unshuffle and returns the raw
     cell-layout outputs [H, W, 64] — the multi-of-8 decomposition below
     unshuffles all its sub-images in one combined map."""
@@ -125,12 +139,22 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     # dx=2 tap of output column w-1 reads padded column w+1: the padded row
     # needs 1 left edge col + w data cols + >=1 right edge col
     assert w + 2 <= WSTRIDE
+    assert row_off == 0 or prepadded, "row_off needs prepadded planes"
 
     nblk = -(-h // HB)
     hout = nblk * HB
     # padded plane rows: padded row r = global clamp(r - 1, 0, h - 1); the
     # two-block window of step i reads rows [i*HB, (i+2)*HB) -> Hp rows
     hp = (nblk + 1) * HB
+    bb, sub = divmod(row_off, HB)
+    nwin = 2 if sub == 0 else 3
+    if prepadded:
+        # extended planes carry their own hp (>= the unsharded layout's)
+        hp = planes[0].shape[1]
+        assert planes[0].shape[0] == DLANES \
+            and planes[0].shape[2] == WSTRIDE, planes[0].shape
+        assert (nblk - 1 + bb + nwin) * HB <= hp, \
+            (nblk, bb, nwin, hp, "extended plane too short for the window")
 
     def prep(p):
         p = jnp.pad(p, ((0, DLANES - d), (0, 0), (0, 0)))
@@ -180,7 +204,8 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                                 b * 8:(b + 1) * 8].reshape(9, 64)
                 row.append(composite_zgather_planes(
                     planes, sub_fz, grid_whd, interpret=interpret,
-                    prepadded=True, w9_override=w9_sub, _return_cells=True))
+                    prepadded=True, row_off=row_off, w9_override=w9_sub,
+                    _return_cells=True))
 
             cells.append(row)
 
@@ -225,14 +250,16 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     w9d = jnp.asarray(np.concatenate([w9, w9], axis=1), jnp.float32)
 
     n_planes = len(planes_p)
-    kernel = functools.partial(_kernel, w=w, d=d, cp=cp, n_planes=n_planes)
-    plane_spec_a = pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-    plane_spec_b = pl.BlockSpec((DLANES, HB * WSTRIDE), lambda i: (0, i + 1),
-                                memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, w=w, d=d, cp=cp, n_planes=n_planes,
+                               nwin=nwin, sub=sub)
+    plane_specs = [
+        pl.BlockSpec((DLANES, HB * WSTRIDE),
+                     functools.partial(lambda i, o=0: (0, i + o), o=bb + o),
+                     memory_space=pltpu.VMEM)
+        for o in range(nwin)]
     plane_inputs = []
     for p in planes_p:
-        plane_inputs += [p, p]
+        plane_inputs += [p] * nwin
     outs_all = pl.pallas_call(
         kernel,
         grid=(nblk,),
@@ -241,7 +268,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 2 * cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [plane_spec_a, plane_spec_b] * n_planes,
+        ] + plane_specs * n_planes,
         out_specs=tuple([pl.BlockSpec((HB, w, cp), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)] * n_planes),
         out_shape=tuple([jax.ShapeDtypeStruct((hout, w, cp), jnp.float32)]
@@ -292,6 +319,7 @@ def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
                       interpret: bool = False,
                       prepadded: bool = False,
                       halo_rows: bool = False,
+                      row_off: int = 0,
                       return_planes: bool = False) -> jax.Array:
     """Full composite: per-pixel trilinear accumulation sample + scene blend
     (scene*T + L, shader:90-92). planes = (L_r, L_g, L_b, T) [D, H, W].
@@ -304,7 +332,8 @@ def composite_zgather(planes, scene_color: jax.Array, fz_texel: jax.Array,
     lr, lg, lb, tt = composite_zgather_planes(planes, fz_texel, grid_whd,
                                               interpret=interpret,
                                               prepadded=prepadded,
-                                              halo_rows=halo_rows)
+                                              halo_rows=halo_rows,
+                                              row_off=row_off)
     if return_planes:
         scp = scene_color if isinstance(scene_color, (tuple, list)) \
             else tuple(scene_color[..., c] for c in range(3))

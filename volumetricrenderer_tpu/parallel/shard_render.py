@@ -105,8 +105,45 @@ def _refresh_halo(x: jax.Array, p: int, axis_name: str, n: int,
     return jax.lax.dynamic_update_slice_in_dim(x, bot, size - p, axis=axis)
 
 
+def _refresh_halo_padded(x: jax.Array, p: int, axis_name: str, n: int,
+                         h_ext: int) -> jax.Array:
+    """_refresh_halo for a halo-extended plane in the zgather PADDED layout
+    [DLANES, hp_ext, WSTRIDE] (ops/pallas/zg_composite.padded_dims): interior
+    rows live at padded rows [1, 1+h_ext); pad row 0 and rows [1+h_ext,
+    hp_ext) clamp to the adjacent interior row, so the halo refresh also
+    rewrites them (they clamp onto refreshed halo rows). Columns travel
+    verbatim — the neighbor's col pads are the correct col pads."""
+    axis = 1
+    hp_ext = x.shape[axis]
+    idx = jax.lax.axis_index(axis_name)
+    last_int = jax.lax.slice_in_dim(x, 1 + h_ext - 2 * p, 1 + h_ext - p,
+                                    axis=axis)
+    first_int = jax.lax.slice_in_dim(x, 1 + p, 1 + 2 * p, axis=axis)
+    top = jax.lax.ppermute(last_int, axis_name,
+                           [(s, s + 1) for s in range(n - 1)])
+    edge0 = jnp.repeat(jax.lax.slice_in_dim(x, 1 + p, 2 + p, axis=axis), p,
+                       axis=axis)
+    top = jnp.where(idx == 0, edge0, top)
+    bot = jax.lax.ppermute(first_int, axis_name,
+                           [(s, s - 1) for s in range(1, n)])
+    edge1 = jnp.repeat(jax.lax.slice_in_dim(x, h_ext - p, h_ext - p + 1,
+                                            axis=axis), p, axis=axis)
+    bot = jnp.where(idx == n - 1, edge1, bot)
+    # rows [0, 1+p): pad row 0 = clamp of (refreshed) halo row 0
+    top_w = jnp.concatenate(
+        [jax.lax.slice_in_dim(top, 0, 1, axis=axis), top], axis=axis)
+    x = jax.lax.dynamic_update_slice_in_dim(x, top_w, 0, axis=axis)
+    # rows [1+h_ext-p, hp_ext): halo rows, then pad rows = clamp of the last
+    bot_pad = jnp.repeat(jax.lax.slice_in_dim(bot, p - 1, p, axis=axis),
+                         hp_ext - 1 - h_ext, axis=axis)
+    bot_w = jnp.concatenate([bot, bot_pad], axis=axis)
+    return jax.lax.dynamic_update_slice_in_dim(x, bot_w, 1 + h_ext - p,
+                                               axis=axis)
+
+
 def crop_sharded_state(state: FrameState, n: int, halo: int,
-                       h_global: Optional[int] = None) -> FrameState:
+                       h_global: Optional[int] = None,
+                       grid_dhw=None) -> FrameState:
     """Global-layout view of a persistent-halo sharded state: each shard's
     rows in the stacked [.., n*(h_loc+2*halo), ..] arrays are cropped to the
     interior and re-concatenated to the plain [.., H, ..] layout (for
@@ -115,9 +152,26 @@ def crop_sharded_state(state: FrameState, n: int, halo: int,
     the already-plain pass-through exact — without it a plain state whose
     row count happens to divide `n` with room for the halos would be
     mis-cropped, so only call the 3-arg form on states returned by the
-    sharded render fn (always extended)."""
+    sharded render fn (always extended). Acc planes in the zgather PADDED
+    layout additionally need `grid_dhw` (the global (D, H, W)) and come back
+    as plain [D, H, W] planes."""
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import (DLANES,
+                                                                WSTRIDE)
+
     def crop(x, axis):
         axis = axis % x.ndim
+        if (x.ndim == 3 and x.shape[0] == DLANES and x.shape[2] == WSTRIDE
+                and h_global is not None and x.shape[1] != h_global):
+            # padded-extended plane [DLANES, n*hp_ext, WSTRIDE]: strip the
+            # depth/col pads and the per-shard row pads + halos
+            assert grid_dhw is not None, \
+                "padded acc planes need grid_dhw to crop"
+            d, h, w = grid_dhw
+            hp_ext = x.shape[1] // n
+            h_loc = h // n
+            xs = x.reshape(DLANES, n, hp_ext, WSTRIDE)
+            xs = xs[:d, :, 1 + halo:1 + halo + h_loc, 1:w + 1]
+            return xs.reshape(d, h, w)
         rows = x.shape[axis]
         if h_global is not None and rows == h_global:
             return x
@@ -193,9 +247,19 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         # H axis: 2 for prev_shadow [Nd, D, H, W]; 1 for the [D, H, W, C]
         # channel-last volumes AND the planar-history [D, H, W] plane tuples
         # (the fused frame keeps accumulation history as 4 channel planes).
+        h_ext = h_loc + 2 * p
+
+        def ext1(a):
+            # acc-plane leaves may arrive in the zgather PADDED layout
+            # ([DLANES, hp_ext, WSTRIDE], renderer emits + consumes it when
+            # pipeline.zgather_slab_eligible) — refresh their halos in place
+            if extended and a.shape[1] != h_ext:
+                return _refresh_halo_padded(a, p, axis_name, n, h_ext)
+            return (_refresh_halo if extended else _halo_rows)(
+                a, p, axis_name, n, 1)
+
         ext = _refresh_halo if extended else _halo_rows
-        halo1 = lambda x: None if x is None else jax.tree.map(
-            lambda a: ext(a, p, axis_name, n, 1), x)
+        halo1 = lambda x: None if x is None else jax.tree.map(ext1, x)
         state_ext = dataclasses.replace(
             state,
             prev_shadow=ext(state.prev_shadow, p, axis_name, n, 2),

@@ -688,6 +688,33 @@ def zgather_eligible(cfg: RenderConfig) -> bool:
     return py * px == 64 or (py % 8 == 0 and px % 8 == 0)
 
 
+def zgather_slab_eligible(cfg: RenderConfig, halo: int) -> bool:
+    """Whether an H-sharded slab (cfg = the LOCAL halo-extended config,
+    volume_height = h_out + 2*halo, image_height = the shard's band) can run
+    the zgather composite straight off halo-EXTENDED padded planes
+    (composite_zgather row_off) — the renderer then emits padded planar
+    history in slabs too, killing the per-frame re-pad concats."""
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import (HB, WSTRIDE,
+                                                                padded_dims)
+    w, h, d = cfg.grid
+    h_out = h - 2 * halo
+    ih, iw = cfg.image_height, cfg.image_width
+    if not (cfg.composite_impl == "zgather" and h_out > 0 and d <= 128
+            and w + 2 <= WSTRIDE and iw % w == 0 and ih % h_out == 0
+            and ih == (ih // h_out) * h_out
+            and (h_out % 3 == 0 or h_out % 5 == 0)):
+        return False
+    py, px = ih // h_out, iw // w
+    if not (py * px == 64 or (py % 8 == 0 and px % 8 == 0)):
+        return False
+    # the out-rows window (blocks bb..bb+nwin-1 past each step) must fit the
+    # extended plane's padded rows
+    bb, sub = divmod(halo, HB)
+    nwin = 2 if sub == 0 else 3
+    nblk = -(-h_out // HB)
+    return (nblk - 1 + bb + nwin) * HB <= padded_dims(h)[0]
+
+
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
               scene_color: jax.Array, view_depth: jax.Array,
               slab=None, planes=None,
@@ -725,6 +752,20 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         h_out = h - 2 * slab.halo
         py_s = ih // max(h_out, 1)
         px_s = iw // w
+        if planes_prepadded:
+            # planes are the halo-EXTENDED padded layout straight from the
+            # megakernel (renderer emits them when zgather_slab_eligible):
+            # the kernel reads the out-rows window at row_off = halo — no
+            # per-frame slice/re-pad of the 4 planes (was ~1.4 ms of XLA
+            # concats, the dominant slab-path overhead)
+            assert zgather_slab_eligible(cfg, int(slab.halo))
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                composite_zgather
+            fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+            return composite_zgather(
+                planes, scene_color, fz, (w, h_out, d),
+                interpret=jax.default_backend() != "tpu", prepadded=True,
+                row_off=int(slab.halo), return_planes=return_planes)
         if (cfg.composite_impl == "zgather" and h_out > 0 and d <= 128
                 and ih == py_s * h_out and (h_out % 3 == 0 or h_out % 5 == 0)
                 and (py_s * px_s == 64

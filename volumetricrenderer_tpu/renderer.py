@@ -380,7 +380,14 @@ class VolumetricRenderer:
 
         acc_prepadded = False
         padded_for = None
-        if slab is None and pipeline.zgather_eligible(cfg):
+        if (slab is None and pipeline.zgather_eligible(cfg)) or (
+                slab is not None
+                and pipeline.zgather_slab_eligible(cfg, int(slab.halo))):
+            # slabs emit padded planes too: the composite reads the out-rows
+            # window of the halo-extended padded plane directly (row_off),
+            # and shard_render refreshes halos in the padded layout — the
+            # per-frame re-pad of the 4 planes (~1.4 ms of XLA concats, the
+            # dominant slab overhead) never happens
             from volumetricrenderer_tpu.ops.pallas.zg_composite import \
                 padded_dims
             padded_for = padded_dims(cfg.volume_height)
