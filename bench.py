@@ -293,11 +293,14 @@ def main():
             make_shardmap_render
         from volumetricrenderer_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(jax.devices()[:1], axis_name="y")
-        fn = make_shardmap_render(renderer, mesh)
+        # fixed engine inputs, same convention as the unsharded frame jit
+        # (which closes over scene_color/view_depth as constants)
+        fn = make_shardmap_render(renderer, mesh,
+                                  fixed_inputs=(scene_color, view_depth))
         st = renderer.init_state(scene.dir_lights.count)
 
         def step(st, t):
-            img, st = fn(st, scene, t, scene_color, view_depth)
+            img, st = fn(st, scene, t)
             return jnp.sum(img), st
 
         return pipelined(step, st)

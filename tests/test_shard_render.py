@@ -255,3 +255,24 @@ def test_shardmap_zgather_composite_matches_single_device():
     err = np.abs(acc_sh - acc_ref) / max(np.abs(acc_ref).max(), 1e-6)
     assert err[:, 2:-2].max() < 2e-3, err[:, 2:-2].max()
     assert err.max() < 0.02, err.max()
+
+
+def test_shardmap_fixed_inputs_matches_explicit():
+    """fixed_inputs=(scene_color, view_depth) closes over the engine inputs
+    as jit constants (the unsharded benching convention; lets XLA fold the
+    composite's fz re-layout) — bitwise-same output as the explicit form."""
+    cfg = dataclasses.replace(CFG, scatter_impl="xla", dir_shadow_impl="xla",
+                              accumulate_impl="xla", reproj_impl="windowed")
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    sc, vd = jax.jit(renderer.render_scene_inputs)(base)
+    mesh = make_mesh(jax.devices()[:2], axis_name="y")
+
+    fn = make_shardmap_render(renderer, mesh)
+    fnf = make_shardmap_render(renderer, mesh, fixed_inputs=(sc, vd))
+    st_a = renderer.init_state(base.dir_lights.count)
+    st_b = renderer.init_state(base.dir_lights.count)
+    for i in range(2):
+        img_a, st_a = fn(st_a, base, jnp.float32(0.1 * i), sc, vd)
+        img_b, st_b = fnf(st_b, base, jnp.float32(0.1 * i))
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))

@@ -69,10 +69,10 @@ def main():
             make_shardmap_render
         from volumetricrenderer_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(jax.devices()[:1], axis_name="y")
-        slab_fn = make_shardmap_render(r, mesh)
+        slab_fn = make_shardmap_render(r, mesh, fixed_inputs=(sc_col, vd))
 
         def frame(state, scene, t):
-            img, new_state = slab_fn(state, scene, t, sc_col, vd)
+            img, new_state = slab_fn(state, scene, t)
             return jnp.sum(img), new_state
     else:
         # donate like production (bench.py / render_frame_jit): the

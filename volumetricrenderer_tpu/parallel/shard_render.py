@@ -205,7 +205,8 @@ def crop_sharded_state(state: FrameState, n: int, halo: int,
 
 
 def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
-                         axis_name: str = "y", halo: Optional[int] = None):
+                         axis_name: str = "y", halo: Optional[int] = None,
+                         fixed_inputs=None):
     """Returns fn(state, scene, time_x, scene_color, view_depth) ->
     (image, new_state) running the full per-shard pipeline under shard_map.
 
@@ -214,6 +215,13 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
     the G-buffer as engine-provided input, Internal-DeferredShading.shader);
     scene is replicated. Works with every impl selection including the
     production FULL_CONFIG Pallas kernel set.
+
+    fixed_inputs=(scene_color, view_depth): close over the engine inputs as
+    jit-time CONSTANTS (fn then takes (state, scene, time_x)). A static
+    G-buffer lets XLA constant-fold the composite's per-frame fz cell
+    re-layout (~0.4 ms at FULL size) exactly as the unsharded benching
+    convention does (its frame jit closes over scene_color/view_depth) —
+    use when the depth buffer is static across the timed frames.
     """
     cfg = renderer.config
     n = int(mesh.devices.size)
@@ -313,10 +321,20 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
 
     # donate the history volumes (production steady-state: ~86 MB of f32
     # state per frame would otherwise copy on every call)
-    jitted = jax.jit(dispatch, donate_argnums=0)
+    if fixed_inputs is not None:
+        sc_fix, vd_fix = fixed_inputs
+        jitted = jax.jit(
+            lambda state, scene, time_x: dispatch(state, scene, time_x,
+                                                  sc_fix, vd_fix),
+            donate_argnums=0)
 
-    def fn(state, scene, time_x, scene_color, view_depth):
-        return jitted(state, scene, time_x, scene_color, view_depth)
+        def fn(state, scene, time_x):
+            return jitted(state, scene, time_x)
+    else:
+        jitted = jax.jit(dispatch, donate_argnums=0)
+
+        def fn(state, scene, time_x, scene_color, view_depth):
+            return jitted(state, scene, time_x, scene_color, view_depth)
 
     fn.halo = p          # for crop_sharded_state on the returned state
     fn.n_shards = n
