@@ -108,10 +108,46 @@ def _reproj_offsets(bpar_ref, z, grid_whd, h_glob, k, with_jitter: bool):
     return off_x, off_y, off_z, success
 
 
+DYN_Z_TAPS = False  # data-dependent z-tap culling: loop only the taps whose
+                    # tent weight can be nonzero this slice (dd in
+                    # [floor(min off_z), ceil(max off_z)] — 2-3 of 2k+1 for a
+                    # slow/static camera) instead of the static unroll.
+                    # Bitwise-equal (skipped taps add exactly 0.0; probe
+                    # tools/probe_dynwarp.py verified the fori_loop pattern
+                    # compiles + matches on the real TPU) but MEASURED SLOWER
+                    # at FULL config even with a static camera: megakernel
+                    # trace 2.343 -> 2.577 ms. The dynamic-trip fori_loop
+                    # serializes against Mosaic's static-unroll scheduling
+                    # and the per-tap weight recompute (vs the hoisted
+                    # _warp_taps planes) eats the rest. Kept as a knob; the
+                    # static unroll stays the production path.
+
+
+def _warp_z_multi(rings, ring_n, z, off_z, k, d):
+    """Dynamic-tap z tent warp of SEVERAL channels sharing one offset plane
+    (the 4 accumulation / Nd shadow rings of a blend site): one fori_loop
+    over the live taps, the weight plane computed once per tap for all
+    channels. Returns the per-channel z-warped planes."""
+    lo = jnp.maximum(jnp.floor(jnp.min(off_z)).astype(jnp.int32), -k)
+    hi = jnp.minimum(jnp.ceil(jnp.max(off_z)).astype(jnp.int32), k)
+    zero = jnp.zeros(off_z.shape, jnp.float32)
+
+    def body(dd, accs):
+        s = jnp.clip(z + dd, 0, d - 1)
+        slot = jnp.mod(s, ring_n)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(off_z - dd.astype(jnp.float32)))
+        return tuple(a + r[pl.ds(slot, 1)][0] * wz
+                     for a, r in zip(accs, rings))
+
+    return jax.lax.fori_loop(lo, hi + 1, body,
+                             tuple(zero for _ in rings))
+
+
 def _warp_taps(z, off_z, k, ring_n, d):
     """(ring slot, z-tent weight) per tap — hoisted once per blend site so
     the per-channel warps (4 accumulation + Nd shadow channels share the
-    same reprojection offsets) don't re-derive the weight planes."""
+    same reprojection offsets) don't re-derive the weight planes. Static
+    fallback for DYN_Z_TAPS=False."""
     taps = []
     # dd spans [-k, k] only: off_z is clipped to [-k, k], so the k+1 tap's
     # tent weight is identically zero (temporal._tent_weights)
@@ -330,10 +366,17 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         # accumulation blend (mode "alpha": success = warped T != 0)
         aox, aoy, aoz_, _ = _reproj_offsets(abpar_ref, zi2, grid_whd, h_glob,
                                             k, with_jitter=False)
-        a_taps = _warp_taps(zi2, aoz_, k, rn_a, d)
         awy = _tent_weights(aoy, k)
         awx = _tent_weights(aox, k)
-        warped = [_warp(a_ring[c], a_taps, awy, awx, k) for c in range(4)]
+        if DYN_Z_TAPS:
+            zw = _warp_z_multi([a_ring[c] for c in range(4)], rn_a, zi2,
+                               aoz_, k, d)
+            warped = [_tent_pass(_tent_pass(z_, None, 0, k, ws=awy),
+                                 None, 1, k, ws=awx) for z_ in zw]
+        else:
+            a_taps = _warp_taps(zi2, aoz_, k, rn_a, d)
+            warped = [_warp(a_ring[c], a_taps, awy, awx, k)
+                      for c in range(4)]
         wgt = alpha_a * (warped[3] != 0.0).astype(jnp.float32)
         for c in range(4):
             res = vals[c] + wgt * (warped[c] - vals[c])
@@ -350,13 +393,21 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
         sox, soy, soz, ssucc = _reproj_offsets(sbpar_ref, zb, grid_whd,
                                                h_glob, k, with_jitter=True)
         swgt = alpha_s * ssucc
-        s_taps = _warp_taps(zb, soz, k, rn_s, d)
         swy = _tent_weights(soy, k)
         swx = _tent_weights(sox, k)
+        if DYN_Z_TAPS:
+            s_zw = _warp_z_multi([s_ring[c] for c in range(n_dir)], rn_s,
+                                 zb, soz, k, d)
+        else:
+            s_taps = _warp_taps(zb, soz, k, rn_s, d)
         cslot = jnp.mod(zb, k + 2)
         blended = []
         for c in range(n_dir):
-            warped = _warp(s_ring[c], s_taps, swy, swx, k)
+            if DYN_Z_TAPS:
+                warped = _tent_pass(_tent_pass(s_zw[c], None, 0, k, ws=swy),
+                                    None, 1, k, ws=swx)
+            else:
+                warped = _warp(s_ring[c], s_taps, swy, swx, k)
             cur = s_cur[c][pl.ds(cslot, 1)][0]
             b = cur + swgt * (warped - cur)
             out_sh[c][0] = b
