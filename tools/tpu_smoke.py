@@ -88,6 +88,59 @@ def check(name, cfg, scene, ref_img, rel_tol=1e-3):
     return True
 
 
+def check_multislab(scene, n=3, name=None, **cfg_kw):
+    """Run the n-shard single-device slab EMULATION (sequential shards,
+    explicit neighbor-row halo exchange — shard_render.make_multislab_render)
+    on the TPU and compare against the unsharded all-Pallas frame. This is
+    the only place the n>1 slab kernel shapes compile for real (the CPU
+    mesh tests run interpret mode); bench.py's slab3_seq_ms times the same
+    path."""
+    from volumetricrenderer_tpu.parallel.shard_render import \
+        make_multislab_render
+    name = name or f"multislab n={n} emulation (pallas, ss=2, zgather)"
+    t0 = time.perf_counter()
+    try:
+        cfg = dataclasses.replace(
+            BASE, **PALLAS_KNOBS, raycast_shadow_subsample=2,
+            scatter_bake="radiance", bake_procedural_noise=True,
+            composite_impl="zgather", **cfg_kw)
+        r = VolumetricRenderer(cfg)
+        sc_col, vd = jax.jit(r.render_scene_inputs)(scene)
+        ihb = cfg.image_height // n
+        sc_b = [sc_col[j * ihb:(j + 1) * ihb] for j in range(n)]
+        vd_b = [vd[j * ihb:(j + 1) * ihb] for j in range(n)]
+        fn = make_multislab_render(r, n)
+        carry = fn.init_carry(scene.dir_lights.count)
+        img = None
+        for i in range(2):
+            bands, carry = fn(carry, scene, jnp.float32(0.01 * i),
+                              sc_b, vd_b)
+            img = np.concatenate([np.asarray(b) for b in bands], axis=0)
+        ref = run_frames(cfg, scene)
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        return False
+    dt = time.perf_counter() - t0
+    if not np.isfinite(img).all():
+        print(f"FAIL {name}: non-finite output ({dt:.1f}s)")
+        return False
+    # same equivalence class as the shard tests: interior rows match the
+    # unsharded frame tightly for ANY slab start (the bake's slab y-phase,
+    # visibility.py); only the GLOBAL top/bottom rows may differ (the
+    # unsharded y-tent clamps where the slab's replicated halo interpolates)
+    err = np.abs(img - ref) / max(np.abs(ref).max(), 1e-6)
+    edge = 2 * (cfg.image_height // cfg.volume_height)   # 2 froxel rows
+    interior = err[edge:-edge]
+    if err.mean() > 5e-4 or err.max() > 0.05 or interior.max() > 2e-3:
+        print(f"FAIL {name}: mean rel {err.mean():.2e} max {err.max():.2e} "
+              f"interior max {interior.max():.2e} vs unsharded ({dt:.1f}s)")
+        return False
+    print(f"ok   {name}: checksum={img.sum():.3f} "
+          f"(mean rel {err.mean():.2e}, interior max {interior.max():.2e}, "
+          f"{dt:.1f}s)")
+    return True
+
+
 def check_shardmap_1dev(scene, name="shard_map 1-device slab (pallas)",
                         **cfg_kw):
     """Compile + run the shard_map slab pipeline on a 1-device TPU mesh and
@@ -260,6 +313,10 @@ def main():
         scene, name="shard_map slab radiance+noise+zgather (ss=2)",
         raycast_shadow_subsample=2, scatter_bake="radiance",
         bake_procedural_noise=True, composite_impl="zgather")
+    # n=3 multislab emulation ON the TPU: real n>1 slab kernels (45-row
+    # shards, padded persistent halos, REAL neighbor-row exchange) vs the
+    # unsharded frame — the CPU shard tests only ever run interpret mode
+    ok &= check_multislab(scene, n=3)
 
     if not ok and "--bisect" in sys.argv:
         for knob, val in PALLAS_KNOBS.items():

@@ -543,7 +543,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
     if inline_vis_bake and vis is None:
         from volumetricrenderer_tpu.ops.pallas.visibility import (
             inline_bake_schedule, low_res_dims, low_slice_active,
-            upsample_mats)
+            upsample_mats, upsample_mats_y)
         import numpy as np
         wl, hl, dl = low_res_dims(grid_whd, vis_ss)
         nl_v = lights.shape[0]
@@ -566,7 +566,8 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
             * jnp.asarray((bake_m_np >= 0).astype(np.int32))[:, None]
         bake_m = jnp.asarray(bake_m_np[:, None, None])       # [G, 1, 1]
         bact = bact[:, None, :]                              # [G, 1, NL]
-        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))
+        # y tent carries the slab phase (visibility.py module docstring)
+        ay = upsample_mats_y(h, hl, vis_ss, params.y0)
         axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)
         vis_lowres = (vis_ss, dl, ring_n)
         inline_vis = (nl_v, ring_n, bg, hlp)
@@ -585,10 +586,11 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
             # stacked rgb accumulator for the grouped bake (stage 0)
             vis_scratch.append(pltpu.VMEM((3, bg, hlp, wl), jnp.float32))
     elif vis is not None:
-        from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
+        from volumetricrenderer_tpu.ops.pallas.visibility import (
+            upsample_mats, upsample_mats_y)
         nl_v, dl, hl, wl = vis.shape
         vis_lowres = (vis_ss, dl)
-        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))
+        ay = upsample_mats_y(h, hl, vis_ss, params.y0)
         axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)
 
         def ka(j):

@@ -496,10 +496,12 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     vis_inputs = ()
     vis_specs = []
     if vis is not None:
-        from volumetricrenderer_tpu.ops.pallas.visibility import upsample_mats
+        from volumetricrenderer_tpu.ops.pallas.visibility import (
+            upsample_mats, upsample_mats_y)
         nl_v, dl, hl, wl = vis.shape
         vis_lowres = (vis_ss, dl)
-        ay = jnp.asarray(upsample_mats(h, hl, vis_ss))            # [H, HL]
+        # y tent carries the slab phase (visibility.py module docstring)
+        ay = upsample_mats_y(h, hl, vis_ss, params.y0)            # [H, HL]
         axt = jnp.asarray(upsample_mats(w, wl, vis_ss).T)         # [WL, W]
 
         def ka(i):

@@ -22,6 +22,16 @@ Grid/coordinate contract: low-res cell k covers full-res cells
 cells' jittered sample positions. The tent weights in upsample_mats and the
 z-lerp in the scatter kernel interpolate in that coordinate frame with
 clamp-to-edge at the borders.
+
+Slab y-phase: under H-sharded slabs (params.y0 != 0) the low Y rows are
+phase-shifted by (-y0) mod ss so they land on the GLOBAL ss-grid regardless
+of the slab's start row (y_phase / upsample_mats_y). Without this, a slab
+whose halo-extended start row is odd (e.g. 135 rows / 3 shards with halo 2
+-> start 43) bakes at the opposite row parity from the whole-grid render and
+its interior drifts by the bake's intrinsic error (measured up to ~5% max
+rel on the TPU smoke); with it, interior rows sample identical world
+positions for ANY slab decomposition and match the unsharded frame exactly.
+y0 = 0 and even starts keep phase 0, i.e. the historical layout.
 """
 
 from __future__ import annotations
@@ -62,6 +72,27 @@ def upsample_mats(n: int, nl: int, ss: int) -> np.ndarray:
     return a
 
 
+def y_phase(y0, ss: int) -> jax.Array:
+    """Slab y-phase (module docstring): the local row offset that puts the
+    low Y samples on the GLOBAL ss-grid. 0.0 for y0 = 0 / even slab starts;
+    traced (y0 is a traced scalar under shard_map / the multislab step)."""
+    return jnp.mod(-jnp.asarray(y0, jnp.float32), float(ss))
+
+
+def upsample_mats_y(n: int, nl: int, ss: int, y0) -> jax.Array:
+    """Traced-phase Y form of upsample_mats: weights for low samples at local
+    rows ss*k + (ss-1)/2 + y_phase(y0, ss). Identical values to
+    upsample_mats(n, nl, ss) when the phase is 0 (the clamped-tent closed
+    form below equals the loop's two-tap construction everywhere, including
+    the clamp-to-edge rows); at ss=2 the weights stay dyadic (0.25/0.75/1.0)
+    for either phase, so the MXU tent matmuls remain exact."""
+    ph = y_phase(y0, ss)
+    i = jnp.arange(n, dtype=jnp.float32)
+    u = jnp.clip((i - (ss - 1) * 0.5 - ph) / ss, 0.0, float(nl - 1))
+    j = jnp.arange(nl, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - j[None, :]))
+
+
 def low_slice_active(params, view_to_world, positions, ranges,
                      grid_whd: Tuple[int, int, int], ss: int) -> jax.Array:
     """[NL, DL] bool: does any full-res froxel that interpolates from low
@@ -78,8 +109,10 @@ def low_slice_active(params, view_to_world, positions, ranges,
     z0 = jnp.clip(ss * ks - ss, 0.0, float(d))
     z1 = jnp.clip(ss * ks + 2.0 * ss, 0.0, float(d))
     xs = jnp.asarray([0.0, float(w)])
+    # + (ss - 1): the slab y-phase shifts low samples down by up to ss - 1
+    # rows (module docstring); keep the cull AABB conservative over them
     ys = jnp.stack([jnp.clip(y0, 0.0, float(h_glob)),
-                    jnp.clip(y0 + h, 0.0, float(h_glob))])
+                    jnp.clip(y0 + h + (ss - 1), 0.0, float(h_glob))])
     fx, fy = jnp.meshgrid(xs, ys, indexing="ij")
     fx = jnp.broadcast_to(fx.reshape(1, 4), (dl, 4))
     fy = jnp.broadcast_to(fy.reshape(1, 4), (dl, 4))
@@ -104,7 +137,8 @@ def bake_world_planes(par_ref, zi, grid_whd: Tuple[int, int, int], ss: int,
     in-kernel coordinate block shared by the standalone bake kernel and the
     megakernel's inline bake (ops/pallas/frame_fused.py). Low-res slice
     sample: full-res froxel coords ss*k + (ss-1)/2, same +0.5+jitter
-    convention as the full-res kernel (scatter._kernel)."""
+    convention as the full-res kernel (scatter._kernel); Y rows carry the
+    slab phase (module docstring) so they sit on the global ss-grid."""
     w, h, d = grid_whd
     wl, hl, dl = low_res_dims(grid_whd, ss)
     p = lambda i: par_ref[0, i]
@@ -118,7 +152,7 @@ def bake_world_planes(par_ref, zi, grid_whd: Tuple[int, int, int], ss: int,
     xs = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1) \
         .astype(jnp.float32) * float(ss) + off
     ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0) \
-        .astype(jnp.float32) * float(ss) + off
+        .astype(jnp.float32) * float(ss) + off + y_phase(y0, ss)
     ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
     vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
     vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
@@ -155,7 +189,7 @@ def bake_world_planes_stacked(par_ref, m0, grid_whd: Tuple[int, int, int],
     fz = float(ss) * mz + off + 0.5 + jz
     vz = (jnp.exp(jnp.log(fpz) * fz / d) - 1.0) * fpw + near
     xs = cols.astype(jnp.float32) * float(ss) + off
-    ys = rr.astype(jnp.float32) * float(ss) + off
+    ys = rr.astype(jnp.float32) * float(ss) + off + y_phase(y0, ss)
     ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
     vx = (2.0 * (xs + 0.5 + jx) / w - 1.0) * vz / fpx
     vy = (2.0 * (ys + 0.5 + jy) / h_glob - 1.0) * vz / fpy
@@ -591,7 +625,7 @@ def low_res_world_positions(cfg, params, view_to_world, jitter, ss: int):
     off = (ss - 1) * 0.5
     zs = jnp.arange(dl, dtype=jnp.float32) * ss + off
     ys = jnp.arange(hl, dtype=jnp.float32) * ss + off \
-        + jnp.asarray(params.y0, jnp.float32)
+        + y_phase(params.y0, ss) + jnp.asarray(params.y0, jnp.float32)
     ys = jnp.clip(ys, 0.0, params.grid[1] - 1.0)
     xs = jnp.arange(wl, dtype=jnp.float32) * ss + off
     fz, fy, fx = jnp.meshgrid(zs, ys, xs, indexing="ij")

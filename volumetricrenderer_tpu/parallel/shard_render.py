@@ -32,6 +32,7 @@ Design (SURVEY §2.8/§5 — froxel rays are independent in XY):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -202,6 +203,174 @@ def crop_sharded_state(state: FrameState, n: int, halo: int,
         prev_scatter=None if state.prev_scatter is None
         else crop(state.prev_scatter, 1),
         prev_accumulation=acc)
+
+
+def _edge_slices(x, p: int, axis: int, h_ext: int):
+    """(first, last, clamp_first, clamp_last) p-row edge packets of a
+    halo-extended leaf — the exact rows _refresh_halo ppermutes, extracted
+    for the single-device multislab emulation. `first`/`last` are the first/
+    last p INTERIOR (non-halo) rows; the clamp packets replicate the edge
+    interior row (the ppermute version's edge0/edge1)."""
+    axis = axis % x.ndim
+    if x.ndim == 3 and x.shape[1] != h_ext and axis == 1:
+        # zgather padded plane: interior rows [1, 1+h_ext)
+        first = jax.lax.slice_in_dim(x, 1 + p, 1 + 2 * p, axis=1)
+        last = jax.lax.slice_in_dim(x, 1 + h_ext - 2 * p, 1 + h_ext - p,
+                                    axis=1)
+        cfirst = jnp.repeat(jax.lax.slice_in_dim(x, 1 + p, 2 + p, axis=1),
+                            p, axis=1)
+        clast = jnp.repeat(jax.lax.slice_in_dim(x, h_ext - p, h_ext - p + 1,
+                                                axis=1), p, axis=1)
+    else:
+        size = x.shape[axis]
+        first = jax.lax.slice_in_dim(x, p, 2 * p, axis=axis)
+        last = jax.lax.slice_in_dim(x, size - 2 * p, size - p, axis=axis)
+        cfirst = jnp.repeat(jax.lax.slice_in_dim(x, p, p + 1, axis=axis),
+                            p, axis=axis)
+        clast = jnp.repeat(
+            jax.lax.slice_in_dim(x, size - p - 1, size - p, axis=axis),
+            p, axis=axis)
+    return first, last, cfirst, clast
+
+
+def _write_halo(x, top, bot, p: int, axis: int, h_ext: int):
+    """Overwrite a halo-extended leaf's halo rows with neighbor packets —
+    the write half of _refresh_halo/_refresh_halo_padded with the ppermute
+    replaced by the passed rows (identical indices, so the multislab
+    emulation is bitwise-equal to the shard_map path)."""
+    axis = axis % x.ndim
+    if x.ndim == 3 and x.shape[1] != h_ext and axis == 1:
+        hp_ext = x.shape[1]
+        top_w = jnp.concatenate(
+            [jax.lax.slice_in_dim(top, 0, 1, axis=1), top], axis=1)
+        x = jax.lax.dynamic_update_slice_in_dim(x, top_w, 0, axis=1)
+        bot_pad = jnp.repeat(jax.lax.slice_in_dim(bot, p - 1, p, axis=1),
+                             hp_ext - 1 - h_ext, axis=1)
+        bot_w = jnp.concatenate([bot, bot_pad], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(x, bot_w, 1 + h_ext - p,
+                                                   axis=1)
+    size = x.shape[axis]
+    x = jax.lax.dynamic_update_slice_in_dim(x, top, 0, axis=axis)
+    return jax.lax.dynamic_update_slice_in_dim(x, bot, size - p, axis=axis)
+
+
+def make_multislab_render(renderer: VolumetricRenderer, n: int,
+                          halo: Optional[int] = None):
+    """Single-device EMULATION of the n-shard slab pipeline: the same
+    per-shard renderer, halo data flow, and persistent-halo state as
+    make_shardmap_render, with the ppermute replaced by explicitly passed
+    neighbor edge rows and the n shards run SEQUENTIALLY on one chip.
+
+    Two uses:
+    - measure real multi-chip per-shard cost on the one available chip
+      (bench slab3_ms: per-frame total / n ~= each chip's work at n-way
+      sharding, the ICI exchange being 2*halo rows of history per frame);
+    - pin the n>1 slab math on real hardware (the CPU-mesh shard tests run
+      every Mosaic kernel in interpret mode only).
+
+    Returns (fn, init_carry) with fn(carry, scene, time_x, sc_bands,
+    vd_bands) -> (image_bands, new_carry); sc_bands/vd_bands are the
+    IH-split G-buffer bands (lists of [IH/n, IW(,3)]). One shared step jit
+    serves all shards (the slab row offset y0 is a traced argument)."""
+    cfg = renderer.config
+    w_g, h_g, d_g = cfg.grid
+    ih_g = cfg.image_height
+    assert h_g % n == 0 and ih_g % n == 0, (h_g, ih_g, n)
+    h_loc, ih_loc = h_g // n, ih_g // n
+    p = halo if halo is not None else max(cfg.reproj_window, 2)
+    assert p <= h_loc, f"halo {p} exceeds the {h_loc}-row shard"
+    assert cfg.reproj_impl in ("windowed", "pallas")
+    h_ext = h_loc + 2 * p
+    cfg_loc = dataclasses.replace(cfg, volume_height=h_ext,
+                                  image_height=ih_loc)
+    renderer_loc = VolumetricRenderer(cfg_loc)
+
+    def _map_state(state, leaf_fn):
+        """Apply leaf_fn(leaf, halo_axis) over the halo-carrying fields."""
+        acc = state.prev_accumulation
+        acc = jax.tree.map(lambda a: leaf_fn(a, 1), acc) \
+            if isinstance(acc, (tuple, list)) else leaf_fn(acc, 1)
+        m1 = lambda x: None if x is None else jax.tree.map(
+            lambda a: leaf_fn(a, 1), x)
+        return dataclasses.replace(
+            state, prev_shadow=leaf_fn(state.prev_shadow, 2),
+            prev_material_a=m1(state.prev_material_a),
+            prev_scatter=m1(state.prev_scatter),
+            prev_accumulation=acc)
+
+    def _edges(state):
+        packs = [None] * 4
+        for k in range(4):
+            packs[k] = _map_state(
+                state, lambda a, ax, k=k: _edge_slices(a, p, ax, h_ext)[k])
+        return tuple(packs)           # (first, last, cfirst, clast)
+
+    def _halo_fields(s):
+        return (s.prev_shadow, s.prev_material_a, s.prev_scatter,
+                s.prev_accumulation)
+
+    def _axes_of(s):
+        """Per-leaf halo axis, in jax.tree.flatten order of _halo_fields."""
+        return jax.tree.leaves((
+            jax.tree.map(lambda _: 2, s.prev_shadow),
+            None if s.prev_material_a is None
+            else jax.tree.map(lambda _: 1, s.prev_material_a),
+            None if s.prev_scatter is None
+            else jax.tree.map(lambda _: 1, s.prev_scatter),
+            jax.tree.map(lambda _: 1, s.prev_accumulation)))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state, top, bot, y0, scene, time_x, sc_band, vd_band):
+        # refresh halos from the neighbor packets (prev-frame interiors —
+        # the same dataflow, slice indices, and writes as _refresh_halo's
+        # ppermute form, so the emulation is bitwise-equal to shard_map)
+        flat_s, td = jax.tree.flatten(_halo_fields(state))
+        out = [_write_halo(x, tt, bb, p, ax, h_ext)
+               for x, tt, bb, ax in zip(flat_s,
+                                        jax.tree.leaves(_halo_fields(top)),
+                                        jax.tree.leaves(_halo_fields(bot)),
+                                        _axes_of(state))]
+        sh, ma, sc_, ac = jax.tree.unflatten(td, out)
+        st = dataclasses.replace(state, prev_shadow=sh, prev_material_a=ma,
+                                 prev_scatter=sc_, prev_accumulation=ac)
+        slab = Slab(y0=y0, halo=p, grid_global=cfg.grid,
+                    image_height_global=ih_g)
+        image, _, new_state = renderer_loc.render_frame(
+            st, scene, time_x, scene_color=sc_band, view_depth=vd_band,
+            slab=slab)
+        acc = new_state.prev_accumulation
+        if not isinstance(acc, (tuple, list)):
+            acc = tuple(acc[..., c] for c in range(4))
+        new_state = dataclasses.replace(new_state,
+                                        prev_accumulation=tuple(acc))
+        return image, new_state, _edges(new_state)
+
+    def init_carry(n_dir: int):
+        states = [renderer_loc.init_state(n_dir) for _ in range(n)]
+        edges = [jax.jit(_edges)(s) for s in states]
+        return states, edges
+
+    def fn(carry, scene, time_x, sc_bands, vd_bands):
+        states, edges = carry
+        new_states, new_edges, bands = [], [], []
+        for i in range(n):
+            # top halo <- shard i-1's last interior rows; bottom halo <-
+            # shard i+1's first; global edges clamp-replicate own rows
+            top = edges[i - 1][1] if i > 0 else edges[i][2]
+            bot = edges[i + 1][0] if i < n - 1 else edges[i][3]
+            y0 = jnp.float32(i * h_loc - p)
+            img, st, ed = step(states[i], top, bot, y0, scene, time_x,
+                               sc_bands[i], vd_bands[i])
+            bands.append(img)
+            new_states.append(st)
+            new_edges.append(ed)
+        return bands, (new_states, new_edges)
+
+    fn.halo = p
+    fn.n_shards = n
+    fn.h_global = h_g
+    fn.init_carry = init_carry
+    return fn
 
 
 def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
