@@ -62,7 +62,29 @@ def main():
 
     import functools
 
-    if "--slab" in sys.argv:
+    multislab = 0
+    for a in list(sys.argv):         # --multislab=N: n-shard emulation trace
+        if a.startswith("--multislab="):
+            multislab = int(a[12:])
+            sys.argv.remove(a)
+    if multislab:
+        # profile the n-shard slab EMULATION (bench.py's slab3_seq_ms scope):
+        # one shared per-shard step jit runs n times per frame — per-op sums
+        # BELOW ARE n-SHARD TOTALS; divide by n for per-shard (per-chip) cost
+        from volumetricrenderer_tpu.parallel.shard_render import \
+            make_multislab_render
+        ms_fn = make_multislab_render(r, multislab)
+        ihb = cfg.image_height // multislab
+        sc_b = [sc_col[j * ihb:(j + 1) * ihb] for j in range(multislab)]
+        vd_b = [vd[j * ihb:(j + 1) * ihb] for j in range(multislab)]
+        ms_carry = ms_fn.init_carry(scene.dir_lights.count)
+
+        def frame(carry, scene, t):
+            bands, carry = ms_fn(carry, scene, t, sc_b, vd_b)
+            return bands[-1], carry
+
+        state = ms_carry
+    elif "--slab" in sys.argv:
         # profile the shard_map slab pipeline on a 1-device mesh (the
         # multi-chip path's per-shard overhead — bench.py's slab1_ms scope)
         from volumetricrenderer_tpu.parallel.shard_render import \
@@ -99,7 +121,8 @@ def main():
         path = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))[-1]
         with gzip.open(path, "rt") as f:
             trace = json.load(f)
-        modprefix = "jit_dispatch" if "--slab" in sys.argv else "jit_frame"
+        modprefix = ("jit_step" if multislab else
+                     "jit_dispatch" if "--slab" in sys.argv else "jit_frame")
         mods = {ev.get("name", "") for ev in trace.get("traceEvents", [])
                 if ev.get("ph") == "X"}
         if any(m.startswith(modprefix) for m in mods):
@@ -143,6 +166,9 @@ def main():
         counts[ev["name"]] += 1
 
     print(f"trace: {path}")
+    win_ms = sum(b - a for a, b in windows) / 1e3 / 3.0
+    print(f"module-window device time: {win_ms:.3f} ms/frame "
+          f"({len(windows)} windows)")
     for name, ms in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms:9.3f} ms  x{counts[name]:<3d} {name}")
 

@@ -55,7 +55,7 @@ def measure(n, renderer, scene, scene_color, view_depth,
 
 
 def main():
-    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [3, 5]
+    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [3, 5, 9]
     cfg = dataclasses.replace(FULL_CONFIG, shadow_mode="raycast")
     renderer = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
@@ -63,6 +63,10 @@ def main():
     scene_color, view_depth = jax.block_until_ready(
         jax.jit(renderer.render_scene_inputs)(scene))
     for n in ns:
+        if cfg.volume_height % n or cfg.image_height % n:
+            print(f"n={n}: skipped (grid {cfg.volume_height} rows / image "
+                  f"{cfg.image_height} not divisible)", flush=True)
+            continue
         t0 = time.perf_counter()
         total_ms, checksum = measure(n, renderer, scene, scene_color,
                                      view_depth)
