@@ -315,14 +315,17 @@ def main():
         from volumetricrenderer_tpu.parallel.shard_render import \
             make_multislab_render
         n = 3
-        fn = make_multislab_render(renderer, n)
-        carry = fn.init_carry(scene.dir_lights.count)
         ihb = cfg.image_height // n
         sc_b = [scene_color[j * ihb:(j + 1) * ihb] for j in range(n)]
         vd_b = [view_depth[j * ihb:(j + 1) * ihb] for j in range(n)]
+        # fixed engine inputs — the same constant-folding convention as the
+        # unsharded frame jit and run_slab1, so the per-shard number is
+        # comparable (shard_render.make_multislab_render docstring)
+        fn = make_multislab_render(renderer, n, fixed_inputs=(sc_b, vd_b))
+        carry = fn.init_carry(scene.dir_lights.count)
 
         def step(carry, t):
-            bands, carry = fn(carry, scene, t, sc_b, vd_b)
+            bands, carry = fn(carry, scene, t)
             # all 3 shard dispatches precede the last band in program
             # order; blocking on it blocks the frame
             return bands[-1], carry

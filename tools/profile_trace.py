@@ -73,14 +73,14 @@ def main():
         # BELOW ARE n-SHARD TOTALS; divide by n for per-shard (per-chip) cost
         from volumetricrenderer_tpu.parallel.shard_render import \
             make_multislab_render
-        ms_fn = make_multislab_render(r, multislab)
         ihb = cfg.image_height // multislab
         sc_b = [sc_col[j * ihb:(j + 1) * ihb] for j in range(multislab)]
         vd_b = [vd[j * ihb:(j + 1) * ihb] for j in range(multislab)]
+        ms_fn = make_multislab_render(r, multislab, fixed_inputs=(sc_b, vd_b))
         ms_carry = ms_fn.init_carry(scene.dir_lights.count)
 
         def frame(carry, scene, t):
-            bands, carry = ms_fn(carry, scene, t, sc_b, vd_b)
+            bands, carry = ms_fn(carry, scene, t)
             return bands[-1], carry
 
         state = ms_carry

@@ -27,14 +27,16 @@ from volumetricrenderer_tpu.parallel.shard_render import make_multislab_render
 def measure(n, renderer, scene, scene_color, view_depth,
             n_batches=6, n_frames=12):
     cfg = renderer.config
-    fn = make_multislab_render(renderer, n)
-    carry = fn.init_carry(scene.dir_lights.count)
     ihb = cfg.image_height // n
     sc_b = [scene_color[j * ihb:(j + 1) * ihb] for j in range(n)]
     vd_b = [view_depth[j * ihb:(j + 1) * ihb] for j in range(n)]
+    # fixed engine inputs: same constant-folding convention as the unsharded
+    # frame jit / bench slab scopes (make_multislab_render docstring)
+    fn = make_multislab_render(renderer, n, fixed_inputs=(sc_b, vd_b))
+    carry = fn.init_carry(scene.dir_lights.count)
 
     def step(carry, t):
-        bands, carry = fn(carry, scene, t, sc_b, vd_b)
+        bands, carry = fn(carry, scene, t)
         return bands[-1], carry
 
     out = None

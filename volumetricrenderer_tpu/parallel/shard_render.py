@@ -80,66 +80,30 @@ def _crop_rows(x: jax.Array, p: int, axis: int) -> jax.Array:
 
 
 def _refresh_halo(x: jax.Array, p: int, axis_name: str, n: int,
-                  axis: int) -> jax.Array:
+                  axis: int, h_ext: int) -> jax.Array:
     """Overwrite the halo rows of an ALREADY-EXTENDED slab (persistent-halo
     state) with the neighbors' freshly-computed interior edge rows — the
     same values _halo_rows would concat, but as two p-row dynamic updates
     into the (donated) extended buffer instead of a full-volume concat+crop
     round trip per frame. Rows [0, p) and [size-p, size) are the halos;
-    interior is [p, size-p)."""
-    axis = axis % x.ndim
-    size = x.shape[axis]
-    idx = jax.lax.axis_index(axis_name)
-    last_int = jax.lax.slice_in_dim(x, size - 2 * p, size - p, axis=axis)
-    first_int = jax.lax.slice_in_dim(x, p, 2 * p, axis=axis)
-    top = jax.lax.ppermute(last_int, axis_name,
-                           [(s, s + 1) for s in range(n - 1)])
-    edge0 = jnp.repeat(jax.lax.slice_in_dim(x, p, p + 1, axis=axis), p,
-                       axis=axis)
-    top = jnp.where(idx == 0, edge0, top)
-    bot = jax.lax.ppermute(first_int, axis_name,
-                           [(s, s - 1) for s in range(1, n)])
-    edge1 = jnp.repeat(jax.lax.slice_in_dim(x, size - p - 1, size - p,
-                                            axis=axis), p, axis=axis)
-    bot = jnp.where(idx == n - 1, edge1, bot)
-    x = jax.lax.dynamic_update_slice_in_dim(x, top, 0, axis=axis)
-    return jax.lax.dynamic_update_slice_in_dim(x, bot, size - p, axis=axis)
+    interior is [p, size-p). A 3D leaf on axis 1 whose row count differs
+    from h_ext is in the zgather PADDED layout (interior at rows
+    [1, 1+h_ext); the pad rows clamp onto the refreshed halo rows and are
+    rewritten too — _edge_slices/_write_halo carry the index arithmetic).
 
-
-def _refresh_halo_padded(x: jax.Array, p: int, axis_name: str, n: int,
-                         h_ext: int) -> jax.Array:
-    """_refresh_halo for a halo-extended plane in the zgather PADDED layout
-    [DLANES, hp_ext, WSTRIDE] (ops/pallas/zg_composite.padded_dims): interior
-    rows live at padded rows [1, 1+h_ext); pad row 0 and rows [1+h_ext,
-    hp_ext) clamp to the adjacent interior row, so the halo refresh also
-    rewrites them (they clamp onto refreshed halo rows). Columns travel
-    verbatim — the neighbor's col pads are the correct col pads."""
-    axis = 1
-    hp_ext = x.shape[axis]
+    Composed from _edge_slices (what each shard sends) + ppermute +
+    _write_halo (where it lands): the multislab emulation replaces ONLY the
+    ppermute with explicitly passed packets, so both paths share the slice/
+    write indices by construction (bitwise-equal, test-pinned)."""
+    first, last, cfirst, clast = _edge_slices(x, p, axis, h_ext)
     idx = jax.lax.axis_index(axis_name)
-    last_int = jax.lax.slice_in_dim(x, 1 + h_ext - 2 * p, 1 + h_ext - p,
-                                    axis=axis)
-    first_int = jax.lax.slice_in_dim(x, 1 + p, 1 + 2 * p, axis=axis)
-    top = jax.lax.ppermute(last_int, axis_name,
+    top = jax.lax.ppermute(last, axis_name,
                            [(s, s + 1) for s in range(n - 1)])
-    edge0 = jnp.repeat(jax.lax.slice_in_dim(x, 1 + p, 2 + p, axis=axis), p,
-                       axis=axis)
-    top = jnp.where(idx == 0, edge0, top)
-    bot = jax.lax.ppermute(first_int, axis_name,
+    top = jnp.where(idx == 0, cfirst, top)
+    bot = jax.lax.ppermute(first, axis_name,
                            [(s, s - 1) for s in range(1, n)])
-    edge1 = jnp.repeat(jax.lax.slice_in_dim(x, h_ext - p, h_ext - p + 1,
-                                            axis=axis), p, axis=axis)
-    bot = jnp.where(idx == n - 1, edge1, bot)
-    # rows [0, 1+p): pad row 0 = clamp of (refreshed) halo row 0
-    top_w = jnp.concatenate(
-        [jax.lax.slice_in_dim(top, 0, 1, axis=axis), top], axis=axis)
-    x = jax.lax.dynamic_update_slice_in_dim(x, top_w, 0, axis=axis)
-    # rows [1+h_ext-p, hp_ext): halo rows, then pad rows = clamp of the last
-    bot_pad = jnp.repeat(jax.lax.slice_in_dim(bot, p - 1, p, axis=axis),
-                         hp_ext - 1 - h_ext, axis=axis)
-    bot_w = jnp.concatenate([bot, bot_pad], axis=axis)
-    return jax.lax.dynamic_update_slice_in_dim(x, bot_w, 1 + h_ext - p,
-                                               axis=axis)
+    bot = jnp.where(idx == n - 1, clast, bot)
+    return _write_halo(x, top, bot, p, axis, h_ext)
 
 
 def crop_sharded_state(state: FrameState, n: int, halo: int,
@@ -157,19 +121,28 @@ def crop_sharded_state(state: FrameState, n: int, halo: int,
     layout additionally need `grid_dhw` (the global (D, H, W)) and come back
     as plain [D, H, W] planes."""
     from volumetricrenderer_tpu.ops.pallas.zg_composite import (DLANES,
-                                                                WSTRIDE)
+                                                                WSTRIDE,
+                                                                padded_dims)
 
     def crop(x, axis):
         axis = axis % x.ndim
-        if (x.ndim == 3 and x.shape[0] == DLANES and x.shape[2] == WSTRIDE
-                and h_global is not None and x.shape[1] != h_global):
+        if x.ndim == 3 and x.shape[0] == DLANES and x.shape[2] == WSTRIDE:
+            # zgather padded layout, detected by its signature alone (NOT
+            # gated on h_global): without this, a 3-arg call would fall
+            # into the generic row crop below and silently treat the pad
+            # rows as halo rows — fail loudly instead.
+            if grid_dhw is None:
+                raise ValueError(
+                    "acc plane is in the zgather padded layout "
+                    f"{x.shape}: crop_sharded_state needs grid_dhw "
+                    "(and h_global) to crop it")
             # padded-extended plane [DLANES, n*hp_ext, WSTRIDE]: strip the
             # depth/col pads and the per-shard row pads + halos
-            assert grid_dhw is not None, \
-                "padded acc planes need grid_dhw to crop"
             d, h, w = grid_dhw
-            hp_ext = x.shape[1] // n
             h_loc = h // n
+            hp_ext = padded_dims(h_loc + 2 * halo)[0]
+            assert x.shape[1] == n * hp_ext, \
+                (x.shape, n, halo, grid_dhw)
             xs = x.reshape(DLANES, n, hp_ext, WSTRIDE)
             xs = xs[:d, :, 1 + halo:1 + halo + h_loc, 1:w + 1]
             return xs.reshape(d, h, w)
@@ -235,7 +208,7 @@ def _edge_slices(x, p: int, axis: int, h_ext: int):
 
 def _write_halo(x, top, bot, p: int, axis: int, h_ext: int):
     """Overwrite a halo-extended leaf's halo rows with neighbor packets —
-    the write half of _refresh_halo/_refresh_halo_padded with the ppermute
+    the write half of _refresh_halo with the ppermute
     replaced by the passed rows (identical indices, so the multislab
     emulation is bitwise-equal to the shard_map path)."""
     axis = axis % x.ndim
@@ -255,7 +228,7 @@ def _write_halo(x, top, bot, p: int, axis: int, h_ext: int):
 
 
 def make_multislab_render(renderer: VolumetricRenderer, n: int,
-                          halo: Optional[int] = None):
+                          halo: Optional[int] = None, fixed_inputs=None):
     """Single-device EMULATION of the n-shard slab pipeline: the same
     per-shard renderer, halo data flow, and persistent-halo state as
     make_shardmap_render, with the ppermute replaced by explicitly passed
@@ -268,10 +241,20 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
     - pin the n>1 slab math on real hardware (the CPU-mesh shard tests run
       every Mosaic kernel in interpret mode only).
 
-    Returns (fn, init_carry) with fn(carry, scene, time_x, sc_bands,
-    vd_bands) -> (image_bands, new_carry); sc_bands/vd_bands are the
-    IH-split G-buffer bands (lists of [IH/n, IW(,3)]). One shared step jit
-    serves all shards (the slab row offset y0 is a traced argument)."""
+    Returns fn with fn(carry, scene, time_x, sc_bands, vd_bands) ->
+    (image_bands, new_carry) and fn.init_carry(n_dir) building the initial
+    carry; sc_bands/vd_bands are the IH-split G-buffer bands (lists of
+    [IH/n, IW(,3)]). One shared step jit serves all shards (the slab row
+    offset y0 is a traced argument).
+
+    fixed_inputs=(sc_bands, vd_bands): close each shard's G-buffer band
+    over its step jit as a compile-time CONSTANT (fn then takes (carry,
+    scene, time_x)) — the same convention as
+    make_shardmap_render(fixed_inputs=...) and the unsharded bench frame
+    jit (which closes over scene_color/view_depth), so the emulation
+    measures the same constant-folded program (composite fz re-layout,
+    ~0.4 ms/frame at FULL size) the paths it is compared against run.
+    Costs n distinct step executables (one per band constant)."""
     cfg = renderer.config
     w_g, h_g, d_g = cfg.grid
     ih_g = cfg.image_height
@@ -319,7 +302,6 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
             else jax.tree.map(lambda _: 1, s.prev_scatter),
             jax.tree.map(lambda _: 1, s.prev_accumulation)))
 
-    @functools.partial(jax.jit, donate_argnums=0)
     def step(state, top, bot, y0, scene, time_x, sc_band, vd_band):
         # refresh halos from the neighbor packets (prev-frame interiors —
         # the same dataflow, slice indices, and writes as _refresh_halo's
@@ -345,12 +327,22 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
                                         prev_accumulation=tuple(acc))
         return image, new_state, _edges(new_state)
 
+    if fixed_inputs is not None:
+        sc_fix, vd_fix = fixed_inputs
+        steps = [jax.jit(functools.partial(step, sc_band=sc_fix[i],
+                                           vd_band=vd_fix[i]),
+                         donate_argnums=0) for i in range(n)]
+    else:
+        shared = jax.jit(step, donate_argnums=0)
+        steps = [shared] * n
+
     def init_carry(n_dir: int):
         states = [renderer_loc.init_state(n_dir) for _ in range(n)]
-        edges = [jax.jit(_edges)(s) for s in states]
+        edges_of = jax.jit(_edges)      # one trace/compile for all shards
+        edges = [edges_of(s) for s in states]
         return states, edges
 
-    def fn(carry, scene, time_x, sc_bands, vd_bands):
+    def fn(carry, scene, time_x, sc_bands=None, vd_bands=None):
         states, edges = carry
         new_states, new_edges, bands = [], [], []
         for i in range(n):
@@ -359,8 +351,10 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
             top = edges[i - 1][1] if i > 0 else edges[i][2]
             bot = edges[i + 1][0] if i < n - 1 else edges[i][3]
             y0 = jnp.float32(i * h_loc - p)
-            img, st, ed = step(states[i], top, bot, y0, scene, time_x,
-                               sc_bands[i], vd_bands[i])
+            args = (states[i], top, bot, y0, scene, time_x)
+            if fixed_inputs is None:
+                args += (sc_bands[i], vd_bands[i])
+            img, st, ed = steps[i](*args)
             bands.append(img)
             new_states.append(st)
             new_edges.append(ed)
@@ -429,17 +423,19 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         def ext1(a):
             # acc-plane leaves may arrive in the zgather PADDED layout
             # ([DLANES, hp_ext, WSTRIDE], renderer emits + consumes it when
-            # pipeline.zgather_slab_eligible) — refresh their halos in place
-            if extended and a.shape[1] != h_ext:
-                return _refresh_halo_padded(a, p, axis_name, n, h_ext)
-            return (_refresh_halo if extended else _halo_rows)(
-                a, p, axis_name, n, 1)
+            # pipeline.zgather_slab_eligible) — _refresh_halo handles both
+            # layouts in place (padded detected by the row count)
+            if extended:
+                return _refresh_halo(a, p, axis_name, n, 1, h_ext)
+            return _halo_rows(a, p, axis_name, n, 1)
 
-        ext = _refresh_halo if extended else _halo_rows
         halo1 = lambda x: None if x is None else jax.tree.map(ext1, x)
+        sh_ext = _refresh_halo(state.prev_shadow, p, axis_name, n, 2,
+                               h_ext) if extended \
+            else _halo_rows(state.prev_shadow, p, axis_name, n, 2)
         state_ext = dataclasses.replace(
             state,
-            prev_shadow=ext(state.prev_shadow, p, axis_name, n, 2),
+            prev_shadow=sh_ext,
             prev_material_a=halo1(state.prev_material_a),
             prev_scatter=halo1(state.prev_scatter),
             prev_accumulation=halo1(state.prev_accumulation))

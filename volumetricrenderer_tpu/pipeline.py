@@ -100,13 +100,16 @@ def _sample_noise_lowres(cfg: RenderConfig, params: FroxelParams,
     wrap-trilinear gathers exactly like the baked visibility volumes
     (ops/pallas/visibility.py coordinate contract)."""
     from volumetricrenderer_tpu.ops.pallas.visibility import (
-        low_res_world_positions, upsample_mats)
+        low_res_world_positions, upsample_mats, upsample_mats_y)
 
     d, h, w = cfg.grid_dhw
     world = low_res_world_positions(cfg, params, view_to_world, jitter, ss)
     low = _sample_noise(medium, world, time_x)             # [DL, HL, WL]
     az = jnp.asarray(upsample_mats(d, low.shape[0], ss))
-    ay = jnp.asarray(upsample_mats(h, low.shape[1], ss))
+    # Y carries the slab phase like the sample positions do (visibility.py
+    # module docstring) — identical to the static mats at y0 = 0, and kept
+    # in lockstep with low_res_world_positions for any future slab caller.
+    ay = upsample_mats_y(h, low.shape[1], ss, params.y0)
     ax = jnp.asarray(upsample_mats(w, low.shape[2], ss))
     up = jnp.einsum("dk,khw->dhw", az, low,
                     precision=jax.lax.Precision.HIGHEST)
