@@ -24,12 +24,12 @@ extern "C" {
 
 // Grid geometry for a mesh AABB: mirrors voxelize_triangles' header math.
 // Returns dims[3], origin[3] (f32), voxel[3] (f32).
-void vr_voxel_grid(const float* verts, int64_t n_verts, int res, double pad,
+void vr_voxel_grid(const double* verts, int64_t n_verts, int res, double pad,
                    int32_t* dims_out, float* origin_out, float* voxel_out) {
     double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
     for (int64_t i = 0; i < n_verts; ++i) {
         for (int a = 0; a < 3; ++a) {
-            double v = (double)verts[i * 3 + a];
+            double v = verts[i * 3 + a];
             lo[a] = std::min(lo[a], v);
             hi[a] = std::max(hi[a], v);
         }
@@ -57,14 +57,14 @@ void vr_voxel_grid(const float* verts, int64_t n_verts, int res, double pad,
 // come from vr_voxel_grid(verts, res, pad); the double-precision AABB /
 // voxel math is recomputed here so the cell indices match numpy's float64
 // path exactly (the f32 origin/voxel returned to Python are display-only).
-void vr_voxelize(const float* verts, int64_t n_verts,
+void vr_voxelize(const double* verts, int64_t n_verts,
                  const int32_t* tris, int64_t n_tris,
                  int res, double pad, const int32_t* dims, uint8_t* occ_out) {
     const int64_t nx = dims[0], ny = dims[1], nz = dims[2];
     double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
     for (int64_t i = 0; i < n_verts; ++i)
         for (int a = 0; a < 3; ++a) {
-            double v = (double)verts[i * 3 + a];
+            double v = verts[i * 3 + a];
             lo[a] = std::min(lo[a], v);
             hi[a] = std::max(hi[a], v);
         }
@@ -83,9 +83,9 @@ void vr_voxelize(const float* verts, int64_t n_verts,
     for (int64_t t = 0; t < n_tris; ++t) {
         double a[3], b[3], c[3];
         for (int k = 0; k < 3; ++k) {
-            a[k] = (double)verts[(int64_t)tris[t * 3 + 0] * 3 + k];
-            b[k] = (double)verts[(int64_t)tris[t * 3 + 1] * 3 + k];
-            c[k] = (double)verts[(int64_t)tris[t * 3 + 2] * 3 + k];
+            a[k] = verts[(int64_t)tris[t * 3 + 0] * 3 + k];
+            b[k] = verts[(int64_t)tris[t * 3 + 1] * 3 + k];
+            c[k] = verts[(int64_t)tris[t * 3 + 2] * 3 + k];
         }
         auto elen = [](const double* p, const double* q) {
             double s = 0.0;
@@ -93,8 +93,16 @@ void vr_voxelize(const float* verts, int64_t n_verts,
             return std::sqrt(s);
         };
         double emax = std::max(elen(a, b), std::max(elen(a, c), elen(b, c)));
-        int n = (int)(emax / step) + 1;          // trunc + 1, as numpy
-        n = std::min(std::max(n, 1), 64);
+        // numpy: clip(int64(emax/step) + 1, 1, 64). Branch BEFORE the int
+        // cast — a near-degenerate grid (pad=0 on a near-planar mesh drives
+        // step -> ~0) would otherwise overflow the cast (UB). numpy's own
+        // int64 cast of NaN / inf / >= 2^63 yields INT64_MIN (x86
+        // cvttsd2si), which +1 then clips to 1 — mirror that exactly.
+        double ratio = emax / step;
+        int n;
+        if (!(ratio >= 0.0) || ratio >= 9223372036854775808.0) n = 1;
+        else if (ratio >= 63.0) n = 64;
+        else n = (int)ratio + 1;
         for (int iu = 0; iu <= n; ++iu) {
             double u = n ? (double)iu / (double)n : 0.0;
             for (int iw = 0; iw <= n - iu; ++iw) {

@@ -67,6 +67,41 @@ def test_tree_mesh_end_to_end_matches():
         assert no == np.float32(po)
 
 
+@needs_native
+def test_float64_verts_match_numpy_exactly():
+    """f64 verts keep full precision in the native path (no f32 pre-round):
+    samples near voxel boundaries must land in the same cells as the numpy
+    fallback, which computes from the caller's full-precision values."""
+    rng = np.random.default_rng(11)
+    verts = (rng.random((90, 3)) - 0.5) * 4.0       # float64, odd mantissas
+    verts += rng.random((90, 3)) * 1e-9             # sub-f32-ulp detail
+    tris = np.arange(90, dtype=np.int32).reshape(30, 3)
+    occ_n, org_n, vox_n = native.voxelize_triangles(verts, tris, res=17)
+    occ_p, org_p, vox_p = voxelize.voxelize_triangles(verts, tris, res=17)
+    np.testing.assert_array_equal(occ_n, occ_p)
+    np.testing.assert_array_equal(org_n, org_p)
+    np.testing.assert_array_equal(vox_n, vox_p)
+
+
+@needs_native
+def test_degenerate_planar_pad0_matches_numpy():
+    """pad=0 on an exactly-planar mesh: step -> 0, sample-count ratio -> inf.
+    numpy's int64 cast of inf gives INT64_MIN -> clip to 1 sample; the native
+    core must take the same branch instead of a UB int32 cast."""
+    rng = np.random.default_rng(5)
+    verts = (rng.random((45, 3)) - 0.5) * 3.0
+    verts[:, 2] = 0.25                               # exactly planar in z
+    tris = np.arange(45, dtype=np.int32).reshape(15, 3)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        occ_p, org_p, vox_p = voxelize.voxelize_triangles(
+            verts, tris, res=14, pad=0.0)
+        occ_n, org_n, vox_n = native.voxelize_triangles(
+            verts, tris, res=14, pad=0.0)
+    np.testing.assert_array_equal(occ_n, occ_p)
+    np.testing.assert_array_equal(org_n, org_p)
+    np.testing.assert_array_equal(vox_n, vox_p)
+
+
 def test_fallback_works_without_native(monkeypatch):
     """With the library unavailable the API transparently runs numpy."""
     monkeypatch.setattr(native, "_LIB", None)

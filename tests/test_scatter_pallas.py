@@ -64,6 +64,23 @@ def test_pallas_scatter_no_lights_falls_back():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_pallas_scatter_no_dir_lights_matches_xla():
+    """n_dir == 0 branch: local lights only — the kernel takes the 1-deep
+    dummy shadow placeholder (constant index map, nothing streamed) and must
+    still match the XLA path."""
+    scene = dataclasses.replace(_scene(), dir_lights=DirectionalLights.empty())
+    r_x = VolumetricRenderer(CFG)
+    r_p = VolumetricRenderer(dataclasses.replace(CFG, scatter_impl="pallas"))
+    _, aux_x, _ = jax.jit(lambda s, sc: r_x.render_frame(s, sc, 0.0))(
+        r_x.init_state(0), scene)
+    _, aux_p, _ = jax.jit(lambda s, sc: r_p.render_frame(s, sc, 0.0))(
+        r_p.init_state(0), scene)
+    a = np.asarray(aux_x["scatter"])
+    b = np.asarray(aux_p["scatter"])
+    rel = np.abs(a - b) / (1.0 + np.abs(a))
+    assert (rel > 1e-4).mean() < 2e-3, rel.max()
+
+
 def test_pallas_scatter_culling_far_light_exact():
     """A light whose range sphere misses the whole volume must contribute 0
     in both paths (culling must stay conservative/exact)."""

@@ -57,10 +57,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.vr_voxel_grid.argtypes = [f32p, ctypes.c_int64, ctypes.c_int,
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.vr_voxel_grid.argtypes = [f64p, ctypes.c_int64, ctypes.c_int,
                                       ctypes.c_double, i32p, f32p, f32p]
         lib.vr_voxel_grid.restype = None
-        lib.vr_voxelize.argtypes = [f32p, ctypes.c_int64, i32p,
+        lib.vr_voxelize.argtypes = [f64p, ctypes.c_int64, i32p,
                                     ctypes.c_int64, ctypes.c_int,
                                     ctypes.c_double, i32p, u8p]
         lib.vr_voxelize.restype = None
@@ -85,7 +86,10 @@ def voxelize_triangles(verts: np.ndarray, tris: np.ndarray, res: int = 24,
     if lib is None:
         from volumetricrenderer_tpu.models import voxelize
         return voxelize.voxelize_triangles(verts, tris, res, pad)
-    v = np.ascontiguousarray(np.asarray(verts, np.float32))
+    # float64, matching models/voxelize.py's np.asarray(verts, np.float64) —
+    # the AABB / sample positions must come from the caller's full-precision
+    # values or native and fallback bakes diverge near voxel boundaries
+    v = np.ascontiguousarray(np.asarray(verts, np.float64))
     t = np.ascontiguousarray(np.asarray(tris, np.int32))
     dims = np.zeros(3, np.int32)
     origin = np.zeros(3, np.float32)

@@ -318,7 +318,7 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
             # any-hit shadow ray towards the light (prims from SMEM; shared
             # implementation, ops/pallas/occlude.py — bit-identical to the
             # previous inline block: sum/negation symmetry is IEEE-exact)
-            from volumetricrenderer_tpu.ops.pallas.occlude import any_hit, pack_boxes
+            from volumetricrenderer_tpu.ops.pallas.occlude import any_hit
             occ = any_hit(planes_ref, spheres_ref, boxes_ref, hf_ref,
                           wx, wy, wz, -ldx, -ldy, -ldz, dist - 0.05,
                           n_planes=n_planes, n_spheres=n_spheres,
@@ -378,7 +378,7 @@ def scatter_slice(par_ref, lights_ref, dirs_ref, order_ref, count_ref,
 
 
 def _kernel(*refs,
-            grid_whd: Tuple[int, int, int], n_lights: int, n_dir: int,
+            grid_whd: Tuple[int, int, int], n_dir: int,
             jitter_dir: bool, n_planes: int, n_spheres: int, n_boxes: int,
             h_glob: int, media_static: tuple = None, hf_static: tuple = None,
             vis_lowres: tuple = None, fractional: bool = False,
@@ -403,7 +403,7 @@ def _kernel(*refs,
          ss_r, ss_g, ss_b, pg_ref, shadow_ref, out_r, out_g, out_b) = refs
         material_src = ("planes", (ss_r[0], ss_g[0], ss_b[0], pg_ref[0]))
     zi = pl.program_id(0)
-    shadow_planes = [shadow_ref[li, 0] for li in range(max(n_dir, 1))]
+    shadow_planes = [shadow_ref[li, 0] for li in range(n_dir)]
     ar, ag, ab, ext = scatter_slice(
         par_ref, lights_ref, dirs_ref, order_ref, count_ref, planes_ref,
         spheres_ref, boxes_ref, hf_ref, material_src, vis_refs, zi,
@@ -463,10 +463,10 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         shadow_in = shadow_volume
     else:
         dirs = jnp.zeros((1, 8), jnp.float32)
-        shadow_in = jnp.ones((1, d, h, w), jnp.float32)
-
-    def pad4(a, n):
-        return a if n else jnp.zeros((1, 4), jnp.float32)
+        # 1-deep dummy + a constant index map below: the unread placeholder
+        # is never re-streamed into VMEM per grid step (a full [1, D, H, W]
+        # dummy with the per-slice map cost ~D*H*W*4 bytes/frame of waste)
+        shadow_in = jnp.ones((1, 1, h, w), jnp.float32)
 
     planes = jnp.concatenate([geometry.plane_normal,
                               geometry.plane_d[:, None]], axis=-1)
@@ -519,7 +519,7 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
         vis_inputs = (vis, vis, ay, axt)
 
     kernel = functools.partial(
-        _kernel, grid_whd=grid_whd, n_lights=lights.shape[0], n_dir=n_dir,
+        _kernel, grid_whd=grid_whd, n_dir=n_dir,
         jitter_dir=jitter_dir, n_planes=n_planes, n_spheres=n_spheres,
         n_boxes=n_boxes, h_glob=params.grid[1], media_static=media_static,
         hf_static=hf_static, vis_lowres=vis_lowres,
@@ -533,7 +533,8 @@ def scatter_local_pallas(params, view_to_world, camera_pos, jitter,
     plane_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     shadow_spec = pl.BlockSpec((shadow_in.shape[0], 1, h, w),
-                               lambda i: (0, i, 0, 0),
+                               (lambda i: (0, i, 0, 0)) if n_dir
+                               else (lambda i: (0, 0, 0, 0)),
                                memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((d, h, w), jnp.float32)
 

@@ -59,6 +59,19 @@ def padded_dims(h: int) -> Tuple[int, int]:
     return (nblk + 1) * HB, WSTRIDE
 
 
+def _rows_per_step(h: int) -> int:
+    """Unshuffle rows per lax.map step: swept on TPU
+    (tools/probe_unshuffle_nb.py) — monotone win up to nb=45 at h=135
+    (8.88 -> 7.92 ms/frame: fewer steps amortize the per-step
+    broadcast/copy overhead), single-step (nb=h) regresses to the
+    whole-image strided transpose (9.17). Auto = largest divisor of h
+    <= 45 that keeps >= 3 map steps; NB (probe knob) overrides."""
+    if NB and h % NB == 0:
+        return NB
+    cap = max(1, min(45, h // 3))
+    return max(n for n in range(1, cap + 1) if h % n == 0)
+
+
 def _kernel(*refs, w: int, d: int, cp: int, n_planes: int, nwin: int = 2,
             sub: int = 0):
     """fz_ref [HB, WSTRIDE, cp]; w9_ref [9, 128]; then per plane nwin block
@@ -187,14 +200,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         fz4 = fz_texel.reshape(h, ky, 8, w, kx, 8)
         # tent weights stay those of the PARENT py x px cell: sub-image
         # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
-        w_full = np.zeros((3, 3, py, px), np.float32)
-        fy = (np.arange(py) + 0.5) / py - 0.5
-        fx = (np.arange(px) + 0.5) / px - 0.5
-        for dd in (-1, 0, 1):
-            wy = np.maximum(0.0, 1.0 - np.abs(fy - dd))
-            for e in (-1, 0, 1):
-                wx = np.maximum(0.0, 1.0 - np.abs(fx - e))
-                w_full[dd + 1, e + 1] = np.outer(wy, wx)
+        w_full = _cell_weights(py, px).reshape(3, 3, py, px)
         cells = []
         for a in range(ky):
             row = []
@@ -209,9 +215,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
 
             cells.append(row)
 
-        nb = NB if (NB and h % NB == 0) \
-            else max(n for n in range(1, max(1, min(45, h // 3)) + 1)
-                     if h % n == 0)
+        nb = _rows_per_step(h)
 
         def rows(y0):
             outs_r = []
@@ -291,14 +295,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     if UNSHUFFLE == "whole":
         return tuple(o.reshape(h, w, py, px).transpose(0, 2, 1, 3)
                      .reshape(ih, iw) for o in outs)
-    # rows per step: swept on TPU (tools/probe_unshuffle_nb.py) — monotone
-    # win up to nb=45 at h=135 (8.88 -> 7.92 ms/frame: fewer steps amortize
-    # the per-step broadcast/copy overhead), single-step (nb=h) regresses to
-    # the whole-image strided transpose (9.17). Auto = largest divisor of h
-    # <= 45 that keeps >= 3 map steps.
-    cap = max(1, min(45, h // 3))
-    nb = NB if (NB and h % NB == 0) \
-        else max(n for n in range(1, cap + 1) if h % n == 0)
+    nb = _rows_per_step(h)
     cast = (lambda x: x.astype(jnp.bfloat16)) if UNSHUFFLE == "bf16" \
         else (lambda x: x)
 

@@ -261,7 +261,8 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
     assert h_g % n == 0 and ih_g % n == 0, (h_g, ih_g, n)
     h_loc, ih_loc = h_g // n, ih_g // n
     p = halo if halo is not None else max(cfg.reproj_window, 2)
-    assert p <= h_loc, f"halo {p} exceeds the {h_loc}-row shard"
+    assert 1 <= p <= h_loc, \
+        f"halo {p} must be in [1, {h_loc}] (composite tents read row -1)"
     assert cfg.reproj_impl in ("windowed", "pallas")
     h_ext = h_loc + 2 * p
     cfg_loc = dataclasses.replace(cfg, volume_height=h_ext,
@@ -394,7 +395,8 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
         f"H={h_g} and IH={ih_g} must divide the mesh size {n}"
     h_loc, ih_loc = h_g // n, ih_g // n
     p = halo if halo is not None else max(cfg.reproj_window, 2)
-    assert p <= h_loc, f"halo {p} exceeds the {h_loc}-row shard"
+    assert 1 <= p <= h_loc, \
+        f"halo {p} must be in [1, {h_loc}] (composite tents read row -1)"
     # The gather reprojection samples the true (unbounded) global position;
     # only the windowed impls' bounded support fits the halo overcompute.
     assert cfg.reproj_impl in ("windowed", "pallas"), \

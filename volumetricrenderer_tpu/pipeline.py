@@ -770,6 +770,7 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
                 interpret=jax.default_backend() != "tpu", prepadded=True,
                 row_off=int(slab.halo), return_planes=return_planes)
         if (cfg.composite_impl == "zgather" and h_out > 0 and d <= 128
+                and int(slab.halo) >= 1        # slice below reads row p0-1
                 and ih == py_s * h_out and (h_out % 3 == 0 or h_out % 5 == 0)
                 and (py_s * px_s == 64
                      or (py_s % 8 == 0 and px_s % 8 == 0))):
