@@ -86,6 +86,46 @@ def test_shardmap_pallas_render_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_shardmap_fast_vertical_motion_matches_single_device():
+    """Seam exactness under multi-row reprojection offsets: the default halo
+    must cover the COMPOSED stencil (warp +-reproj_window, integrate +-1,
+    composite y-tent +-1 => reproj_window + 2). A camera moving ~3 froxel
+    rows per frame vertically makes seam rows warp-read rows the old
+    max(k, 2) halo clamped locally (diverging from the unsharded grid);
+    with halo = k + 2 the match stays exact."""
+    renderer = VolumetricRenderer(CFG)
+    base = demo_scene(aspect=CFG.image_width / CFG.image_height)
+
+    def move_y(scene, dy):
+        cam = scene.camera
+        cam2 = dataclasses.replace(
+            cam, position=cam.position + jnp.asarray([0.0, dy, 0.0],
+                                                     jnp.float32))
+        return dataclasses.replace(scene, camera=cam2)
+
+    scenes = [move_y(base, 1.0 * i) for i in range(3)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, _, new_state = renderer.render_frame(state, scene, t,
+                                                  scene_color=sc,
+                                                  view_depth=vd)
+        return img, new_state
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:2], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    assert fn.halo == CFG.reproj_window + 2
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"frame {i}")
+
+
 def test_shardmap_xla_impls_match_single_device():
     """The XLA impl set under the same slab machinery (windowed reproj)."""
     cfg = dataclasses.replace(CFG, scatter_impl="xla", dir_shadow_impl="xla",

@@ -51,61 +51,13 @@ ALIAS_STATE = True  # input_output_aliases: write the blended shadow/acc
                     # copies/glue tail).
 
 from volumetricrenderer_tpu.ops.pallas.dir_shadow import dir_shadow_slice
+from volumetricrenderer_tpu.ops.pallas.integrate import make_xy_blend
 from volumetricrenderer_tpu.ops.pallas.scatter import scatter_slice
 from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
+                                                        _reproj_offsets,
                                                         _tent_pass,
                                                         _tent_weights,
                                                         pack_blend_params)
-
-
-def _reproj_offsets(bpar_ref, z, grid_whd, h_glob, k, with_jitter: bool):
-    """Shared blend geometry: reprojection offsets + xy success for slice z
-    (the body of ops/pallas/temporal.py's coordinate block)."""
-    w, h, d = grid_whd
-    p = lambda i: bpar_ref[0, i]
-    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
-    jx, jy, jz = p(17), p(18), p(19)
-    eps, y0 = p(21), p(22)
-
-    zf = z.astype(jnp.float32)
-    vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
-    vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
-    vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
-
-    pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
-    pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
-    pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
-
-    pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
-        / jnp.log(fpz)
-    pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
-    pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
-    if with_jitter:
-        pfx = pfx + jx
-        pfy = pfy + jy
-        pfz = pfz + jz
-
-    tx = pfx + eps * w - 0.5
-    ty = pfy + eps * h_glob - 0.5 - y0
-    tz = pfz + eps * d - 0.5
-
-    ux = pfx / w + eps
-    uy = pfy / h_glob + eps
-    success = ((ux >= 0.0) & (ux <= 1.0) & (uy >= 0.0)
-               & (uy <= 1.0)).astype(jnp.float32)
-
-    tz = jnp.clip(tz, 0.0, d - 1.0)
-    ty = jnp.clip(ty, 0.0, h - 1.0)
-    tx = jnp.clip(tx, 0.0, w - 1.0)
-    base_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    base_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-    off_z = jnp.clip(tz - zf, -k, k)
-    off_y = jnp.clip(ty - base_y, -k, k)
-    off_x = jnp.clip(tx - base_x, -k, k)
-    return off_x, off_y, off_z, success
 
 
 DYN_Z_TAPS = False  # data-dependent z-tap culling: loop only the taps whose
@@ -324,20 +276,7 @@ def _kernel(spar_ref, sbpar_ref, abpar_ref, slights_ref, lights_ref,
     fpz, fpw, near = ap(14), ap(15), ap(16)
     alpha_a = ap(20)
     ox, oy, oz = ap(24), ap(25), ap(26)
-    wxm, wx0, wxp = (jnp.maximum(-ox, 0.0), 1.0 - jnp.abs(ox),
-                     jnp.maximum(ox, 0.0))
-    wym, wy0, wyp = (jnp.maximum(-oy, 0.0), 1.0 - jnp.abs(oy),
-                     jnp.maximum(oy, 0.0))
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-
-    def xy_blend(plane):
-        xm = jnp.where(cols == 0, plane, pltpu.roll(plane, 1, 1))
-        xp = jnp.where(cols == w - 1, plane, pltpu.roll(plane, w - 1, 1))
-        px = wxm * xm + wx0 * plane + wxp * xp
-        ym = jnp.where(rows == 0, px, pltpu.roll(px, 1, 0))
-        yp = jnp.where(rows == h - 1, px, pltpu.roll(px, h - 1, 0))
-        return wym * ym + wy0 * px + wyp * yp
+    xy_blend = make_xy_blend(ox, oy, h, w)
 
     def integrate_and_blend(zi2, xyb):
         """Integrate output slice zi2 from xy_cache (plane zi2's xy-blend)

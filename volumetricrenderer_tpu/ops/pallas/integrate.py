@@ -32,19 +32,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(par_ref, r_ref, g_ref, b_ref, e_ref,
-            o_r, o_g, o_b, o_t,
-            xy_r, xy_g, xy_b, xy_e, c_lr, c_lg, c_lb, c_t,
-            *, d: int, h: int, w: int):
-    j = pl.program_id(0)
-    p = lambda i: par_ref[0, i]
-    ox, oy, oz = p(0), p(1), p(2)
-    fpz, fpw, near = p(3), p(4), p(5)
-
-    # 3-tap XY weights for a single-cell constant offset (see shift_sample_3d)
-    wxm, wx0, wxp = jnp.maximum(-ox, 0.0), 1.0 - jnp.abs(ox), jnp.maximum(ox, 0.0)
-    wym, wy0, wyp = jnp.maximum(-oy, 0.0), 1.0 - jnp.abs(oy), jnp.maximum(oy, 0.0)
-
+def make_xy_blend(ox, oy, h: int, w: int):
+    """3-tap clamped XY tent for a single-cell constant jitter offset (the
+    in-VMEM form of shift_sample_3d's stencil): wraps pltpu.roll with
+    iota-mask edge clamps (roll is a rotate; Mosaic crash list). SINGLE
+    SOURCE shared by this kernel, integrate_blend.py, and frame_fused.py."""
+    wxm, wx0, wxp = (jnp.maximum(-ox, 0.0), 1.0 - jnp.abs(ox),
+                     jnp.maximum(ox, 0.0))
+    wym, wy0, wyp = (jnp.maximum(-oy, 0.0), 1.0 - jnp.abs(oy),
+                     jnp.maximum(oy, 0.0))
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
 
@@ -56,6 +52,19 @@ def _kernel(par_ref, r_ref, g_ref, b_ref, e_ref,
         yp = jnp.where(rows == h - 1, px, pltpu.roll(px, h - 1, 0))
         return wym * ym + wy0 * px + wyp * yp
 
+    return xy_blend
+
+
+def _kernel(par_ref, r_ref, g_ref, b_ref, e_ref,
+            o_r, o_g, o_b, o_t,
+            xy_r, xy_g, xy_b, xy_e, c_lr, c_lg, c_lb, c_t,
+            *, d: int, h: int, w: int):
+    j = pl.program_id(0)
+    p = lambda i: par_ref[0, i]
+    ox, oy, oz = p(0), p(1), p(2)
+    fpz, fpw, near = p(3), p(4), p(5)
+
+    xy_blend = make_xy_blend(ox, oy, h, w)
     cur = [xy_blend(ref[0]) for ref in (r_ref, g_ref, b_ref, e_ref)]
 
     @pl.when(j == 0)

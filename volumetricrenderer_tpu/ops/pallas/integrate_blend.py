@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from volumetricrenderer_tpu.ops.pallas.integrate import make_xy_blend
 from volumetricrenderer_tpu.ops.pallas.temporal import (_pad_plane,
+                                                        _reproj_offsets,
                                                         _tent_pass,
                                                         _tent_weights,
                                                         pack_blend_params)
@@ -51,8 +53,8 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
     j = pl.program_id(0)
     ring_n = 2 * k + 2
     p = lambda i: par_ref[0, i]
-    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
-    alpha, eps, y0 = p(20), p(21), p(22)
+    fpz, fpw, near = p(14), p(15), p(16)
+    alpha = p(20)
     ox, oy, oz = p(24), p(25), p(26)
 
     # ---- history ring load (every step; plane min(j, d-1) via BlockSpec) ----
@@ -61,20 +63,7 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
         prev_ring[c][pl.ds(slot, 1)] = prevs[c][:]
 
     # ---- integrate part (ops/pallas/integrate.py body) ----
-    wxm, wx0, wxp = (jnp.maximum(-ox, 0.0), 1.0 - jnp.abs(ox),
-                     jnp.maximum(ox, 0.0))
-    wym, wy0, wyp = (jnp.maximum(-oy, 0.0), 1.0 - jnp.abs(oy),
-                     jnp.maximum(oy, 0.0))
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-
-    def xy_blend(plane):
-        xm = jnp.where(cols == 0, plane, pltpu.roll(plane, 1, 1))
-        xp = jnp.where(cols == w - 1, plane, pltpu.roll(plane, w - 1, 1))
-        px = wxm * xm + wx0 * plane + wxp * xp
-        ym = jnp.where(rows == 0, px, pltpu.roll(px, 1, 0))
-        yp = jnp.where(rows == h - 1, px, pltpu.roll(px, h - 1, 0))
-        return wym * ym + wy0 * px + wyp * yp
+    xy_blend = make_xy_blend(ox, oy, h, w)
 
     @pl.when(j <= d)
     def _integrate():
@@ -131,35 +120,8 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
     @pl.when(j > k)
     def _blend():
         z = j - (k + 1)
-        zf = z.astype(jnp.float32)
-        vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
-        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-        ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
-        vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
-        vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
-
-        pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
-        pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
-        pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
-
-        pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
-            / jnp.log(fpz)
-        pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
-        pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
-
-        tx = pfx + eps * w - 0.5
-        ty = pfy + eps * h_glob - 0.5 - y0
-        tz = pfz + eps * d - 0.5
-
-        tz = jnp.clip(tz, 0.0, d - 1.0)
-        ty = jnp.clip(ty, 0.0, h - 1.0)
-        tx = jnp.clip(tx, 0.0, w - 1.0)
-        off_z = jnp.clip(tz - zf, -k, k)
-        base_y = rows.astype(jnp.float32)
-        base_x = cols.astype(jnp.float32)
-        off_y = jnp.clip(ty - base_y, -k, k)
-        off_x = jnp.clip(tx - base_x, -k, k)
+        off_x, off_y, off_z, _ = _reproj_offsets(
+            par_ref, z, grid_whd, h_glob, k, with_jitter=False)
 
         warped = []
         # weight planes shared across channels (hoisted, temporal._tent_weights)

@@ -104,6 +104,68 @@ def _pad_plane(res, hp: int, wstride: int):
          jnp.broadcast_to(res[:, w - 1:w], (hp, wstride - w - 1))], axis=1)
 
 
+def _reproj_offsets(bpar_ref, z, grid_whd, h_glob, k, with_jitter: bool):
+    """Reprojection blend geometry for slice z: froxel -> view -> prev-view
+    -> prev froxel (pack_blend_params layout), slab-local texel coords, and
+    the GLOBAL-uvw xy success mask. Returns (off_x, off_y, off_z, success)
+    with offsets pre-clipped to the +-k warp window. SINGLE SOURCE for the
+    coordinate block — this kernel, frame_fused.py's two blend sites, and
+    integrate_blend.py all inline it; SPEC "Reprojection sampling" pins the
+    semantics (the eps*dims - 0.5 texel convention, the clip order, the
+    1e-8 pfz floor)."""
+    w, h, d = grid_whd
+    p = lambda i: bpar_ref[0, i]
+    fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
+    jx, jy, jz = p(17), p(18), p(19)
+    eps, y0 = p(21), p(22)
+
+    # current froxel center (UNJITTERED, _reproject_texel) -> view
+    zf = z.astype(jnp.float32)
+    vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
+    vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
+    vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
+
+    # combined view -> prev-view (rigid: no w divide)
+    pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
+    pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
+    pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
+
+    # prev-view -> prev froxel (GLOBAL grid coords, helper:142-151)
+    pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
+        / jnp.log(fpz)
+    pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
+    pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
+    if with_jitter:
+        pfx = pfx + jx
+        pfy = pfy + jy
+        pfz = pfz + jz
+
+    # texel = (prev_pos/dims + eps)*dims - 0.5, y made slab-local
+    tx = pfx + eps * w - 0.5
+    ty = pfy + eps * h_glob - 0.5 - y0
+    tz = pfz + eps * d - 0.5
+
+    # xy reprojection success on the GLOBAL uvw (helper:165-171)
+    ux = pfx / w + eps
+    uy = pfy / h_glob + eps
+    success = ((ux >= 0.0) & (ux <= 1.0) & (uy >= 0.0)
+               & (uy <= 1.0)).astype(jnp.float32)
+
+    # warp clamps (windowed_warp: targets clipped to the LOCAL volume)
+    tz = jnp.clip(tz, 0.0, d - 1.0)
+    ty = jnp.clip(ty, 0.0, h - 1.0)
+    tx = jnp.clip(tx, 0.0, w - 1.0)
+    base_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    base_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    off_z = jnp.clip(tz - zf, -k, k)
+    off_y = jnp.clip(ty - base_y, -k, k)
+    off_x = jnp.clip(tx - base_x, -k, k)
+    return off_x, off_y, off_z, success
+
+
 def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
             n_ch: int, mode: str, h_glob: int, use_jitter: bool,
             padded_out=None):
@@ -125,57 +187,9 @@ def _kernel(par_ref, *refs, grid_whd: Tuple[int, int, int], k: int,
     @pl.when(j > k)
     def _():
         z = j - (k + 1)
-        p = lambda i: par_ref[0, i]
-        fpx, fpy, fpz, fpw, near = p(12), p(13), p(14), p(15), p(16)
-        jx, jy, jz = p(17), p(18), p(19)
-        alpha, eps, y0 = p(20), p(21), p(22)
-
-        # current froxel center (UNJITTERED, _reproject_texel) -> view
-        zf = z.astype(jnp.float32)
-        vz = (jnp.exp(jnp.log(fpz) * (zf + 0.5) / d) - 1.0) * fpw + near
-        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-        ys = jnp.clip(ys + y0, 0.0, h_glob - 1.0)
-        vx = (2.0 * (xs + 0.5) / w - 1.0) * vz / fpx
-        vy = (2.0 * (ys + 0.5) / h_glob - 1.0) * vz / fpy
-
-        # combined view -> prev-view (rigid: no w divide)
-        pvx = p(0) * vx + p(1) * vy + p(2) * vz + p(3)
-        pvy = p(4) * vx + p(5) * vy + p(6) * vz + p(7)
-        pvz = p(8) * vx + p(9) * vy + p(10) * vz + p(11)
-
-        # prev-view -> prev froxel (GLOBAL grid coords, helper:142-151)
-        pfz = d * jnp.log(jnp.maximum((pvz - near) / fpw + 1.0, 1e-8)) \
-            / jnp.log(fpz)
-        pfx = w * (fpx * pvx / pvz + 1.0) / 2.0
-        pfy = h_glob * (fpy * pvy / pvz + 1.0) / 2.0
-        if use_jitter:
-            pfx = pfx + jx
-            pfy = pfy + jy
-            pfz = pfz + jz
-
-        # texel = (prev_pos/dims + eps)*dims - 0.5, y made slab-local
-        tx = pfx + eps * w - 0.5
-        ty = pfy + eps * h_glob - 0.5 - y0
-        tz = pfz + eps * d - 0.5
-
-        # xy reprojection success on the GLOBAL uvw (helper:165-171)
-        ux = pfx / w + eps
-        uy = pfy / h_glob + eps
-        success = ((ux >= 0.0) & (ux <= 1.0) & (uy >= 0.0)
-                   & (uy <= 1.0)).astype(jnp.float32)
-
-        # warp clamps (windowed_warp: targets clipped to the LOCAL volume)
-        tz = jnp.clip(tz, 0.0, d - 1.0)
-        ty = jnp.clip(ty, 0.0, h - 1.0)
-        tx = jnp.clip(tx, 0.0, w - 1.0)
-        off_z = jnp.clip(tz - zf, -k, k)
-        base_y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) \
-            .astype(jnp.float32)
-        base_x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) \
-            .astype(jnp.float32)
-        off_y = jnp.clip(ty - base_y, -k, k)
-        off_x = jnp.clip(tx - base_x, -k, k)
+        alpha = par_ref[0, 20]
+        off_x, off_y, off_z, success = _reproj_offsets(
+            par_ref, z, grid_whd, h_glob, k, use_jitter)
 
         warped = []
         # weight planes shared across channels (hoisted once per blend site)

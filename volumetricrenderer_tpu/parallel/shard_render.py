@@ -260,7 +260,22 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
     ih_g = cfg.image_height
     assert h_g % n == 0 and ih_g % n == 0, (h_g, ih_g, n)
     h_loc, ih_loc = h_g // n, ih_g // n
-    p = halo if halo is not None else max(cfg.reproj_window, 2)
+    # Seam exactness needs max downward reprojection offset <= halo - 2:
+    # the composed per-frame row stencil is the temporal warp's
+    # window-clipped offset (+-reproj_window), then the jittered
+    # integrate's +-1 rows, then the composite y-tent's +-1 (it reads acc
+    # row halo-1, pipeline's slab-zgather slice). Since offsets are clipped
+    # to +-reproj_window, halo = reproj_window + 2 is exact for EVERY
+    # motion the warp window itself supports. Measured (2-shard CPU mesh,
+    # hard shadow edges, ~3-4 rows/frame vertical motion): halo=2 diverges
+    # at the seam by ~1e-3-2.5e-3; the provable bound costs ~2 overcompute
+    # rows per side over the old max(reproj_window, 2) default. An explicit
+    # smaller halo trades seam exactness under fast motion for less
+    # overcompute (tests/test_shard_render.py fast-vertical-motion test).
+    # Default clamps to the slab height for very short slabs (tiny dryrun
+    # grids): the exactness envelope then shrinks to offsets <= h_loc - 2.
+    p = halo if halo is not None \
+        else min(cfg.reproj_window + 2, h_loc)
     assert 1 <= p <= h_loc, \
         f"halo {p} must be in [1, {h_loc}] (composite tents read row -1)"
     assert cfg.reproj_impl in ("windowed", "pallas")
@@ -394,7 +409,22 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
     assert h_g % n == 0 and ih_g % n == 0, \
         f"H={h_g} and IH={ih_g} must divide the mesh size {n}"
     h_loc, ih_loc = h_g // n, ih_g // n
-    p = halo if halo is not None else max(cfg.reproj_window, 2)
+    # Seam exactness needs max downward reprojection offset <= halo - 2:
+    # the composed per-frame row stencil is the temporal warp's
+    # window-clipped offset (+-reproj_window), then the jittered
+    # integrate's +-1 rows, then the composite y-tent's +-1 (it reads acc
+    # row halo-1, pipeline's slab-zgather slice). Since offsets are clipped
+    # to +-reproj_window, halo = reproj_window + 2 is exact for EVERY
+    # motion the warp window itself supports. Measured (2-shard CPU mesh,
+    # hard shadow edges, ~3-4 rows/frame vertical motion): halo=2 diverges
+    # at the seam by ~1e-3-2.5e-3; the provable bound costs ~2 overcompute
+    # rows per side over the old max(reproj_window, 2) default. An explicit
+    # smaller halo trades seam exactness under fast motion for less
+    # overcompute (tests/test_shard_render.py fast-vertical-motion test).
+    # Default clamps to the slab height for very short slabs (tiny dryrun
+    # grids): the exactness envelope then shrinks to offsets <= h_loc - 2.
+    p = halo if halo is not None \
+        else min(cfg.reproj_window + 2, h_loc)
     assert 1 <= p <= h_loc, \
         f"halo {p} must be in [1, {h_loc}] (composite tents read row -1)"
     # The gather reprojection samples the true (unbounded) global position;
