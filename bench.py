@@ -205,7 +205,22 @@ def main():
 
     extra = {}
 
+    # Global budget for ALL secondary scopes combined: the tunneled TPU can
+    # wedge mid-compile for minutes (CLAUDE.md), and the headline JSON line
+    # must reach the driver regardless — once the budget is spent, remaining
+    # scopes are skipped loudly instead of risking the whole process being
+    # killed mid-scope with nothing printed.
+    scopes_t0 = time.perf_counter()
+    SCOPE_BUDGET_S = 420.0
+
     def scope(key, thunk, deadline_s=900):
+        left = SCOPE_BUDGET_S - (time.perf_counter() - scopes_t0)
+        if left < 20.0:
+            print(f"# scope {key} skipped: global scope budget "
+                  f"({SCOPE_BUDGET_S:.0f}s) exhausted", file=sys.stderr)
+            return
+        deadline_s = int(min(deadline_s, left))
+
         def _alarm(signum, frm):
             raise TimeoutError(f"{key} exceeded {deadline_s}s")
         old = signal.signal(signal.SIGALRM, _alarm)
@@ -305,16 +320,15 @@ def main():
 
         return pipelined(step, st)
 
-    def run_slab3():
-        # 3-shard slab EMULATION on the one chip (make_multislab_render):
+    def run_slabn(n):
+        # n-shard slab EMULATION on the one chip (make_multislab_render):
         # the real per-shard Mosaic kernels + real neighbor-row halo
-        # exchange, the 3 shards run SEQUENTIALLY — so this number is
-        # ~3x each chip's per-frame work at 3-way sharding (the only thing
+        # exchange, the n shards run SEQUENTIALLY — so this number is
+        # ~n x each chip's per-frame work at n-way sharding (the only thing
         # it can't measure is the ICI latency of the 2*halo-row exchange,
-        # ~2.5 MB/frame). BASELINE.md's scaling claim quotes total/3.
+        # ~2.5 MB/frame). BASELINE.md's scaling claim quotes total/n.
         from volumetricrenderer_tpu.parallel.shard_render import \
             make_multislab_render
-        n = 3
         ihb = cfg.image_height // n
         sc_b = [scene_color[j * ihb:(j + 1) * ihb] for j in range(n)]
         vd_b = [view_depth[j * ihb:(j + 1) * ihb] for j in range(n)]
@@ -326,7 +340,7 @@ def main():
 
         def step(carry, t):
             bands, carry = fn(carry, scene, t)
-            # all 3 shard dispatches precede the last band in program
+            # all n shard dispatches precede the last band in program
             # order; blocking on it blocks the frame
             return bands[-1], carry
 
@@ -340,7 +354,11 @@ def main():
         scope("ms_4k", run_4k)
         scope("tex_ms", run_texture)
         scope("slab1_ms", run_slab1)
-        scope("slab3_seq_ms", run_slab3)
+        scope("slab3_seq_ms", lambda: run_slabn(3))
+        # 5-shard point on the same curve: slab5_seq_ms / 5 is the measured
+        # per-chip frame time on a 5-chip v5e ring (135 = 27*5 froxel rows,
+        # 1080 = 216*5 image rows — both divide exactly)
+        scope("slab5_seq_ms", lambda: run_slabn(5))
 
     print(json.dumps({
         "metric": "ms/frame (inject+scatter+integrate+composite) at "
