@@ -13,36 +13,81 @@ owns those passes in the reference) and the steady-state per-frame time of the
 jitted froxel pipeline + composite + post is reported.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target). Extra
-keys record the secondary scopes each round (VERDICT r2 #3/#9): frame_post_ms
-(frame + the full post stack fused in ONE jit), map_ms (the cascaded-PCF
-shadow-map path), ms_4k (3840x2160 composite).
+vs_baseline = 2.0ms / measured (>1 == beats the <2 ms/frame target).
+
+DELIVERY CONTRACT (VERDICT r3 #1 — round 3's number never reached the driver):
+the headline JSON line prints IMMEDIATELY after the headline measurement and
+is flushed; the secondary scopes (frame_post_ms, map_ms, ms_4k, tex_ms, the
+slab emulation points) then run in a KILLABLE CHILD PROCESS
+(`bench.py --extras-only`) under a hard wall-clock budget — a wedged remote
+compile in a scope can no longer starve the driver of the headline (SIGALRM
+only fires once Python regains control; SIGKILL on a child always works). If
+the child finishes, a second JSON line with the extras merged in is printed
+(same headline fields, so either line parses to the same headline value).
 """
 
 import dataclasses
 import functools
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()   # BEFORE any tracing — see utils/cache.py
+
 from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer, benchmark_scene
 from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
 from volumetricrenderer_tpu.post import PostConfig, apply_post
 
 TARGET_MS = 2.0
+# Hard wall-clock budget for the whole process (the driver's own timeout is
+# not knowable; round 3 died at what looks like ~600 s). The extras child gets
+# whatever remains after the headline, floored at EXTRAS_MIN_S to be worth
+# spawning at all. Override for local cache-warming runs where the compile
+# may legitimately take 8+ minutes (cold .jax_cache at a new HEAD).
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "560"))
+EXTRAS_MIN_S = 90.0
+# Reserve after the headline compile for measuring + printing the JSON line.
+MEASURE_RESERVE_S = 80.0
 
 
-def main():
+class _Deadline:
+    """SIGALRM deadline context. Best-effort: the alarm only interrupts once
+    Python regains control — a compile wedged in native code can defer it
+    (CLAUDE.md); the child-process kill in main() is the hard backstop."""
+
+    def __init__(self, seconds, tag):
+        self.seconds = int(seconds)
+        self.tag = tag
+
+    def __enter__(self):
+        def _alarm(signum, frm):
+            raise TimeoutError(f"{self.tag} exceeded {self.seconds}s")
+        self._old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def build(argv):
+    """Shared setup for the headline process and the extras child."""
     cfg = FULL_CONFIG
-    if "--small" in sys.argv:  # quick sanity on CPU
+    if "--small" in argv:  # quick sanity on CPU
         cfg = dataclasses.replace(cfg, volume_width=40, volume_height=24,
                                   volume_depth=16, image_width=160,
                                   image_height=90, shadow_map_size=64)
-    if "--map-shadows" not in sys.argv:
+    if "--map-shadows" not in argv:
         # TPU-native default: analytic raycast visibility + procedural noise
         # (gather-free). --map-shadows switches to the PCF shadow-map path.
         cfg = dataclasses.replace(cfg, shadow_mode="raycast")
@@ -58,181 +103,69 @@ def main():
     renderer = VolumetricRenderer(cfg)
     scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
                             num_local_lights=16, **scene_kw)
-    post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
-
-    state = renderer.init_state(scene.dir_lights.count)
 
     # Precompute the parts the engine owns in the reference.
     bake = jax.jit(lambda sc: renderer.bake_shadow_data(sc))
     shadow_data = jax.block_until_ready(bake(scene))
     gbuf = jax.jit(lambda sc: renderer.render_scene_inputs(sc))
     scene_color, view_depth = jax.block_until_ready(gbuf(scene))
+    return cfg, renderer, scene, shadow_data, scene_color, view_depth
 
-    # The BASELINE metric scopes "inject + scatter + integrate + composite";
-    # post-processing is measured separately below. The frame loop returns a
-    # scalar probe instead of the full image: fetching a 33 MB image through
-    # the axon relay costs ~30 ms/frame of pure transfer (measured), which is
-    # not renderer time — a real pipeline consumes the image on-device (the
-    # reference likewise renders into a GPU texture with no readback).
-    @functools.partial(jax.jit, donate_argnums=0)
-    def frame(state, scene, time_x, scene_color, view_depth, shadow_data):
-        image, _, new_state = renderer.render_frame(
-            state, scene, time_x, scene_color, view_depth, shadow_data)
-        return jnp.sum(image), new_state
 
-    @jax.jit
-    def frame_image(state, scene, time_x, scene_color, view_depth, shadow_data):
-        image, _, new_state = renderer.render_frame(
-            state, scene, time_x, scene_color, view_depth, shadow_data)
-        return image, new_state
+def pipelined(fn, state0, n_batches=4, n_frames=12):
+    st = state0
+    out = None
+    for i in range(3):                     # warm
+        out, st = fn(st, jnp.float32(0.31 + 0.01 * i))
+    jax.block_until_ready(out)
 
-    # Warm up / compile.
-    t0 = time.perf_counter()
-    probe, state = frame(state, scene, jnp.float32(0.0), scene_color,
-                         view_depth, shadow_data)
-    jax.block_until_ready(probe)
-    compile_s = time.perf_counter() - t0
-
-    # Steady state.
-    n_warm, n_meas = 3, 20
-    for i in range(n_warm):
-        probe, state = frame(state, scene, jnp.float32(0.01 * i), scene_color,
-                             view_depth, shadow_data)
-    jax.block_until_ready(probe)
-
-    # PIPELINED frame timing: block once per batch, not per frame. The axon
-    # TPU sits behind a network relay, so a per-frame block_until_ready pays
-    # a ~20 ms host<->relay round trip that is tunnel latency, not renderer
-    # time (measured: per-frame-sync 35 ms vs pipelined 13.6 ms with
-    # identical checksums); the reference likewise queues GPU command
-    # buffers without per-frame CPU sync. The chip is also pooled: take the
-    # best batch over 12 batches to reduce external-contention bias
-    # (PERF.md "Measurement hygiene").
-    def measure_batches(state, n_batches=12):
-        means = []
+    def batches(st, t_base):
+        best = float("inf")
         for b in range(n_batches):
             t0 = time.perf_counter()
-            for i in range(n_meas):
-                probe, state = frame(state, scene,
-                                     jnp.float32(0.1 + 0.01 * (b * 37 + i)),
-                                     scene_color, view_depth, shadow_data)
-            jax.block_until_ready(probe)
-            means.append((time.perf_counter() - t0) / n_meas)
-        return means, state
+            for i in range(n_frames):
+                out, st = fn(st, jnp.float32(
+                    t_base + 0.01 * (b * n_frames + i)))
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n_frames)
+        return best, st
 
-    batch_means, state = measure_batches(state)
+    best, st = batches(st, 0.5)
+    if best * 1e3 < 0.5:   # wedged-relay guard (see the headline guard)
+        best2, st = batches(st, 2.5)
+        best = max(best, best2)
+    return best * 1e3
 
-    # Wedged-relay guard: a wedged device/relay once returned ~0.2 ms batch
-    # means with a perfectly VALID image (the checksum guard below cannot
-    # catch it — the data is right, only the completion signaling is broken).
-    # A genuinely executed FULL-size frame cannot beat a small fraction of
-    # one per-frame-SYNC frame (which pays a ~20 ms relay round trip): if it
-    # does, re-measure; if it persists, flag the estimator.
-    t0 = time.perf_counter()
-    for i in range(3):
-        probe, state = frame(state, scene, jnp.float32(0.9 + 0.01 * i),
-                             scene_color, view_depth, shadow_data)
-        jax.block_until_ready(probe)
-    sync_ms = (time.perf_counter() - t0) / 3 * 1e3
-    timing_tag = "pipelined-best-batch-mean"
-    for _ in range(2):
-        if min(batch_means) * 1e3 >= 0.05 * sync_ms:
-            break
-        print(f"# suspect batch timing {min(batch_means)*1e3:.3f} ms vs "
-              f"sync {sync_ms:.1f} ms — remeasuring", file=sys.stderr)
-        batch_means, state = measure_batches(state)
-    else:
-        timing_tag = "pipelined-best-batch-mean-SUSPECT"
 
-    # Self-validation: a too-good-to-be-true time with a garbage image means a
-    # wedged device, not a fast renderer. DETERMINISTIC checksum: a fresh
-    # state + a fixed 4-frame time sequence, so the value is comparable
-    # across rounds regardless of how many measurement frames ran above
-    # (the temporal history otherwise shifts it).
-    st_c = renderer.init_state(scene.dir_lights.count)
-    img = None
-    for i in range(4):
-        img, st_c = frame_image(st_c, scene, jnp.float32(0.1 * i),
-                                scene_color, view_depth, shadow_data)
-    checksum = float(jnp.sum(img))
-    assert bool(jnp.isfinite(img).all()), "non-finite frame output"
-    assert float(jnp.std(img[..., :3])) > 1e-4, "degenerate frame output"
+def run_extras(argv):
+    """Secondary scopes (VERDICT r2 #3/#9), run in the --extras-only child.
 
-    # Estimator: the best pipelined-batch MEAN over 12 batches — best batch
-    # because the chip pool's contention only adds time (PERF.md measurement
-    # hygiene); the "timing" field records the estimator for the driver.
-    frame_ms = min(batch_means) * 1e3
-
-    # vary the input per call — INCLUDING vs the warmup call: the axon relay
-    # dedups identical (executable, inputs) executions (CLAUDE.md trap)
-    post = jax.jit(lambda i, s: apply_post(i * s, post_cfg))
-    jax.block_until_ready(post(img, jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    for k in range(10):
-        out = post(img, jnp.float32(1.0 + 1e-6 * (k + 1)))
-    jax.block_until_ready(out)
-    post_ms = (time.perf_counter() - t0) / 10 * 1e3
-
-    # ---- secondary scopes (recorded every round, VERDICT r2 #3/#9) ---- #
-    # Best-effort with a hard wall-clock cap: the pooled TPU occasionally
-    # wedges mid-compile, and the driver MUST still get the headline JSON
-    # line — each scope runs under a SIGALRM deadline and is skipped (with a
-    # stderr note) on timeout or error.
-
-    def pipelined(fn, state0, n_batches=4, n_frames=12):
-        st = state0
-        out = None
-        for i in range(3):                     # warm
-            out, st = fn(st, jnp.float32(0.31 + 0.01 * i))
-        jax.block_until_ready(out)
-
-        def batches(st, t_base):
-            best = float("inf")
-            for b in range(n_batches):
-                t0 = time.perf_counter()
-                for i in range(n_frames):
-                    out, st = fn(st, jnp.float32(
-                        t_base + 0.01 * (b * n_frames + i)))
-                jax.block_until_ready(out)
-                best = min(best, (time.perf_counter() - t0) / n_frames)
-            return best, st
-
-        best, st = batches(st, 0.5)
-        if best * 1e3 < 0.5:   # wedged-relay guard (see the headline guard)
-            best2, st = batches(st, 2.5)
-            best = max(best, best2)
-        return best * 1e3
-
+    Each scope result prints to stderr as it lands (so a killed child still
+    leaves partial results in the driver tail); the final stdout line is one
+    JSON object the parent merges into its second headline line."""
+    cfg, renderer, scene, shadow_data, scene_color, view_depth = build(argv)
+    post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
+    state = renderer.init_state(scene.dir_lights.count)
     extra = {}
 
-    # Global budget for ALL secondary scopes combined: the tunneled TPU can
-    # wedge mid-compile for minutes (CLAUDE.md), and the headline JSON line
-    # must reach the driver regardless — once the budget is spent, remaining
-    # scopes are skipped loudly instead of risking the whole process being
-    # killed mid-scope with nothing printed.
     scopes_t0 = time.perf_counter()
-    SCOPE_BUDGET_S = 420.0
+    budget_s = float(os.environ.get("BENCH_EXTRAS_BUDGET_S", "400"))
 
     def scope(key, thunk, deadline_s=900):
-        left = SCOPE_BUDGET_S - (time.perf_counter() - scopes_t0)
-        if left < 20.0:
-            print(f"# scope {key} skipped: global scope budget "
-                  f"({SCOPE_BUDGET_S:.0f}s) exhausted", file=sys.stderr)
+        left = budget_s - (time.perf_counter() - scopes_t0)
+        if left < 90.0:
+            # Not enough left to compile+measure anything (ADVICE r3): a
+            # 20-60 s remnant would just burn into a generic TimeoutError.
+            print(f"# scope {key} skipped: extras budget ({budget_s:.0f}s) "
+                  f"exhausted ({left:.0f}s left)", file=sys.stderr, flush=True)
             return
-        deadline_s = int(min(deadline_s, left))
-
-        def _alarm(signum, frm):
-            raise TimeoutError(f"{key} exceeded {deadline_s}s")
-        old = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(deadline_s)
         try:
-            extra[key] = round(thunk(), 3)
+            with _Deadline(min(deadline_s, left), key):
+                extra[key] = round(thunk(), 3)
+            print(f"# extra {key}={extra[key]}", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — best-effort secondary scope
             print(f"# scope {key} skipped: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+                  file=sys.stderr, flush=True)
 
     def run_frame_post():
         # frame + FULL post stack in one jit: the end-to-end number the
@@ -346,21 +279,144 @@ def main():
 
         return pipelined(step, carry)
 
-    if "--headline-only" not in sys.argv:
-        scope("frame_post_ms", run_frame_post)
-    if ("--small" not in sys.argv and "--map-shadows" not in sys.argv
-            and "--headline-only" not in sys.argv):
+    scope("frame_post_ms", run_frame_post)
+    if "--small" not in argv and "--map-shadows" not in argv:
         scope("map_ms", run_map)
         scope("ms_4k", run_4k)
         scope("tex_ms", run_texture)
         scope("slab1_ms", run_slab1)
         scope("slab3_seq_ms", lambda: run_slabn(3))
-        # 5-shard point on the same curve: slab5_seq_ms / 5 is the measured
-        # per-chip frame time on a 5-chip v5e ring (135 = 27*5 froxel rows,
-        # 1080 = 216*5 image rows — both divide exactly)
+        # 5-shard point on the same curve (best-effort — last in the budget
+        # order, so it is the first to be clipped on contended rounds):
+        # slab5_seq_ms / 5 is the measured per-chip frame time on a 5-chip
+        # v5e ring (135 = 27*5 froxel rows, 1080 = 216*5 image rows)
         scope("slab5_seq_ms", lambda: run_slabn(5))
 
-    print(json.dumps({
+    print(json.dumps(extra), flush=True)
+
+
+def main():
+    argv = sys.argv[1:]
+    if "--extras-only" in argv:
+        run_extras(argv)
+        return
+    proc_t0 = time.perf_counter()
+
+    cfg, renderer, scene, shadow_data, scene_color, view_depth = build(argv)
+    post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
+    state = renderer.init_state(scene.dir_lights.count)
+
+    # The BASELINE metric scopes "inject + scatter + integrate + composite";
+    # post-processing is measured separately below. The frame loop returns a
+    # scalar probe instead of the full image: fetching a 33 MB image through
+    # the axon relay costs ~30 ms/frame of pure transfer (measured), which is
+    # not renderer time — a real pipeline consumes the image on-device (the
+    # reference likewise renders into a GPU texture with no readback).
+    @functools.partial(jax.jit, donate_argnums=0)
+    def frame(state, scene, time_x, scene_color, view_depth, shadow_data):
+        image, _, new_state = renderer.render_frame(
+            state, scene, time_x, scene_color, view_depth, shadow_data)
+        return jnp.sum(image), new_state
+
+    @jax.jit
+    def frame_image(state, scene, time_x, scene_color, view_depth, shadow_data):
+        image, _, new_state = renderer.render_frame(
+            state, scene, time_x, scene_color, view_depth, shadow_data)
+        return image, new_state
+
+    # Warm up / compile. ONE attempt, with the latest deadline the budget
+    # allows (a retry would restart the compile from zero — the persistent
+    # cache stores whole executables, not partial progress). A warm
+    # .jax_cache compiles in ~20-40 s; the cold full-size megakernel compile
+    # is ~7-9 min, which is why the round must END with a warm cache at HEAD
+    # (run `python bench.py` after the final compute-path commit).
+    deadline = max(120.0, TOTAL_BUDGET_S - (time.perf_counter() - proc_t0)
+                   - MEASURE_RESERVE_S)
+    t0 = time.perf_counter()
+    try:
+        with _Deadline(deadline, "headline compile"):
+            probe, state = frame(state, scene, jnp.float32(0.0),
+                                 scene_color, view_depth, shadow_data)
+            jax.block_until_ready(probe)
+    except TimeoutError as e:
+        print(f"# FATAL: headline compile timed out ({e}); the .jax_cache "
+              "at this HEAD is cold — run bench.py once with "
+              "BENCH_TOTAL_BUDGET_S=3600 to warm it", file=sys.stderr,
+              flush=True)
+        sys.exit(3)
+    compile_s = time.perf_counter() - t0
+
+    # Steady state.
+    n_warm, n_meas = 3, 20
+    for i in range(n_warm):
+        probe, state = frame(state, scene, jnp.float32(0.01 * i), scene_color,
+                             view_depth, shadow_data)
+    jax.block_until_ready(probe)
+
+    # PIPELINED frame timing: block once per batch, not per frame. The axon
+    # TPU sits behind a network relay, so a per-frame block_until_ready pays
+    # a ~20 ms host<->relay round trip that is tunnel latency, not renderer
+    # time (measured: per-frame-sync 35 ms vs pipelined 13.6 ms with
+    # identical checksums); the reference likewise queues GPU command
+    # buffers without per-frame CPU sync. The chip is also pooled: take the
+    # best batch over 12 batches to reduce external-contention bias
+    # (PERF.md "Measurement hygiene").
+    def measure_batches(state, n_batches=12):
+        means = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            for i in range(n_meas):
+                probe, state = frame(state, scene,
+                                     jnp.float32(0.1 + 0.01 * (b * 37 + i)),
+                                     scene_color, view_depth, shadow_data)
+            jax.block_until_ready(probe)
+            means.append((time.perf_counter() - t0) / n_meas)
+        return means, state
+
+    batch_means, state = measure_batches(state)
+
+    # Wedged-relay guard: a wedged device/relay once returned ~0.2 ms batch
+    # means with a perfectly VALID image (the checksum guard below cannot
+    # catch it — the data is right, only the completion signaling is broken).
+    # A genuinely executed FULL-size frame cannot beat a small fraction of
+    # one per-frame-SYNC frame (which pays a ~20 ms relay round trip): if it
+    # does, re-measure; if it persists, flag the estimator.
+    t0 = time.perf_counter()
+    for i in range(3):
+        probe, state = frame(state, scene, jnp.float32(0.9 + 0.01 * i),
+                             scene_color, view_depth, shadow_data)
+        jax.block_until_ready(probe)
+    sync_ms = (time.perf_counter() - t0) / 3 * 1e3
+    timing_tag = "pipelined-best-batch-mean"
+    for _ in range(2):
+        if min(batch_means) * 1e3 >= 0.05 * sync_ms:
+            break
+        print(f"# suspect batch timing {min(batch_means)*1e3:.3f} ms vs "
+              f"sync {sync_ms:.1f} ms — remeasuring", file=sys.stderr)
+        batch_means, state = measure_batches(state)
+    else:
+        timing_tag = "pipelined-best-batch-mean-SUSPECT"
+
+    # Self-validation: a too-good-to-be-true time with a garbage image means a
+    # wedged device, not a fast renderer. DETERMINISTIC checksum: a fresh
+    # state + a fixed 4-frame time sequence, so the value is comparable
+    # across rounds regardless of how many measurement frames ran above
+    # (the temporal history otherwise shifts it).
+    st_c = renderer.init_state(scene.dir_lights.count)
+    img = None
+    for i in range(4):
+        img, st_c = frame_image(st_c, scene, jnp.float32(0.1 * i),
+                                scene_color, view_depth, shadow_data)
+    checksum = float(jnp.sum(img))
+    assert bool(jnp.isfinite(img).all()), "non-finite frame output"
+    assert float(jnp.std(img[..., :3])) > 1e-4, "degenerate frame output"
+
+    # Estimator: the best pipelined-batch MEAN over 12 batches — best batch
+    # because the chip pool's contention only adds time (PERF.md measurement
+    # hygiene); the "timing" field records the estimator for the driver.
+    frame_ms = min(batch_means) * 1e3
+
+    headline = {
         "metric": "ms/frame (inject+scatter+integrate+composite) at "
                   f"{cfg.image_width}x{cfg.image_height}, "
                   f"{cfg.volume_width}x{cfg.volume_height}x{cfg.volume_depth} froxels, 16 lights",
@@ -368,12 +424,64 @@ def main():
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / frame_ms, 3),
         "timing": timing_tag,
-        **extra,
-    }))
-    print(f"# best={frame_ms:.3f}ms post={post_ms:.3f}ms "
-          f"extra={extra} compile={compile_s:.1f}s "
+    }
+    # THE DELIVERY: the driver's number is on disk before any secondary scope
+    # can wedge the process (VERDICT r3 #1).
+    print(json.dumps(headline), flush=True)
+    print(f"# best={frame_ms:.3f}ms compile={compile_s:.1f}s "
           f"checksum={checksum:.1f} device={jax.devices()[0].device_kind}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
+
+    # Post-stack timing (secondary, after the headline): vary the input per
+    # call — INCLUDING vs the warmup call: the axon relay dedups identical
+    # (executable, inputs) executions (CLAUDE.md trap).
+    extra = {}
+    try:
+        with _Deadline(90, "post"):
+            post = jax.jit(lambda i, s: apply_post(i * s, post_cfg))
+            jax.block_until_ready(post(img, jnp.float32(1.0)))
+            t0 = time.perf_counter()
+            for k in range(10):
+                out = post(img, jnp.float32(1.0 + 1e-6 * (k + 1)))
+            jax.block_until_ready(out)
+            extra["post_ms"] = round((time.perf_counter() - t0) / 10 * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"# post scope skipped: {e}", file=sys.stderr, flush=True)
+
+    # Secondary scopes in a killable child (see the module docstring).
+    left = TOTAL_BUDGET_S - (time.perf_counter() - proc_t0)
+    if "--headline-only" in argv:
+        left = 0.0
+    if left >= EXTRAS_MIN_S:
+        env = dict(os.environ, BENCH_EXTRAS_BUDGET_S=f"{left - 30:.0f}")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--extras-only",
+             *[a for a in argv if a in ("--small", "--map-shadows")]],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env)
+        try:
+            out, _ = child.communicate(timeout=left)
+            for line in out.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        extra.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+            print(f"# extras child killed at the {left:.0f}s budget",
+                  file=sys.stderr, flush=True)
+    else:
+        print(f"# extras skipped: {left:.0f}s of budget left",
+              file=sys.stderr, flush=True)
+
+    if extra:
+        # Second (superset) line: same headline fields + the extras. Whether
+        # the driver takes the first or the last JSON line, the headline
+        # values agree.
+        print(json.dumps({**headline, **extra}), flush=True)
+        print(f"# extra={extra}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

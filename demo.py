@@ -17,6 +17,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()   # persistent .jax_cache (utils/cache.py)
+
 from volumetricrenderer_tpu import DEMO_CONFIG, VolumetricRenderer, demo_scene
 from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
 from volumetricrenderer_tpu.post import PostConfig, apply_post
@@ -37,6 +40,12 @@ def main():
                          "demo grid — visual check of the fast paths")
     ap.add_argument("--mesh-env", action="store_true",
                     help="FBX-derived tree occluders (models/tree_assets.py)")
+    ap.add_argument("--scene", default=None, metavar="FILE.json",
+                    help="load a declarative scene (io/scene_io.py) instead "
+                         "of the built-in demo scene; save one with "
+                         "--dump-scene first")
+    ap.add_argument("--dump-scene", default=None, metavar="FILE.json",
+                    help="write the (built-in) scene as JSON and exit")
     args = ap.parse_args()
 
     cfg = DEMO_CONFIG
@@ -54,9 +63,18 @@ def main():
             bake_procedural_noise=True)
     renderer = VolumetricRenderer(cfg)
     noise = perlin_texture_3d(32) if args.noise else None
-    scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
-                       with_noise=args.noise, noise_tex=noise,
-                       mesh_env=args.mesh_env)
+    if args.scene:
+        from volumetricrenderer_tpu.io.scene_io import load_scene
+        scene = load_scene(args.scene)
+    else:
+        scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
+                           with_noise=args.noise, noise_tex=noise,
+                           mesh_env=args.mesh_env)
+    if args.dump_scene:
+        from volumetricrenderer_tpu.io.scene_io import save_scene
+        save_scene(args.dump_scene, scene)
+        print(f"wrote {args.dump_scene}")
+        return
     if args.showcase:
         post = PostConfig(exposure=1.1, bloom_strength=0.25,
                           bloom_threshold=0.8, vignette=0.25,

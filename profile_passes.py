@@ -9,6 +9,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()   # persistent .jax_cache (utils/cache.py)
+
 from volumetricrenderer_tpu import FULL_CONFIG, VolumetricRenderer, benchmark_scene
 from volumetricrenderer_tpu import froxel, pipeline
 from volumetricrenderer_tpu.jitter import JITTER_SEQUENCE

@@ -142,3 +142,191 @@ def test_channel_luts_exact_linear_interp():
     for c in range(3):
         ref = np.interp(x[..., c], np.linspace(0, 1, 7), luts[c])
         np.testing.assert_allclose(out[..., c], ref, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Round-4 effects: AutoExposure, FXAA, TAA, lens distortion, dithering, AO
+# --------------------------------------------------------------------------- #
+
+def test_auto_exposure_histogram_matches_numpy():
+    from volumetricrenderer_tpu.post import log_luma_histogram
+    key = jax.random.PRNGKey(1)
+    planes = [jax.random.uniform(key, (64, 64), jnp.float32) * (c + 0.5)
+              for c in range(3)]
+    hist = np.asarray(log_luma_histogram(planes, bins=32, ev_min=-4,
+                                         ev_max=4, downsample=1))
+    luma = (0.2126 * np.asarray(planes[0]) + 0.7152 * np.asarray(planes[1])
+            + 0.0722 * np.asarray(planes[2]))
+    ev = np.log2(np.maximum(luma, 1e-8))
+    x = np.clip((ev + 4) / 8.0, 0, 1) * 31
+    ref = np.bincount(np.floor(x).astype(int).ravel(), minlength=32) \
+        / luma.size
+    np.testing.assert_allclose(hist, ref, atol=1e-6)
+    assert abs(hist.sum() - 1.0) < 1e-5
+
+
+def test_auto_exposure_filtered_average_uniform():
+    from volumetricrenderer_tpu.post import filtered_average_luminance
+    # all mass in one bin -> the filtered average is that bin's center luma
+    hist = jnp.zeros((64,)).at[32].set(1.0)
+    avg = float(filtered_average_luminance(hist, 0.1, 0.9, -9.0, 9.0))
+    ev_center = -9.0 + (32 + 0.5) * (18.0 / 64)
+    np.testing.assert_allclose(avg, 2.0 ** ev_center, rtol=1e-5)
+
+
+def test_auto_exposure_brighter_scene_lower_exposure():
+    from volumetricrenderer_tpu.post import auto_exposure_step
+    cfg = PostConfig(auto_exposure=True)
+    dark = [jnp.full((32, 32), 0.05, jnp.float32)] * 3
+    bright = [jnp.full((32, 32), 2.0, jnp.float32)] * 3
+    e_dark, _ = auto_exposure_step(dark, 1.0, cfg, dt=None)
+    e_bright, _ = auto_exposure_step(bright, 1.0, cfg, dt=None)
+    assert float(e_dark) > float(e_bright)
+
+
+def test_auto_exposure_progressive_adaptation_monotone():
+    from volumetricrenderer_tpu.post import adapt_exposure
+    prev = jnp.float32(0.1)
+    tgt = jnp.float32(1.0)
+    l1 = adapt_exposure(prev, tgt, 1 / 60, 2.0, 1.0)
+    l2 = adapt_exposure(l1, tgt, 1 / 60, 2.0, 1.0)
+    assert float(prev) < float(l1) < float(l2) < float(tgt)
+    # light -> dark uses the slower speedDown
+    d1 = adapt_exposure(tgt, prev, 1 / 60, 2.0, 1.0)
+    assert float(tgt - d1) < float(l1 - prev)  # slower approach
+
+
+def test_fxaa_smooths_diagonal_edge_keeps_flat():
+    from volumetricrenderer_tpu.post import fxaa
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (xx > yy).astype(np.float32)          # hard diagonal step
+    rgb = jnp.asarray(np.stack([img] * 3, -1))
+    out = np.asarray(fxaa(rgb))
+    # edge pixels moved toward the neighborhood average
+    edge = np.abs(xx - yy) <= 1
+    assert np.abs(out[..., 0] - img)[edge].max() > 0.05
+    flat = jnp.full((16, 16, 3), 0.5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(fxaa(flat)), 0.5, atol=1e-6)
+
+
+def test_taa_zero_velocity_blends_history():
+    from volumetricrenderer_tpu.post import taa_step
+    cfg = PostConfig(taa_sharpness=0.0)
+    # checkerboard current: the 3x3 neighborhood spans [0, 1] everywhere, so
+    # the clamp is a no-op and the blend math is exact
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = jnp.asarray(((yy + xx) % 2).astype(np.float32))
+    cur = [checker] * 3
+    hist = [jnp.full((16, 16), 0.75, jnp.float32)] * 3
+    vel = jnp.zeros((16, 16, 2), jnp.float32)
+    out, new_hist = taa_step(cur, hist, vel, cfg)
+    b = cfg.taa_stationary_blend
+    ref = np.asarray(checker) + b * (0.75 - np.asarray(checker))
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_hist[0]), ref, atol=1e-5)
+
+
+def test_taa_neighborhood_clamp_kills_ghost():
+    from volumetricrenderer_tpu.post import taa_step
+    cfg = PostConfig(taa_sharpness=0.0)
+    cur = [jnp.full((16, 16), 0.2, jnp.float32)] * 3
+    ghost = [jnp.full((16, 16), 5.0, jnp.float32)] * 3  # way outside nbhd
+    vel = jnp.zeros((16, 16, 2), jnp.float32)
+    out, _ = taa_step(cur, ghost, vel, cfg)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.2, atol=1e-5)
+
+
+def test_taa_frame0_passthrough():
+    from volumetricrenderer_tpu.post import temporal_antialiasing
+    rgb = _img()[..., :3]
+    out, hist = temporal_antialiasing(rgb, None, None, PostConfig())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(rgb))
+
+
+def test_lens_distortion_matches_bilinear_oracle():
+    from volumetricrenderer_tpu.post import (lens_distortion,
+                                             lens_distortion_offsets)
+    h, w = 48, 64
+    key = jax.random.PRNGKey(2)
+    base = jax.random.uniform(key, (h // 8, w // 8), jnp.float32)
+    smooth = jnp.kron(base, jnp.ones((8, 8), jnp.float32))  # blocky-smooth
+    from volumetricrenderer_tpu.post import _blur3_p
+    for _ in range(4):
+        smooth = _blur3_p(smooth)
+    rgb = jnp.stack([smooth] * 3, -1)
+    cfg = PostConfig(lens_distortion=20.0, ld_window=8)
+    out = np.asarray(lens_distortion(rgb, cfg))[..., 0]
+
+    dy, dx = lens_distortion_offsets(h, w, cfg)
+    dyn, dxn = np.asarray(dy), np.asarray(dx)
+    img = np.asarray(smooth)
+    ys = np.clip(np.arange(h)[:, None] + dyn, 0, h - 1)
+    xs = np.clip(np.arange(w)[None, :] + dxn, 0, w - 1)
+    y0 = np.floor(ys).astype(int); x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1); x1 = np.minimum(x0 + 1, w - 1)
+    fy = ys - y0; fx = xs - x0
+    ref = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx
+           + img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+    # interior only: the oracle's edge clamp and the warp's differ slightly
+    sl = np.s_[4:-4, 4:-4]
+    err = np.abs(out[sl] - ref[sl]).max()
+    assert err < 0.02, err
+
+
+def test_lens_distortion_zero_is_identity_shape():
+    from volumetricrenderer_tpu.post import lens_distortion_offsets
+    # intensity ~0 (amount floor 1.6deg) -> sub-pixel offsets everywhere
+    dy, dx = lens_distortion_offsets(64, 64, PostConfig(lens_distortion=1e-3))
+    assert float(jnp.abs(dy).max()) < 0.5
+    assert float(jnp.abs(dx).max()) < 0.5
+
+
+def test_dithering_bounded_and_frame_scrolls():
+    img = _img()
+    cfg = PostConfig(dithering=True)
+    out0 = np.asarray(apply_post(img, cfg, dither_frame=0))
+    out1 = np.asarray(apply_post(img, cfg, dither_frame=1))
+    base = np.asarray(apply_post(img, PostConfig()))
+    assert np.abs(out0 - base).max() <= 0.5 / 255 + 1e-6
+    assert np.abs(out0 - out1).max() > 0          # pattern animates
+    assert out0.min() >= 0.0 and out0.max() <= 1.0
+
+
+def test_ambient_occlusion_flat_depth_is_one():
+    from volumetricrenderer_tpu.post import ambient_occlusion
+    ao = np.asarray(ambient_occlusion(jnp.full((32, 32), 10.0), 1.0, 4))
+    np.testing.assert_allclose(ao, 1.0, atol=1e-6)
+
+
+def test_ambient_occlusion_darkens_behind_step():
+    from volumetricrenderer_tpu.post import ambient_occlusion
+    d = np.full((32, 32), 10.0, np.float32)
+    d[:, :16] = 9.5                      # contact-scale step (0.5 m at 10 m)
+    ao = np.asarray(ambient_occlusion(jnp.asarray(d), 1.0, 4))
+    assert ao[16, 18] < 0.999            # far side near the edge is occluded
+    assert ao[16, 30] > ao[16, 17]       # fades away from the step
+    assert ao[16, 8] >= 0.999            # the NEAR side is not occluded
+    # a large silhouette gap (background behind a distinct object) does NOT
+    # darken the background — the disocclusion fade
+    d2 = np.full((32, 32), 10.0, np.float32)
+    d2[:, :16] = 5.0
+    ao2 = np.asarray(ambient_occlusion(jnp.asarray(d2), 1.0, 4))
+    np.testing.assert_allclose(ao2, 1.0, atol=1e-6)
+
+
+def test_full_chain_with_round4_effects():
+    img = _img()
+    depth = jnp.full(img.shape[:2], 20.0, jnp.float32)
+    cfg = PostConfig(auto_exposure=True, fxaa=True, dithering=True,
+                     lens_distortion=10.0, ao_intensity=0.6,
+                     bloom_strength=0.2, vignette=0.2)
+    from volumetricrenderer_tpu.post import auto_exposure_step
+    planes = [img[..., c] for c in range(3)]
+    scale, luma = auto_exposure_step(planes, 1.0, cfg)
+    out = np.asarray(jax.jit(
+        lambda x, s: apply_post(x, cfg, view_depth=depth, exposure_scale=s,
+                                dither_frame=3))(img, scale))
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.isfinite(float(luma))

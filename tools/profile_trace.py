@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from volumetricrenderer_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()   # persistent .jax_cache (utils/cache.py)
+
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"

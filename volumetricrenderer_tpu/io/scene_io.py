@@ -1,0 +1,169 @@
+"""Declarative scene serialization (JSON).
+
+The reference's L5 authoring layer is a serialized Unity scene: every tunable
+the demo uses — camera transform, sun/spot parameters, fog medium, temporal
+settings — lives as YAML fields in Assets/Scenes/VolumetricRenderer.unity:547-685
+and is loaded, not constructed in code. This module gives the TPU framework the
+same surface: a JSON schema that loads to `models.scene.Scene` and round-trips
+it exactly.
+
+Two dialects are accepted by `scene_from_dict` (and mix freely per section):
+
+- SERIALIZED (what `scene_to_dict` emits): each section carries the exact
+  dataclass fields (SoA light arrays, fov in radians, normalized directions).
+  Round-trips bit-exactly — directions are NOT re-normalized, angles NOT
+  re-converted, so save -> load is the identity on the pytree.
+- AUTHORED (hand-written): the human-facing constructor forms — camera with
+  `fov_y_deg`, lights as a LIST of per-light dicts, geometry as
+  `planes/spheres/boxes` tuples, media as `Medium.create` kwargs. These route
+  through the models' create() constructors (same normalization the code
+  presets use).
+
+`demo.py --scene file.json` renders a loaded scene; tests/test_scene_io.py
+pins the exact round trip of demo_scene() and benchmark_scene().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from volumetricrenderer_tpu.models.camera import Camera
+from volumetricrenderer_tpu.models.geometry import Geometry
+from volumetricrenderer_tpu.models.lights import (DirectionalLights,
+                                                  PointLights, SpotLights)
+from volumetricrenderer_tpu.models.media import Medium
+from volumetricrenderer_tpu.models.mesh import TriMesh
+from volumetricrenderer_tpu.models.scene import Scene
+
+SCHEMA_VERSION = 1
+
+# per-field dtypes that are not float32 (everything else numeric is f32)
+_DTYPES = {"has_shadow": bool, "tris": jnp.int32}
+
+
+def _dc_to_dict(obj) -> dict:
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if v is None or isinstance(v, (str, int, float, bool)):
+            out[f.name] = v
+        else:
+            arr = np.asarray(v)
+            if arr.size == 0:
+                # nested tolist() of a (0, 3) is just [] — keep the shape
+                out[f.name] = {"empty": list(arr.shape)}
+            else:
+                out[f.name] = arr.tolist()
+    return out
+
+
+def _dc_from_dict(cls, d: dict):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        v = d.get(f.name)
+        if v is None:
+            # optional array fields (e.g. Medium.noise_tex) serialize as
+            # None; absent static fields fall back to their default
+            kw[f.name] = None if f.default is dataclasses.MISSING \
+                else f.default
+        elif (f.metadata or {}).get("static") or isinstance(v, str):
+            kw[f.name] = v
+        elif isinstance(v, dict) and "empty" in v:
+            kw[f.name] = jnp.zeros(tuple(v["empty"]),
+                                   _DTYPES.get(f.name, jnp.float32))
+        else:
+            kw[f.name] = jnp.asarray(v, _DTYPES.get(f.name, jnp.float32))
+    return cls(**kw)
+
+
+def _is_serialized(cls, d: dict) -> bool:
+    """A section is in the exact serialized dialect when every dataclass
+    field is present (authored forms use the create() kwarg names, which
+    differ for at least one field of every section)."""
+    return all(f.name in d for f in dataclasses.fields(cls)
+               if f.default is dataclasses.MISSING)
+
+
+def _lights_from(cls, d):
+    if isinstance(d, dict):                       # serialized SoA
+        return _dc_from_dict(cls, d)
+    if not d:                                     # authored empty list
+        return cls.empty()
+    # authored: list of per-light dicts -> SoA create() kwargs
+    keys = set().union(*[set(e) for e in d])
+    cols = {k: [e.get(k) for e in d] for k in keys}
+    # fill per-light defaults where a key is missing on some entries
+    for k, col in cols.items():
+        if any(v is None for v in col):
+            raise ValueError(f"light list entries disagree on key '{k}'")
+    return cls.create(**cols)
+
+
+def _camera_from(d: dict) -> Camera:
+    if _is_serialized(Camera, d):
+        return _dc_from_dict(Camera, d)
+    return Camera.create(**d)
+
+
+def _medium_from(d: dict) -> Medium:
+    if _is_serialized(Medium, d):
+        return _dc_from_dict(Medium, d)
+    return Medium.create(**d)
+
+
+def _geometry_from(d: dict) -> Geometry:
+    if d is None:
+        return Geometry.empty()
+    if _is_serialized(Geometry, d):
+        return _dc_from_dict(Geometry, d)
+    return Geometry.create(**d)
+
+
+def scene_to_dict(scene: Scene) -> dict:
+    """Exact (serialized-dialect) dict of a Scene; JSON-safe."""
+    return {
+        "schema": SCHEMA_VERSION,
+        "camera": _dc_to_dict(scene.camera),
+        "dir_lights": _dc_to_dict(scene.dir_lights),
+        "point_lights": _dc_to_dict(scene.point_lights),
+        "spot_lights": _dc_to_dict(scene.spot_lights),
+        "media": [_dc_to_dict(m) for m in scene.media],
+        "geometry": _dc_to_dict(scene.geometry),
+        "ambient": np.asarray(scene.ambient).tolist(),
+        "mesh": None if scene.mesh is None else _dc_to_dict(scene.mesh),
+    }
+
+
+def scene_from_dict(d: dict) -> Scene:
+    """Load a Scene from the serialized or authored dialect (see module
+    docstring). Unknown top-level keys raise (typo protection)."""
+    known = {"schema", "camera", "dir_lights", "point_lights", "spot_lights",
+             "media", "geometry", "ambient", "mesh"}
+    extra = set(d) - known
+    if extra:
+        raise ValueError(f"unknown scene keys: {sorted(extra)}")
+    mesh = d.get("mesh")
+    return Scene(
+        camera=_camera_from(d["camera"]),
+        dir_lights=_lights_from(DirectionalLights, d.get("dir_lights", [])),
+        point_lights=_lights_from(PointLights, d.get("point_lights", [])),
+        spot_lights=_lights_from(SpotLights, d.get("spot_lights", [])),
+        media=tuple(_medium_from(m) for m in d.get("media", [])),
+        geometry=_geometry_from(d.get("geometry")),
+        ambient=jnp.asarray(d.get("ambient", (0.0, 0.0, 0.0)), jnp.float32),
+        mesh=None if mesh is None else _dc_from_dict(TriMesh, mesh),
+    )
+
+
+def save_scene(path: str, scene: Scene) -> None:
+    with open(path, "w") as f:
+        json.dump(scene_to_dict(scene), f, indent=1)
+
+
+def load_scene(path: str) -> Scene:
+    with open(path) as f:
+        return scene_from_dict(json.load(f))

@@ -353,7 +353,11 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
         steps = [shared] * n
 
     def init_carry(n_dir: int):
-        states = [renderer_loc.init_state(n_dir) for _ in range(n)]
+        # packed layout: the per-shard frame-0 states go through the plain
+        # halo-extension path (init_state "auto" would hand the local config
+        # the unsharded padded-planes layout on some grid sizes)
+        states = [renderer_loc.init_state(n_dir, layout="packed")
+                  for _ in range(n)]
         edges_of = jax.jit(_edges)      # one trace/compile for all shards
         edges = [edges_of(s) for s in states]
         return states, edges
@@ -516,6 +520,23 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
             check_vma=False)
         return fn(state, scene, time_x, scene_color, view_depth)
 
+    def normalize(state):
+        # a fresh unsharded-production state (init_state layout="auto")
+        # carries accumulation history as GLOBAL zgather-padded planes; the
+        # frame-0 halo extension shards plain global rows, so repack once
+        # (structure-level, frame 0 only — steady-state sharded planes have
+        # the local-extended padded shape and pass through)
+        from volumetricrenderer_tpu.ops.pallas.zg_composite import (
+            DLANES, WSTRIDE, padded_dims)
+        from volumetricrenderer_tpu.state import packed_accumulation
+        acc = state.prev_accumulation
+        if (isinstance(acc, (tuple, list)) and acc[0].ndim == 3
+                and acc[0].shape == (DLANES, padded_dims(h_g)[0], WSTRIDE)):
+            state = dataclasses.replace(
+                state, prev_accumulation=packed_accumulation(
+                    acc, (d_g, h_g, w_g)))
+        return state
+
     # donate the history volumes (production steady-state: ~86 MB of f32
     # state per frame would otherwise copy on every call)
     if fixed_inputs is not None:
@@ -526,12 +547,13 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
             donate_argnums=0)
 
         def fn(state, scene, time_x):
-            return jitted(state, scene, time_x)
+            return jitted(normalize(state), scene, time_x)
     else:
         jitted = jax.jit(dispatch, donate_argnums=0)
 
         def fn(state, scene, time_x, scene_color, view_depth):
-            return jitted(state, scene, time_x, scene_color, view_depth)
+            return jitted(normalize(state), scene, time_x, scene_color,
+                          view_depth)
 
     fn.halo = p          # for crop_sharded_state on the returned state
     fn.n_shards = n

@@ -17,6 +17,30 @@ bundled package, each re-designed gather-free for TPU:
   so no per-pixel gather exists anywhere).
 - LUT color grading (ColorGrading's curve mode): per-channel 1D LUTs applied
   as exact piecewise-linear tent sums.
+- Auto exposure (AutoExposure.cs): percentile-filtered log-luminance
+  histogram eye adaptation — the histogram is built with one-hot tent sums
+  on a downsampled luma (pure reductions, no atomics), the percentile clip
+  is a closed-form cumsum weighting, progressive adaptation is a scalar
+  carried by the caller (auto_exposure_step).
+- FXAA (FastApproximateAntialiasing.cs): the console-variant edge blur with
+  the per-pixel sample direction QUANTIZED to 4 axes — every tap becomes a
+  constant-offset shift + one-hot select (the shader's fractional
+  direction sampling is a per-pixel gather).
+- TAA (TemporalAntialiasing.cs): history reprojection via the repo's
+  windowed separable warp (offsets clipped to ±taa_window px — the same
+  bounded-support contract as the froxel temporal blend), 3x3 neighborhood
+  clamp from static shifts, stationary/motion blend weights.
+- Lens distortion (LensDistortion.cs): the engine's analytic theta/sigma
+  radial model, resampled as two 1D windowed shift-warps (x then y) —
+  exact for per-axis displacements within ±ld_window px, offsets clamp
+  beyond (the documented envelope), nothing gathers.
+- Dithering (Dithering.cs): final-pass LDR dither; the engine blits a blue-
+  noise texture — here the reference's own interleaved-gradient-noise
+  helper (Random.hlsl:98-104, ops/noise.py) generates the pattern
+  procedurally, frame-scrolled like the froxel jitter.
+- Ambient occlusion (ScalableAO.cs, equivalent): relative-depth occlusion
+  from static ring taps on the view-depth plane (the engine's hemisphere
+  sample gather replaced by fixed-offset depth comparisons at 2 radii).
 
 LAYOUT: the whole chain runs CHANNEL-PLANAR ([H, W] per channel). A
 channels-minor [H, W, 3] tensor tiles its 3-wide lane dim to 128 on TPU —
@@ -69,6 +93,45 @@ class PostConfig:
     # Per-channel 1D grading LUTs: tuple of 3 tuples (r, g, b node values on
     # a uniform [0, 1] grid, any length >= 2). None disables.
     grade_luts: tuple = None
+    # Auto exposure (AutoExposure.cs:40-76 defaults). When on, apply_post's
+    # exposure_scale argument (from auto_exposure_step) multiplies exposure.
+    auto_exposure: bool = False
+    ae_filtering: tuple = (0.5, 0.95)   # histogram percentile clip (lo, hi)
+    ae_min_ev: float = -9.0             # avg-luminance clamp, EV
+    ae_max_ev: float = 9.0
+    ae_key: float = 1.0                 # keyValue: exposure = key / avgLum
+    ae_speed_up: float = 2.0            # dark -> light adaptation speed
+    ae_speed_down: float = 1.0          # light -> dark
+    # FXAA (final LDR pass, FastApproximateAntialiasing.cs). Standard FXAA
+    # contrast thresholds; the blur runs where local luma contrast exceeds
+    # max(abs_threshold, rel_threshold * max_luma).
+    fxaa: bool = False
+    fxaa_abs_threshold: float = 0.0312
+    fxaa_rel_threshold: float = 0.063
+    # Lens distortion (LensDistortion.cs:16-48 parameter model). intensity in
+    # [-100, 100] (barrel > 0, pincushion < 0); per-axis multipliers; center
+    # in [-1, 1] NDC offsets; scale = global screen zoom. ld_window bounds
+    # the per-axis resample displacement in pixels (offsets clamp beyond).
+    lens_distortion: float = 0.0        # 0 disables
+    ld_intensity_x: float = 1.0
+    ld_intensity_y: float = 1.0
+    ld_center: tuple = (0.0, 0.0)
+    ld_scale: float = 1.0
+    ld_window: int = 8
+    # Final-pass dither (Dithering.cs): +-0.5/255 noise after gamma encode,
+    # breaking 8-bit banding. Pattern = interleaved gradient noise
+    # (Random.hlsl:98-104), frame-scrolled via apply_post(dither_frame=...).
+    dithering: bool = False
+    # Ambient occlusion (ScalableAO.cs equivalent): 0 disables. Radius in
+    # pixels of the outer tap ring; needs view_depth passed to apply_post.
+    ao_intensity: float = 0.0
+    ao_radius_px: int = 8
+    # TAA (TemporalAntialiasing.cs:18-43): used by temporal_antialiasing()
+    # (history threading is the caller's — see the function docstring).
+    taa_sharpness: float = 0.25
+    taa_stationary_blend: float = 0.95
+    taa_motion_blend: float = 0.85
+    taa_window: int = 4                 # history reprojection window, px
 
 
 def _split(rgb: jax.Array):
@@ -367,30 +430,333 @@ def apply_channel_luts(rgb: jax.Array, luts) -> jax.Array:
     return _merge(_luts_p(_split(rgb), luts))
 
 
+# --------------------------------------------------------------------------- #
+# Auto exposure (AutoExposure.cs + ExposureHistogram's filtered average)
+# --------------------------------------------------------------------------- #
+
+def _luma_p(planes):
+    return 0.2126 * planes[0] + 0.7152 * planes[1] + 0.0722 * planes[2]
+
+
+def log_luma_histogram(planes, bins: int = 64, ev_min: float = -9.0,
+                       ev_max: float = 9.0, downsample: int = 4) -> jax.Array:
+    """Normalized log2-luminance histogram [bins] — the engine's compute-
+    shader histogram (AutoExposure.cs:122-160) as one-hot reductions: each
+    (downsampled) pixel contributes 1 to the bin its log-luma falls in via
+    an exact floor-compare mask; no atomics, no gathers. Downsampling is a
+    box mean (the engine builds its histogram from a scaled source too)."""
+    luma = _luma_p(planes)
+    for _ in range(max(downsample, 1).bit_length() - 1):
+        luma = _down2_p(luma)
+    ev = jnp.log2(jnp.maximum(luma, 1e-8))
+    x = jnp.clip((ev - ev_min) / (ev_max - ev_min), 0.0, 1.0) * (bins - 1)
+    idx = jnp.floor(x)
+    hist = [jnp.mean((idx == i).astype(jnp.float32)) for i in range(bins)]
+    return jnp.stack(hist)
+
+
+def filtered_average_luminance(hist: jax.Array, lo: float, hi: float,
+                               ev_min: float = -9.0, ev_max: float = 9.0
+                               ) -> jax.Array:
+    """Percentile-filtered mean luminance: pixels below the `lo` and above
+    the `hi` cumulative fraction are discarded (AutoExposure filtering
+    (50%, 95%) default). Closed form over the histogram: each bin's usable
+    mass is clip(min(cdf_i, hi) - max(cdf_{i-1}, lo), 0)."""
+    bins = hist.shape[0]
+    cdf = jnp.cumsum(hist)
+    cdf_prev = jnp.concatenate([jnp.zeros((1,), hist.dtype), cdf[:-1]])
+    mass = jnp.clip(jnp.minimum(cdf, hi) - jnp.maximum(cdf_prev, lo),
+                    0.0, None)
+    ev = ev_min + (jnp.arange(bins, dtype=jnp.float32) + 0.5) \
+        * ((ev_max - ev_min) / bins)
+    mean_ev = jnp.sum(mass * ev) / jnp.maximum(jnp.sum(mass), 1e-8)
+    return jnp.exp2(mean_ev)
+
+
+def adapt_exposure(prev_luma: jax.Array, target_luma: jax.Array, dt: float,
+                   speed_up: float, speed_down: float) -> jax.Array:
+    """Progressive eye adaptation (AutoExposure.cs Progressive mode):
+    exponential approach with separate dark->light / light->dark speeds."""
+    speed = jnp.where(target_luma > prev_luma, speed_up, speed_down)
+    t = 1.0 - jnp.exp2(-dt * speed)
+    return prev_luma + (target_luma - prev_luma) * t
+
+
+def auto_exposure_step(planes, prev_luma, cfg: PostConfig, dt: float = 1 / 60
+                       ) -> tuple:
+    """One auto-exposure update. Returns (exposure_scale, new_adapted_luma);
+    pass exposure_scale to apply_post(exposure_scale=...) and carry
+    new_adapted_luma to the next frame (jnp scalar; seed with 1.0).
+    Fixed-mode callers (EyeAdaptation.Fixed) can pass dt=None to snap."""
+    hist = log_luma_histogram(planes, ev_min=cfg.ae_min_ev,
+                              ev_max=cfg.ae_max_ev)
+    avg = filtered_average_luminance(hist, cfg.ae_filtering[0],
+                                     cfg.ae_filtering[1], cfg.ae_min_ev,
+                                     cfg.ae_max_ev)
+    avg = jnp.clip(avg, jnp.exp2(cfg.ae_min_ev), jnp.exp2(cfg.ae_max_ev))
+    if dt is None:
+        new_luma = avg
+    else:
+        new_luma = adapt_exposure(jnp.asarray(prev_luma, jnp.float32), avg,
+                                  dt, cfg.ae_speed_up, cfg.ae_speed_down)
+    return cfg.ae_key / jnp.maximum(new_luma, 1e-6), new_luma
+
+
+# --------------------------------------------------------------------------- #
+# FXAA (final LDR pass; console variant, direction-quantized)
+# --------------------------------------------------------------------------- #
+
+def _fxaa_p(planes, abs_threshold: float, rel_threshold: float):
+    """Gather-free FXAA: the console algorithm's cross/diagonal luma taps are
+    all fixed +-1/+-2 offsets (static shifts); only its final two samples
+    along the per-pixel edge direction are fractional gathers — here the
+    direction is quantized to the 4 screen axes and the axis blur is chosen
+    by one-hot select, so every tap stays a constant-offset stencil."""
+    l = _luma_p(planes)
+    sh = _shift2_p
+    l_n, l_s = sh(l, -1, 0), sh(l, 1, 0)
+    l_w, l_e = sh(l, 0, -1), sh(l, 0, 1)
+    l_nw, l_ne = sh(l, -1, -1), sh(l, -1, 1)
+    l_sw, l_se = sh(l, 1, -1), sh(l, 1, 1)
+
+    l_min = jnp.minimum(l, jnp.minimum(jnp.minimum(l_n, l_s),
+                                       jnp.minimum(l_w, l_e)))
+    l_max = jnp.maximum(l, jnp.maximum(jnp.maximum(l_n, l_s),
+                                       jnp.maximum(l_w, l_e)))
+    contrast = l_max - l_min
+    active = (contrast >= jnp.maximum(abs_threshold,
+                                      rel_threshold * l_max)
+              ).astype(planes[0].dtype)
+
+    # console-FXAA edge direction from the diagonal lumas
+    dir_x = -((l_nw + l_ne) - (l_sw + l_se))
+    dir_y = (l_nw + l_sw) - (l_ne + l_se)
+    adx, ady = jnp.abs(dir_x), jnp.abs(dir_y)
+    # axis one-hot: horizontal edge -> blur vertically and vice versa;
+    # near-diagonal directions take the matching diagonal axis
+    diag = (jnp.minimum(adx, ady) > 0.414 * jnp.maximum(adx, ady)
+            ).astype(planes[0].dtype)
+    horiz = (adx >= ady).astype(planes[0].dtype)
+    d1 = (jnp.sign(dir_x) * jnp.sign(dir_y) >= 0).astype(planes[0].dtype)
+
+    # sub-pixel blend amount: average-neighborhood contrast vs range
+    l_avg = (l_n + l_s + l_w + l_e) * 0.25
+    sub = jnp.clip(jnp.abs(l_avg - l) / jnp.maximum(contrast, 1e-6),
+                   0.0, 1.0)
+    blend = sub * sub * 0.75 * active
+
+    outs = []
+    for p in planes:
+        ax_h = (sh(p, 0, -1) + sh(p, 0, 1)) * 0.5
+        ax_v = (sh(p, -1, 0) + sh(p, 1, 0)) * 0.5
+        ax_d1 = (sh(p, -1, -1) + sh(p, 1, 1)) * 0.5
+        ax_d2 = (sh(p, -1, 1) + sh(p, 1, -1)) * 0.5
+        straight = horiz * ax_h + (1.0 - horiz) * ax_v
+        diag_b = d1 * ax_d1 + (1.0 - d1) * ax_d2
+        tgt = diag * diag_b + (1.0 - diag) * straight
+        outs.append(p + blend * (tgt - p))
+    return outs
+
+
+def fxaa(rgb: jax.Array, abs_threshold: float = 0.0312,
+         rel_threshold: float = 0.063) -> jax.Array:
+    return _merge(_fxaa_p(_split(rgb), abs_threshold, rel_threshold))
+
+
+# --------------------------------------------------------------------------- #
+# Windowed 1D shift-warp (shared by TAA + lens distortion)
+# --------------------------------------------------------------------------- #
+
+def _windowed_warp_axis(p: jax.Array, offset: jax.Array, k: int,
+                        axis: int) -> jax.Array:
+    """Resample p at position + offset along `axis` via tent weights over
+    static integer shifts: out = sum_j tent(clip(offset, -k, k) - j) *
+    shift_j(p). Exact linear resampling for |offset| <= k; clamps beyond
+    (the same bounded-support contract as the froxel reprojection window,
+    SPEC 'Reprojection sampling'). Gather-free: (2k+1) constant shifts."""
+    off = jnp.clip(offset, -k, k)
+    out = jnp.zeros_like(p)
+    for j in range(-k, k + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(off - j))
+        sp = _shift2_p(p, j, 0) if axis == 0 else _shift2_p(p, 0, j)
+        out = out + w * sp
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# TAA (TemporalAntialiasing.cs)
+# --------------------------------------------------------------------------- #
+
+def taa_step(planes_cur, planes_hist, velocity: jax.Array,
+             cfg: PostConfig):
+    """One TAA frame: reproject history along -velocity (windowed separable
+    warp, offsets clipped to +-taa_window px), clamp it to the current 3x3
+    neighborhood min/max (the engine's variance/AABB clip stand-in), blend
+    with stationary/motion weights, sharpen. Returns (display_planes,
+    new_history_planes) — thread new_history into the next call; frame 0
+    passes planes_hist=None (no blend). The engine runs TAA on the HDR
+    scene before the uber pass (TemporalAntialiasing.cs:13-43)."""
+    if planes_hist is None:
+        return list(planes_cur), [p for p in planes_cur]
+    k = int(cfg.taa_window)
+    vx, vy = velocity[..., 0], velocity[..., 1]
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    outs, hists = [], []
+    for c, p in enumerate(planes_cur):
+        h = planes_hist[c]
+        # history lives at prev-frame pixels: sample it at (pos - velocity)
+        h = _windowed_warp_axis(h, -vx, k, axis=1)
+        h = _windowed_warp_axis(h, -vy, k, axis=0)
+        # neighborhood clamp against the current frame
+        n_min, n_max = p, p
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                s = _shift2_p(p, dy, dx)
+                n_min = jnp.minimum(n_min, s)
+                n_max = jnp.maximum(n_max, s)
+        h = jnp.clip(h, n_min, n_max)
+        blend = cfg.taa_stationary_blend + (
+            cfg.taa_motion_blend - cfg.taa_stationary_blend
+        ) * jnp.clip(speed / 4.0, 0.0, 1.0)
+        out = p + blend * (h - p)
+        hists.append(out)
+        if cfg.taa_sharpness > 0.0:
+            out = out + cfg.taa_sharpness * (out - _blur3_p(out))
+        outs.append(out)
+    return outs, hists
+
+
+def temporal_antialiasing(rgb_cur: jax.Array, rgb_hist, velocity: jax.Array,
+                          cfg: PostConfig):
+    hist = None if rgb_hist is None else _split(rgb_hist)
+    outs, hists = taa_step(_split(rgb_cur), hist, velocity, cfg)
+    return _merge(outs), _merge(hists)
+
+
+# --------------------------------------------------------------------------- #
+# Lens distortion (LensDistortion.cs analytic model)
+# --------------------------------------------------------------------------- #
+
+def lens_distortion_offsets(h: int, w: int, cfg: PostConfig):
+    """(dy, dx) source-sample displacement in PIXELS per output pixel for
+    the engine's distortion model (LensDistortion.cs:67-75: amount =
+    1.6*max(|i|,1), theta = rad(min(160, amount)), sigma = 2*tan(theta/2);
+    barrel: r' = tan(r*theta)/(r*sigma), pincushion: r' =
+    atan(r*sigma)/(r*theta))."""
+    inten = cfg.lens_distortion
+    amount = 1.6 * max(abs(inten), 1.0)
+    theta = jnp.deg2rad(min(160.0, amount))
+    sigma = 2.0 * jnp.tan(theta * 0.5)
+    cx, cy = cfg.ld_center
+    # uv in [0, 1], y down; the model works in centered uv
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    u = (xs[None, :] - 0.5) / cfg.ld_scale + 0.5
+    v = (ys[:, None] - 0.5) / cfg.ld_scale + 0.5
+    ru_x = max(cfg.ld_intensity_x, 1e-4) * (u - 0.5 - cx * 0.5)
+    ru_y = max(cfg.ld_intensity_y, 1e-4) * (v - 0.5 - cy * 0.5)
+    r = jnp.sqrt(ru_x * ru_x + ru_y * ru_y)
+    r_safe = jnp.maximum(r, 1e-6)
+    if inten >= 0.0:
+        scale = jnp.tan(jnp.clip(r_safe * theta, 0.0, 1.55)) \
+            / (r_safe * sigma)
+    else:
+        scale = jnp.arctan(r_safe * sigma) / (r_safe * theta)
+    src_u = u + ru_x * (scale - 1.0)
+    src_v = v + ru_y * (scale - 1.0)
+    # displacement of the SOURCE sample from this output pixel, in pixels
+    dx = (src_u - xs[None, :]) * w
+    dy = (src_v - ys[:, None]) * h
+    return dy, dx
+
+
+def _lens_distort_p(planes, cfg: PostConfig):
+    """Separable two-pass resample of the radial remap: x-pass at dx(x, y),
+    then y-pass at dy(x, y) — each a windowed shift-warp. Exact (to linear
+    interpolation) when the per-axis displacements are within +-ld_window
+    px and the cross-term curvature is small (second-order in the
+    displacement field — the standard two-pass warp decomposition);
+    offsets clamp at the window edge, bounding worst-case error to the
+    clamped remainder. tests/test_post.py checks against a joint bilinear
+    oracle."""
+    h, w = planes[0].shape
+    dy, dx = lens_distortion_offsets(h, w, cfg)
+    k = int(cfg.ld_window)
+    outs = []
+    for p in planes:
+        q = _windowed_warp_axis(p, dx, k, axis=1)
+        outs.append(_windowed_warp_axis(q, dy, k, axis=0))
+    return outs
+
+
+def lens_distortion(rgb: jax.Array, cfg: PostConfig) -> jax.Array:
+    return _merge(_lens_distort_p(_split(rgb), cfg))
+
+
+# --------------------------------------------------------------------------- #
+# Ambient occlusion (ScalableAO.cs equivalent, depth-only)
+# --------------------------------------------------------------------------- #
+
+def ambient_occlusion(view_depth: jax.Array, intensity: float,
+                      radius_px: int = 8) -> jax.Array:
+    """AO multiplier plane [H, W] in (0, 1] from relative-depth ring taps:
+    a neighbor whose depth is in front of the center (closer to the camera,
+    scaled by distance) occludes. Two rings (radius_px and radius_px // 2),
+    8 static-shift taps each — the engine's hemisphere sample gather
+    (ScalableAO.cs) recast as fixed-offset depth comparisons."""
+    d = view_depth
+    occ = jnp.zeros_like(d)
+    n = 0
+    for r in (max(radius_px // 2, 1), max(radius_px, 1)):
+        for dy, dx in ((0, r), (0, -r), (r, 0), (-r, 0),
+                       (r, r), (r, -r), (-r, r), (-r, -r)):
+            dt = d - _shift2_p(d, dy, dx)        # > 0: neighbor in front
+            # occlusion ramp over ~1.5% of the view distance, faded for
+            # depth gaps beyond ~10% (disocclusion halos)
+            s = jnp.clip(dt / (0.015 * d + 1e-3), 0.0, 1.0)
+            fade = jnp.clip(1.0 - dt / (0.10 * d + 1e-3), 0.0, 1.0)
+            occ = occ + s * fade
+            n += 1
+    return 1.0 - jnp.clip(intensity, 0.0, 4.0) * jnp.clip(occ / n, 0.0, 1.0)
+
+
 def apply_post(image_rgba: jax.Array, cfg: PostConfig,
                view_depth: jax.Array = None,
-               velocity: jax.Array = None) -> jax.Array:
+               velocity: jax.Array = None,
+               exposure_scale=None, dither_frame=0) -> jax.Array:
     """HDR composite [H, W, 4] -> display-ready [H, W, 3] in [0, 1].
 
-    view_depth [H, W] enables DoF (dof_focus_distance > 0); velocity
-    [H, W, 2] in pixels (see camera_velocity) enables motion blur
-    (motion_blur > 0). Effect order mirrors PostProcessing 2.3.0's builtin
-    stack: DoF -> motion blur -> CA -> bloom -> vignette -> tonemap ->
-    grading -> grain. The chain is channel-planar throughout (one split,
-    one final stack)."""
+    view_depth [H, W] enables DoF (dof_focus_distance > 0) and AO
+    (ao_intensity > 0); velocity [H, W, 2] in pixels (see camera_velocity)
+    enables motion blur (motion_blur > 0). exposure_scale (traced scalar
+    from auto_exposure_step) multiplies cfg.exposure when auto_exposure is
+    on; dither_frame scrolls the final dither pattern per frame. Effect
+    order mirrors PostProcessing 2.3.0's builtin stack: lens distortion ->
+    DoF -> motion blur -> CA -> bloom -> vignette + AO -> tonemap ->
+    grading -> grain, then the final LDR pass (FXAA -> dither). TAA is a
+    pre-post HDR effect with history — see taa_step. The chain is
+    channel-planar throughout (one split, one final stack)."""
     return _merge(apply_post_planes([image_rgba[..., c] for c in range(3)],
-                                    cfg, view_depth, velocity))
+                                    cfg, view_depth, velocity,
+                                    exposure_scale, dither_frame))
 
 
 def apply_post_planes(planes, cfg: PostConfig,
                       view_depth: jax.Array = None,
-                      velocity: jax.Array = None):
+                      velocity: jax.Array = None,
+                      exposure_scale=None, dither_frame=0):
     """Planar core of apply_post: 3 HDR [H, W] channel planes in, 3 display
     planes out. The renderer's zgather composite emits screen planes
     directly, so the frame+post chain never materializes the packed
     [H, W, 4] image (one interleave + one split of ~8 MB each saved)."""
-    planes = [p * cfg.exposure for p in planes[:3]]
+    exposure = cfg.exposure if exposure_scale is None \
+        else cfg.exposure * exposure_scale
+    planes = [p * exposure for p in planes[:3]]
     h, w = planes[0].shape
+    if cfg.lens_distortion != 0.0:
+        planes = _lens_distort_p(planes, cfg)
     if cfg.dof_focus_distance > 0.0 and view_depth is not None:
         planes = _dof_p(planes, view_depth, cfg)
     if cfg.motion_blur > 0.0 and velocity is not None:
@@ -406,6 +772,10 @@ def apply_post_planes(planes, cfg: PostConfig,
         r2 = (xx[None, :] ** 2 + yy[:, None] ** 2) * 2.0
         vig = 1.0 - cfg.vignette * r2
         planes = [p * vig for p in planes]
+    if cfg.ao_intensity > 0.0 and view_depth is not None:
+        ao = ambient_occlusion(view_depth[:h, :w], cfg.ao_intensity,
+                               cfg.ao_radius_px)
+        planes = [p * ao for p in planes]
     if cfg.tonemap == "aces":
         planes = [aces_tonemap(p) for p in planes]
     if (cfg.grade_lift != (0.0, 0.0, 0.0) or cfg.grade_gamma != (1.0, 1.0, 1.0)
@@ -421,4 +791,18 @@ def apply_post_planes(planes, cfg: PostConfig,
         mask = 1.0 - jnp.clip(luma, 0.0, 1.0) * 0.5
         gn = cfg.grain * n * mask
         planes = [p + gn for p in planes]
-    return [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]
+    planes = [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]
+    # final LDR pass (the engine's FinalPass.shader: FXAA, then dither)
+    if cfg.fxaa:
+        planes = _fxaa_p(planes, cfg.fxaa_abs_threshold,
+                         cfg.fxaa_rel_threshold)
+    if cfg.dithering:
+        from volumetricrenderer_tpu.ops.noise import \
+            interleaved_gradient_noise
+        pix = jnp.stack(jnp.meshgrid(
+            jnp.arange(w, dtype=jnp.float32),
+            jnp.arange(h, dtype=jnp.float32), indexing="xy"), axis=-1)
+        ign = interleaved_gradient_noise(pix, dither_frame)
+        planes = [jnp.clip(p + (ign - 0.5) * (1.0 / 255.0), 0.0, 1.0)
+                  for p in planes]
+    return planes

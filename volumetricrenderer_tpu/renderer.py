@@ -33,11 +33,55 @@ class VolumetricRenderer:
     def __init__(self, config: RenderConfig):
         self.config = config
 
-    def init_state(self, num_dir_lights: int = 1) -> FrameState:
+    def init_state(self, num_dir_lights: int = 1,
+                   layout: str = "auto") -> FrameState:
+        """Fresh history state.
+
+        layout="auto" (default): when the config statically routes to the
+        megakernel + zgather composite (the unsharded production path), the
+        accumulation history is created directly in that path's steady-state
+        layout — 4 zgather-PADDED channel planes — so frame 0 runs the SAME
+        executable as every later frame. A packed frame-0 state used to (a)
+        force a second full compile of the frame graph for the packed->planar
+        structure switch and (b) defeat buffer donation on frame 0 (the
+        packed [D, H, W, 4] input aliases none of the planar outputs — the
+        BENCH_r03 donation warnings). Zero planes are identical to the packed
+        zero init (the pad rows are edge-clamps of zeros).
+
+        layout="packed": always the plain [D, H, W, 4] volume — required by
+        the H-sharded slab paths, whose frame-0 halo extension shards the
+        plain global rows (parallel/shard_render.py)."""
         cfg = self.config
-        return FrameState.create(cfg.grid_dhw, num_dir_lights, cfg.dtype,
-                                 with_material=cfg.temporal_blend_material,
-                                 with_scatter=cfg.temporal_blend_scatter)
+        state = FrameState.create(cfg.grid_dhw, num_dir_lights, cfg.dtype,
+                                  with_material=cfg.temporal_blend_material,
+                                  with_scatter=cfg.temporal_blend_scatter)
+        if layout == "auto" and self._steady_planar_layout():
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import (
+                DLANES, padded_dims)
+            hp, wstride = padded_dims(cfg.volume_height)
+            planes = tuple(jnp.zeros((DLANES, hp, wstride), cfg.dtype)
+                           for _ in range(4))
+            state = dataclasses.replace(state, prev_accumulation=planes)
+        return state
+
+    def _steady_planar_layout(self) -> bool:
+        """Config-only part of the render_frame fuse_frame + padded-out
+        predicate (the scene-dependent terms — lights present, foldable
+        media — hold for every production scene; when they don't,
+        render_frame repacks planar history via state.packed_accumulation)."""
+        cfg = self.config
+        return (cfg.frame_fused
+                and cfg.temporal_blend_shadow
+                and cfg.temporal_blend_accumulation
+                and not cfg.temporal_blend_material
+                and not cfg.temporal_blend_scatter
+                and cfg.dir_shadow_impl == "pallas"
+                and cfg.reproj_impl == "pallas"
+                and cfg.scatter_impl == "pallas"
+                and cfg.accumulate_impl == "pallas"
+                and cfg.material_impl == "fused"
+                and cfg.shadow_mode == "raycast"
+                and pipeline.zgather_eligible(cfg))
 
     # ------------------------------------------------------------------ #
 
