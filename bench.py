@@ -230,7 +230,12 @@ def run_extras(argv):
                 shadow_data)
             return jnp.sum(image), new_state
 
-        return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count))
+        # packed init: texture-noise media are not foldable, so this config
+        # takes the unfused path whose steady-state history is packed — the
+        # planar "auto" layout would add a structure flip (an extra full
+        # compile) and a frame-0 donation miss
+        return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count,
+                                                     layout="packed"))
 
     def run_slab1():
         # the shard_map slab pipeline on a 1-device mesh: quantifies the

@@ -76,26 +76,40 @@ def main():
         print(f"wrote {args.dump_scene}")
         return
     if args.showcase:
+        # the full PostProcessing-2.3.0-shaped chain incl. the round-4
+        # effects: auto exposure (adapted luma carried across frames), lens
+        # distortion, AO, FXAA, final-pass dithering
         post = PostConfig(exposure=1.1, bloom_strength=0.25,
                           bloom_threshold=0.8, vignette=0.25,
                           chromatic_aberration=1.0, grain=0.02,
                           saturation=1.1, contrast=1.05,
                           dof_focus_distance=20.0, dof_aperture=11.0,
-                          dof_max_coc=3.0, motion_blur=0.4)
+                          dof_max_coc=3.0, motion_blur=0.4,
+                          auto_exposure=True, ae_key=0.6, ae_min_ev=-2.0,
+                          ae_max_ev=2.0, fxaa=True, dithering=True,
+                          lens_distortion=8.0, ao_intensity=0.5)
     else:
         post = PostConfig(exposure=1.0, vignette=0.15)
     state = renderer.init_state(scene.dir_lights.count)
 
     @jax.jit
-    def frame(state, scene, t):
-        from volumetricrenderer_tpu.post import camera_velocity
+    def frame(state, scene, t, adapted_luma):
+        from volumetricrenderer_tpu.post import (auto_exposure_step,
+                                                 camera_velocity)
         image, aux, new_state = renderer.render_frame(state, scene, t)
         vd = aux["view_depth"]
         cam = scene.camera
         vel = camera_velocity(vd, cam.fov_y, cam.aspect, cam.view_to_world(),
                               state.prev_world_to_view)
-        out = apply_post(image, post, view_depth=vd, velocity=vel)
-        return out, aux["accumulation"], new_state
+        scale = None
+        if post.auto_exposure:
+            planes = [image[..., c] for c in range(3)]
+            scale, adapted_luma = auto_exposure_step(planes, adapted_luma,
+                                                     post)
+        out = apply_post(image, post, view_depth=vd, velocity=vel,
+                         exposure_scale=scale,
+                         dither_frame=state.frame_count)
+        return out, aux["accumulation"], new_state, adapted_luma
 
     def orbit(scene, i):
         if not args.showcase:
@@ -108,9 +122,12 @@ def main():
             scene, camera=dataclasses.replace(cam, position=pos))
 
     os.makedirs(args.out, exist_ok=True)
+    adapted_luma = jnp.float32(1.0)       # auto-exposure eye-adaptation state
     for i in range(args.frames):
         t0 = time.perf_counter()
-        rgb, acc, state = frame(state, orbit(scene, i), jnp.float32(i / 20.0))
+        rgb, acc, state, adapted_luma = frame(state, orbit(scene, i),
+                                              jnp.float32(i / 20.0),
+                                              adapted_luma)
         jax.block_until_ready(rgb)
         dt = (time.perf_counter() - t0) * 1e3
         path = os.path.join(args.out, f"frame_{i:03d}.png")

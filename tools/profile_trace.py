@@ -35,6 +35,12 @@ def main():
     if "--ss2" in sys.argv:          # baked-visibility local shadows
         cfg = dataclasses.replace(cfg, raycast_shadow_subsample=2)
         sys.argv.remove("--ss2")
+    if "--ss4" in sys.argv:          # quarter-rate bake (quality knob)
+        cfg = dataclasses.replace(cfg, raycast_shadow_subsample=4)
+        sys.argv.remove("--ss4")
+    if "--4k" in sys.argv:           # 4K composite scope (bench ms_4k)
+        cfg = dataclasses.replace(cfg, image_width=3840, image_height=2160)
+        sys.argv.remove("--4k")
     for a in list(sys.argv):         # --group=N: inline-bake batch size
         if a.startswith("--group="):
             cfg = dataclasses.replace(cfg, inline_bake_group=int(a[8:]))

@@ -216,14 +216,18 @@ FULL_CONFIG = RenderConfig(
     image_height=1080,
     temporal_blend_alpha=0.84,
     shadow_mode="raycast",
-    # production local shadows: baked per-light radiance at half froxel rate
-    # (the reference's own shadow-map amortization, TPU-shaped, extended to
-    # the smooth per-light factors); ss=1 remains the exact per-froxel parity
-    # path. Measured vs ss=1 at FULL size (4-frame steady state): mean rel
-    # err 0.015%, 99.92% of pixels within 2% — and 7.59 -> 6.37 ms/frame.
-    # scatter_bake="vis" is the visibility-only middle ground (mean 0.005%);
-    # ss=4 radiance reaches 5.86 ms at mean 0.045% / 99.67% within 2%.
-    raycast_shadow_subsample=2,
+    # production local shadows: baked per-light radiance at quarter froxel
+    # rate (the reference's own shadow-map amortization, TPU-shaped,
+    # extended to the smooth per-light factors); ss=1 remains the exact
+    # per-froxel parity path. Quality ladder vs ss=1 at FULL size (4-frame
+    # steady state, rel to image max): ss=2 radiance mean 0.015% / 99.92%
+    # of pixels within 2%; ss=4 radiance mean 0.045% / 99.67% within 2%
+    # (scatter_bake="vis" at ss=2 is the visibility-only middle ground,
+    # mean 0.005%). ss=4 shipped round 4: in-device megakernel 2.346 ->
+    # 1.876 ms (the inline bake drops ~8x), whole device window 3.85 ->
+    # 3.38 ms — the documented error is far below the 8-bit display
+    # quantization the composite feeds.
+    raycast_shadow_subsample=4,
     scatter_bake="radiance",
     # fBm factor baked at the same low rate (5.80 vs 6.37 ms/frame measured;
     # the noise field is band-limited far below even the 1/2-rate Nyquist)

@@ -35,6 +35,7 @@ falls back to tentmm otherwise. Reference: VolumetricRenderer.shader:69-93.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -49,7 +50,14 @@ DLANES = 128
 HB = 8          # froxel rows per grid step (8 x 256 = a (8,128)-clean block)
 WSTRIDE = 256   # padded cell-row stride (1 left edge col + W + right pads)
 UNSHUFFLE = "map"   # cell->screen layout variant (probe knob): map|bf16|whole
-NB = 0              # unshuffle rows per map step (probe knob; 0 = auto)
+NB = int(os.environ.get("ZG_NB", "0"))  # unshuffle rows/map step (0 = auto)
+# multiple-of-8 decomposition (4K): run all ky*kx sub-images in ONE kernel
+# with a (nblk, n_sub) grid — the plane blocks' index map ignores the sub
+# index, so the pipeline does not refetch them across the inner dim, and the
+# per-channel in-VMEM transpose is computed once per row block into scratch
+# (persistent across grid steps) and reused by the other sub-images. False =
+# one kernel pass per sub-image (the round-3 form, kept for A/B).
+MULTISUB = True
 
 
 def padded_dims(h: int) -> Tuple[int, int]:
@@ -113,6 +121,71 @@ def _kernel(*refs, w: int, d: int, cp: int, n_planes: int, nwin: int = 2,
         comb = accw + pltpu.roll(accw, 64, 1)            # tap0+tap1 in 0-63
         comb3 = comb.reshape(HB, WSTRIDE, DLANES)
         out_ref[...] = comb3[:, :w, :cp]
+
+
+def _kernel_multisub(*refs, w: int, d: int, cp: int, n_planes: int,
+                     nwin: int = 2, sub: int = 0):
+    """_kernel over a (nblk, n_sub) grid: fz_ref [1, HB, WSTRIDE, cp] and
+    w9_ref [1, 9, 2cp] select the sub-image via their index maps; the plane
+    block refs ignore the sub index (no refetch across the inner grid dim)
+    and each channel's [nwin*cells, 128] transpose is built ONCE per row
+    block (at sub 0) into persistent VMEM scratch — the sub-image-invariant
+    ~40% of the single-sub kernel (fetch + transpose) stops being paid
+    ky*kx times. Verified Mosaic patterns only: @pl.when on a grid index,
+    scratch persisting across sequential grid steps."""
+    fz_ref, w9_ref = refs[0], refs[1]
+    n_in = 2 + nwin * n_planes
+    out_refs = refs[n_in:n_in + n_planes]
+    t_refs = refs[n_in + n_planes:n_in + 2 * n_planes]
+    cells = HB * WSTRIDE
+    s_id = pl.program_id(1)
+
+    fzc = fz_ref[...].reshape(cells, cp)
+    z0f = jnp.floor(fzc)
+    f = fzc - z0f
+    z0 = jnp.clip(z0f.astype(jnp.int32), 0, d - 1)
+    z1 = jnp.clip(z0 + 1, 0, d - 1)
+    idx = jnp.concatenate([z0, z1], axis=1)
+    wz = jnp.concatenate([1.0 - f, f], axis=1)
+    w9k = w9_ref[...].reshape(9, 2 * cp)
+
+    for c in range(n_planes):
+        blks = refs[2 + nwin * c:2 + nwin * (c + 1)]
+        out_ref = out_refs[c]
+        t_ref = t_refs[c]
+
+        @pl.when(s_id == 0)
+        def _(blks=blks, t_ref=t_ref):
+            stack = jnp.concatenate([b[...] for b in blks], axis=1)
+            t_ref[...] = stack.T
+
+        t = t_ref[...]
+        acc = jnp.zeros((cells, DLANES), jnp.float32)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                start = (sub + dy) * WSTRIDE + dx
+                src = jax.lax.slice_in_dim(t, start, start + cells, axis=0)
+                g = jnp.take_along_axis(src, idx, axis=1)
+                n = dy * 3 + dx
+                acc = acc + g * w9k[n:n + 1, :]
+        accw = acc * wz
+        comb = accw + pltpu.roll(accw, 64, 1)
+        comb3 = comb.reshape(HB, WSTRIDE, DLANES)
+        out_ref[...] = comb3[:, :w, :cp].reshape(1, HB, w, cp)
+
+
+def _fz_cells(fz_texel: jax.Array, h: int, w: int, d: int,
+              hout: int) -> jax.Array:
+    """Cell-blocked fz at the WSTRIDE cell stride (cell xp = actual column
+    xp; pad cells junk, sliced away in-kernel); rows padded to hout."""
+    py, px = fz_texel.shape[0] // h, fz_texel.shape[1] // w
+    cp = py * px
+    fz = jnp.clip(fz_texel, 0.0, d - 1.0)
+    fz_c = fz.reshape(h, py, w, px).transpose(0, 2, 1, 3).reshape(h, w, cp)
+    fz_c = jnp.concatenate([fz_c] + [fz_c[:, -1:]] * (WSTRIDE - w), axis=1)
+    if hout > h:
+        fz_c = jnp.concatenate([fz_c] + [fz_c[-1:]] * (hout - h), axis=0)
+    return fz_c
 
 
 def composite_zgather_planes(planes, fz_texel: jax.Array,
@@ -201,19 +274,96 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         # tent weights stay those of the PARENT py x px cell: sub-image
         # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
         w_full = _cell_weights(py, px).reshape(3, 3, py, px)
-        cells = []
-        for a in range(ky):
-            row = []
-            for b in range(kx):
-                sub_fz = fz4[:, a, :, :, b, :].reshape(h * 8, w * 8)
-                w9_sub = w_full[:, :, a * 8:(a + 1) * 8,
-                                b * 8:(b + 1) * 8].reshape(9, 64)
-                row.append(composite_zgather_planes(
-                    planes, sub_fz, grid_whd, interpret=interpret,
-                    prepadded=True, row_off=row_off, w9_override=w9_sub,
-                    _return_cells=True))
+        if MULTISUB:
+            # all sub-images in ONE kernel (see the MULTISUB knob comment)
+            n_sub = ky * kx
+            hp_ext = planes[0].shape[1]
+            assert (nblk - 1 + bb + nwin) * HB <= hp_ext, \
+                (nblk, bb, nwin, hp_ext)
+            sub_cp = 64
+            fz_all = jnp.stack([
+                _fz_cells(fz4[:, a, :, :, b, :].reshape(h * 8, w * 8),
+                          h, w, d, hout)
+                for a in range(ky) for b in range(kx)])
+            w9_all = []
+            for a in range(ky):
+                for b in range(kx):
+                    w9s = w_full[:, :, a * 8:(a + 1) * 8,
+                                 b * 8:(b + 1) * 8].reshape(9, sub_cp)
+                    w9_all.append(np.concatenate([w9s, w9s], axis=1))
+            w9_all = jnp.asarray(np.stack(w9_all), jnp.float32)
+            planes_p = [p.reshape(DLANES, hp_ext * WSTRIDE) for p in planes]
+            kernel = functools.partial(_kernel_multisub, w=w, d=d,
+                                       cp=sub_cp, n_planes=n_ch,
+                                       nwin=nwin, sub=sub)
+            plane_specs = [
+                pl.BlockSpec((DLANES, HB * WSTRIDE),
+                             functools.partial(
+                                 lambda i, s, o=0: (0, i + o), o=bb + o),
+                             memory_space=pltpu.VMEM)
+                for o in range(nwin)]
+            plane_inputs = []
+            for p in planes_p:
+                plane_inputs += [p] * nwin
+            pcells = HB * WSTRIDE
+            outs4 = pl.pallas_call(
+                kernel,
+                grid=(nblk, n_sub),
+                in_specs=[
+                    pl.BlockSpec((1, HB, WSTRIDE, sub_cp),
+                                 lambda i, s: (s, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 9, 2 * sub_cp), lambda i, s: (s, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + plane_specs * n_ch,
+                out_specs=tuple([pl.BlockSpec((1, HB, w, sub_cp),
+                                              lambda i, s: (s, i, 0, 0),
+                                              memory_space=pltpu.VMEM)]
+                                * n_ch),
+                out_shape=tuple([jax.ShapeDtypeStruct(
+                    (n_sub, hout, w, sub_cp), jnp.float32)] * n_ch),
+                scratch_shapes=[pltpu.VMEM((nwin * pcells, DLANES),
+                                           jnp.float32)] * n_ch,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+                interpret=interpret,
+            )(fz_all, w9_all, *plane_inputs)
+            nb = _rows_per_step(h)
 
-            cells.append(row)
+            def rows4(y0):
+                # slice the stacked [n_sub, hout, w, cp] outputs INSIDE the
+                # map: pre-slicing per sub-image materialized 4 copies of
+                # every channel (slice_bitcast fusions, ~0.36 ms at 4K)
+                outs_r = []
+                for c in range(n_ch):
+                    bands = []
+                    for a in range(ky):
+                        per_b = [jax.lax.dynamic_slice(
+                            outs4[c], (a * kx + b, y0 * nb, 0, 0),
+                            (1, nb, w, sub_cp)).reshape(nb, w, 8, 8)
+                            for b in range(kx)]
+                        t = jnp.stack(per_b, axis=3)     # [nb, w, iy, b, ix]
+                        t = t.transpose(0, 2, 1, 3, 4)   # [nb, iy, w, b, ix]
+                        bands.append(t.reshape(nb, 8, w * px))
+                    band = jnp.stack(bands, axis=1)      # [nb, a, iy, W]
+                    outs_r.append(band.reshape(nb * py, iw))
+                return tuple(outs_r)
+
+            shuffled = jax.lax.map(rows4, jnp.arange(h // nb))
+            return tuple(s.reshape(ih, iw) for s in shuffled)
+        else:
+            cells = []
+            for a in range(ky):
+                row = []
+                for b in range(kx):
+                    sub_fz = fz4[:, a, :, :, b, :].reshape(h * 8, w * 8)
+                    w9_sub = w_full[:, :, a * 8:(a + 1) * 8,
+                                    b * 8:(b + 1) * 8].reshape(9, 64)
+                    row.append(composite_zgather_planes(
+                        planes, sub_fz, grid_whd, interpret=interpret,
+                        prepadded=True, row_off=row_off, w9_override=w9_sub,
+                        _return_cells=True))
+                cells.append(row)
 
         nb = _rows_per_step(h)
 
@@ -242,13 +392,7 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
     else:
         planes_p = [prep(p) for p in planes]
 
-    # cell-blocked fz at the WSTRIDE cell stride (cell xp = actual column xp;
-    # pad cells junk, sliced away in-kernel); rows padded to hout
-    fz = jnp.clip(fz_texel, 0.0, d - 1.0)
-    fz_c = fz.reshape(h, py, w, px).transpose(0, 2, 1, 3).reshape(h, w, cp)
-    fz_c = jnp.concatenate([fz_c] + [fz_c[:, -1:]] * (WSTRIDE - w), axis=1)
-    if hout > h:
-        fz_c = jnp.concatenate([fz_c] + [fz_c[-1:]] * (hout - h), axis=0)
+    fz_c = _fz_cells(fz_texel, h, w, d, hout)
 
     w9 = _cell_weights(py, px) if w9_override is None else w9_override
     w9d = jnp.asarray(np.concatenate([w9, w9], axis=1), jnp.float32)
