@@ -63,9 +63,10 @@ def main():
             bake_procedural_noise=True)
     renderer = VolumetricRenderer(cfg)
     noise = perlin_texture_3d(32) if args.noise else None
+    scene_post = None
     if args.scene:
         from volumetricrenderer_tpu.io.scene_io import load_scene
-        scene = load_scene(args.scene)
+        scene, scene_post = load_scene(args.scene, with_post=True)
     else:
         scene = demo_scene(aspect=cfg.image_width / cfg.image_height,
                            with_noise=args.noise, noise_tex=noise,
@@ -90,6 +91,8 @@ def main():
                           lens_distortion=8.0, ao_intensity=0.5)
     else:
         post = PostConfig(exposure=1.0, vignette=0.15)
+    if scene_post is not None:       # the scene file's serialized profile
+        post = scene_post
     state = renderer.init_state(scene.dir_lights.count)
 
     @jax.jit

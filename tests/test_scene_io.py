@@ -115,3 +115,32 @@ def test_unknown_key_raises(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unknown scene keys"):
         scene_from_dict({"camera": {}, "tpyo": 1})
+
+
+def test_post_config_roundtrip():
+    from volumetricrenderer_tpu.io.scene_io import (load_scene,
+                                                    post_from_dict,
+                                                    post_to_dict, save_scene)
+    from volumetricrenderer_tpu.post import PostConfig
+    cfg = PostConfig(exposure=1.2, bloom_strength=0.3, fxaa=True,
+                     dithering=True, lens_distortion=12.0,
+                     grade_lift=(0.02, 0.0, -0.01), auto_exposure=True)
+    back = post_from_dict(post_to_dict(cfg))
+    assert back == cfg
+    import tempfile, os
+    scene = demo_scene()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.json")
+        save_scene(p, scene, post_cfg=cfg)
+        s2, p2 = load_scene(p, with_post=True)
+        assert p2 == cfg
+        _assert_scene_equal(scene, s2)
+        # plain load ignores the post section
+        _assert_scene_equal(scene, load_scene(p))
+
+
+def test_post_unknown_key_raises():
+    import pytest
+    from volumetricrenderer_tpu.io.scene_io import post_from_dict
+    with pytest.raises(ValueError, match="unknown post keys"):
+        post_from_dict({"explosure": 2.0})

@@ -159,11 +159,50 @@ def scene_from_dict(d: dict) -> Scene:
     )
 
 
-def save_scene(path: str, scene: Scene) -> None:
+def post_to_dict(post_cfg) -> dict:
+    """PostConfig -> JSON-safe dict (the Unity scene serializes its
+    PostProcessing profile the same way, as part of the scene asset set)."""
+    out = {}
+    for f in dataclasses.fields(post_cfg):
+        v = getattr(post_cfg, f.name)
+        out[f.name] = list(v) if isinstance(v, tuple) else v
+    return out
+
+
+def post_from_dict(d: dict):
+    """dict -> PostConfig; accepts any subset of fields (defaults fill the
+    rest); lists become tuples; unknown keys raise."""
+    from volumetricrenderer_tpu.post import PostConfig
+    names = {f.name for f in dataclasses.fields(PostConfig)}
+    extra = set(d) - names
+    if extra:
+        raise ValueError(f"unknown post keys: {sorted(extra)}")
+    kw = {}
+    for f in dataclasses.fields(PostConfig):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(v, list):
+            v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+        kw[f.name] = v
+    return PostConfig(**kw)
+
+
+def save_scene(path: str, scene: Scene, post_cfg=None) -> None:
+    doc = scene_to_dict(scene)
+    if post_cfg is not None:
+        doc["post"] = post_to_dict(post_cfg)
     with open(path, "w") as f:
-        json.dump(scene_to_dict(scene), f, indent=1)
+        json.dump(doc, f, indent=1)
 
 
-def load_scene(path: str) -> Scene:
+def load_scene(path: str, with_post: bool = False):
+    """Load a Scene (and, with_post=True, the optional PostConfig section —
+    (scene, post_or_None))."""
     with open(path) as f:
-        return scene_from_dict(json.load(f))
+        doc = json.load(f)
+    post = doc.pop("post", None)
+    scene = scene_from_dict(doc)
+    if with_post:
+        return scene, (None if post is None else post_from_dict(post))
+    return scene
