@@ -123,5 +123,8 @@ def test_checkpoint_roundtrip_fused_plane_state(tmp_path):
     img_b, _, _ = f(restored, scene, jnp.float32(0.5))
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
 
+    # init_state "auto" now matches the fused steady structure (planar), so
+    # the load succeeds with it; the PACKED template is the mismatch case
+    load_state(path, r.init_state(1))
     with pytest.raises(ValueError, match="leaves"):
-        load_state(path, r.init_state(1))     # packed-form template
+        load_state(path, r.init_state(1, layout="packed"))

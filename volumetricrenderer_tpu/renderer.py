@@ -55,33 +55,46 @@ class VolumetricRenderer:
         state = FrameState.create(cfg.grid_dhw, num_dir_lights, cfg.dtype,
                                   with_material=cfg.temporal_blend_material,
                                   with_scatter=cfg.temporal_blend_scatter)
-        if layout == "auto" and self._steady_planar_layout():
+        acc_layout = self._steady_acc_layout() if layout == "auto" else None
+        if acc_layout == "padded":
             from volumetricrenderer_tpu.ops.pallas.zg_composite import (
                 DLANES, padded_dims)
             hp, wstride = padded_dims(cfg.volume_height)
             planes = tuple(jnp.zeros((DLANES, hp, wstride), cfg.dtype)
                            for _ in range(4))
             state = dataclasses.replace(state, prev_accumulation=planes)
+        elif acc_layout == "raw":
+            d, h, w = cfg.grid_dhw
+            planes = tuple(jnp.zeros((d, h, w), cfg.dtype) for _ in range(4))
+            state = dataclasses.replace(state, prev_accumulation=planes)
         return state
 
     def _steady_planar_layout(self) -> bool:
-        """Config-only part of the render_frame fuse_frame + padded-out
-        predicate (the scene-dependent terms — lights present, foldable
-        media — hold for every production scene; when they don't,
-        render_frame repacks planar history via state.packed_accumulation)."""
+        return self._steady_acc_layout() == "padded"
+
+    def _steady_acc_layout(self):
+        """Config-only part of the render_frame fuse_frame predicate (the
+        scene-dependent terms — lights present, foldable media — hold for
+        every production scene; when they don't, render_frame repacks planar
+        history via state.packed_accumulation). Returns the fused path's
+        steady accumulation-history layout: "padded" (zgather composite
+        configs), "raw" ([D, H, W] plane tuples — fused configs whose
+        composite falls back to tentmm/rowmm), or None (unfused: packed)."""
         cfg = self.config
-        return (cfg.frame_fused
-                and cfg.temporal_blend_shadow
-                and cfg.temporal_blend_accumulation
-                and not cfg.temporal_blend_material
-                and not cfg.temporal_blend_scatter
-                and cfg.dir_shadow_impl == "pallas"
-                and cfg.reproj_impl == "pallas"
-                and cfg.scatter_impl == "pallas"
-                and cfg.accumulate_impl == "pallas"
-                and cfg.material_impl == "fused"
-                and cfg.shadow_mode == "raycast"
-                and pipeline.zgather_eligible(cfg))
+        fused = (cfg.frame_fused
+                 and cfg.temporal_blend_shadow
+                 and cfg.temporal_blend_accumulation
+                 and not cfg.temporal_blend_material
+                 and not cfg.temporal_blend_scatter
+                 and cfg.dir_shadow_impl == "pallas"
+                 and cfg.reproj_impl == "pallas"
+                 and cfg.scatter_impl == "pallas"
+                 and cfg.accumulate_impl == "pallas"
+                 and cfg.material_impl == "fused"
+                 and cfg.shadow_mode == "raycast")
+        if not fused:
+            return None
+        return "padded" if pipeline.zgather_eligible(cfg) else "raw"
 
     # ------------------------------------------------------------------ #
 
