@@ -142,3 +142,26 @@ def test_unit_row_off_extended_plane_matches_halo_rows():
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_multisub_matches_per_sub_passes(monkeypatch):
+    """The (nblk, n_sub)-grid decomposition kernel (MULTISUB) is bitwise-
+    equal to the round-3 one-kernel-per-sub-image form."""
+    import volumetricrenderer_tpu.ops.pallas.zg_composite as zg
+    cfg = dataclasses.replace(CFG, image_width=CFG.volume_width * 16,
+                              image_height=CFG.volume_height * 16)
+    renderer = VolumetricRenderer(cfg)
+    scene = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    sc, vd = jax.jit(renderer.render_scene_inputs)(scene)
+    state = renderer.init_state(scene.dir_lights.count)
+
+    def render():
+        img, _, _ = jax.jit(lambda st: renderer.render_frame(
+            st, scene, 0.0, scene_color=sc, view_depth=vd))(state)
+        return np.asarray(img)
+
+    monkeypatch.setattr(zg, "MULTISUB", True)
+    a = render()
+    monkeypatch.setattr(zg, "MULTISUB", False)
+    b = render()
+    np.testing.assert_array_equal(a, b)
