@@ -250,7 +250,9 @@ def run_extras(argv):
         # (which closes over scene_color/view_depth as constants)
         fn = make_shardmap_render(renderer, mesh,
                                   fixed_inputs=(scene_color, view_depth))
-        st = renderer.init_state(scene.dir_lights.count)
+        # sharded steady-layout init: frame 0 shares the steady executable
+        # (one slab-graph compile instead of two)
+        st = fn.init_state(scene.dir_lights.count)
 
         def step(st, t):
             img, st = fn(st, scene, t)

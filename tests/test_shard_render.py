@@ -444,3 +444,22 @@ def test_multislab_fuzz_random_n_halo_motion_matches_unsharded():
             np.testing.assert_allclose(
                 img, imgs_ref[i], rtol=1e-4, atol=1e-5,
                 err_msg=f"trial {trial} n={n} halo={halo} frame {i}")
+
+
+def test_shardmap_steady_init_matches_plain_init():
+    """fn.init_state (sharded steady layout — frame 0 shares the steady
+    executable) produces the same images as the plain global init run
+    through the frame-0 extension path."""
+    renderer = VolumetricRenderer(CFG)
+    base = demo_scene(aspect=CFG.image_width / CFG.image_height)
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+    mesh = make_mesh(jax.devices()[:2], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+
+    imgs_a, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count, layout="packed"), scenes, inputs)
+    imgs_b, _ = _run_frames(fn, fn.init_state(base.dir_lights.count),
+                            scenes, inputs)
+    for a, b in zip(imgs_a, imgs_b):
+        np.testing.assert_array_equal(a, b)

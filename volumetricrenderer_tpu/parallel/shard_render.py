@@ -227,6 +227,31 @@ def _write_halo(x, top, bot, p: int, axis: int, h_ext: int):
     return jax.lax.dynamic_update_slice_in_dim(x, bot, size - p, axis=axis)
 
 
+def _steady_slab_state(renderer_loc: VolumetricRenderer, n_dir: int,
+                       halo: int) -> FrameState:
+    """Fresh per-shard state in the slab pipeline's STEADY layout: the local
+    config's (halo-extended) shapes with accumulation history as the planar
+    tuple the per-shard render emits — zgather-PADDED planes when
+    pipeline.zgather_slab_eligible holds, raw [D, h_ext, W] planes
+    otherwise. Zeros throughout (identical to extending the packed zero
+    init: every halo/pad row is an edge-clamp or neighbor copy of zeros)."""
+    from volumetricrenderer_tpu import pipeline
+    from volumetricrenderer_tpu.ops.pallas.zg_composite import (DLANES,
+                                                                WSTRIDE,
+                                                                padded_dims)
+    cfg_loc = renderer_loc.config
+    state = renderer_loc.init_state(n_dir, layout="packed")
+    d, h_ext, w = cfg_loc.grid_dhw
+    if pipeline.zgather_slab_eligible(cfg_loc, halo):
+        hp_ext = padded_dims(h_ext)[0]
+        planes = tuple(jnp.zeros((DLANES, hp_ext, WSTRIDE), cfg_loc.dtype)
+                       for _ in range(4))
+    else:
+        planes = tuple(jnp.zeros((d, h_ext, w), cfg_loc.dtype)
+                       for _ in range(4))
+    return dataclasses.replace(state, prev_accumulation=planes)
+
+
 def make_multislab_render(renderer: VolumetricRenderer, n: int,
                           halo: Optional[int] = None, fixed_inputs=None):
     """Single-device EMULATION of the n-shard slab pipeline: the same
@@ -353,10 +378,13 @@ def make_multislab_render(renderer: VolumetricRenderer, n: int,
         steps = [shared] * n
 
     def init_carry(n_dir: int):
-        # packed layout: the per-shard frame-0 states go through the plain
-        # halo-extension path (init_state "auto" would hand the local config
-        # the unsharded padded-planes layout on some grid sizes)
-        states = [renderer_loc.init_state(n_dir, layout="packed")
+        # steady-layout init: the per-shard states start in the layout the
+        # slab pipeline PRODUCES (halo-extended planar acc history — padded
+        # when the zgather slab composite is active), so frame 0 runs the
+        # same step executable as every later frame (no packed->planar
+        # structure flip = no second full compile per shard, no frame-0
+        # donation miss). Zero planes equal the packed zero init extended.
+        states = [_steady_slab_state(renderer_loc, n_dir, p)
                   for _ in range(n)]
         edges_of = jax.jit(_edges)      # one trace/compile for all shards
         edges = [edges_of(s) for s in states]
@@ -555,7 +583,31 @@ def make_shardmap_render(renderer: VolumetricRenderer, mesh: Mesh,
             return jitted(normalize(state), scene, time_x, scene_color,
                           view_depth)
 
+    def init_state(n_dir: int) -> FrameState:
+        """Fresh state directly in the sharded STEADY layout (stacked
+        per-shard halo-extended planar leaves): frame 0 then runs the same
+        executable as every later frame — the plain global init remains
+        accepted (frame-0 extension path) but costs a second full compile
+        of the slab graph and a frame-0 donation miss."""
+        local = _steady_slab_state(renderer_loc, n_dir, p)
+
+        def stack(x, axis):
+            reps = [1] * x.ndim
+            reps[axis] = n
+            return jnp.tile(x, reps)     # zeros — tile == concat of copies
+
+        return dataclasses.replace(
+            local,
+            prev_shadow=stack(local.prev_shadow, 2),
+            prev_material_a=None if local.prev_material_a is None
+            else stack(local.prev_material_a, 1),
+            prev_scatter=None if local.prev_scatter is None
+            else stack(local.prev_scatter, 1),
+            prev_accumulation=tuple(stack(a, 1)
+                                    for a in local.prev_accumulation))
+
     fn.halo = p          # for crop_sharded_state on the returned state
     fn.n_shards = n
     fn.h_global = h_g
+    fn.init_state = init_state
     return fn
