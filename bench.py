@@ -212,6 +212,26 @@ def run_extras(argv):
 
         return pipelined(frame_4k, r_4k.init_state(scene.dir_lights.count))
 
+    def run_4k_half():
+        # 4K with fractional-res volumetrics (composite_upsample=2): the
+        # (L, T) layer at 1080p via the optimal 8x8-cell kernel + co-sited
+        # bilinear upsample + full-res scene blend — the quality knob's
+        # measured point next to the exact ms_4k
+        cfg_4kh = dataclasses.replace(cfg, image_width=3840,
+                                      image_height=2160,
+                                      composite_upsample=2)
+        r_4kh = VolumetricRenderer(cfg_4kh)
+        gb = jax.jit(lambda sc: r_4kh.render_scene_inputs(sc))
+        sc4k, vd4k = jax.block_until_ready(gb(scene))
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def frame_4kh(state, time_x):
+            image, _, new_state = r_4kh.render_frame(
+                state, scene, time_x, sc4k, vd4k, shadow_data)
+            return jnp.sum(image), new_state
+
+        return pipelined(frame_4kh, r_4kh.init_state(scene.dir_lights.count))
+
     def run_texture():
         # texture-mode noise (_WITH_NOISE wrap-trilinear, compute:51-58) at
         # the production low-rate sampling (texture_noise_subsample=4) —
@@ -290,6 +310,7 @@ def run_extras(argv):
     if "--small" not in argv and "--map-shadows" not in argv:
         scope("map_ms", run_map)
         scope("ms_4k", run_4k)
+        scope("ms_4k_half", run_4k_half)
         scope("tex_ms", run_texture)
         scope("slab1_ms", run_slab1)
         scope("slab3_seq_ms", lambda: run_slabn(3))

@@ -165,3 +165,51 @@ def test_multisub_matches_per_sub_passes(monkeypatch):
     monkeypatch.setattr(zg, "MULTISUB", False)
     b = render()
     np.testing.assert_array_equal(a, b)
+
+
+def test_composite_upsample_cosited_exact_and_smooth():
+    """composite_upsample=2: every 2nd pixel equals the full-res exact
+    composite bit-for-bit (co-sited samples share fz and planes); the
+    in-between pixels match a numpy co-sited bilinear oracle of the
+    half-res (L, T) layer blended with the full-res scene."""
+    from volumetricrenderer_tpu import pipeline
+    cfg = CFG                                       # 128x72 over 16x9 cells
+    cfg2 = dataclasses.replace(cfg, composite_upsample=2)
+    renderer = VolumetricRenderer(cfg)
+    scene = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    sc, vd = jax.jit(renderer.render_scene_inputs)(scene)
+    state = renderer.init_state(scene.dir_lights.count)
+
+    def run(c):
+        r = VolumetricRenderer(c)
+        img, _, _ = jax.jit(lambda st: r.render_frame(
+            st, scene, 0.0, scene_color=sc, view_depth=vd))(state)
+        return np.asarray(img)
+
+    full = run(cfg)
+    half = run(cfg2)
+    assert np.isfinite(half).all()
+    # co-sited pixels are exact
+    np.testing.assert_array_equal(half[::2, ::2], full[::2, ::2])
+    # the volumetric layer is smooth at froxel scale: everywhere close
+    err = np.abs(half - full).max()
+    assert err < 0.06, err
+
+
+def test_upsample_cosited_matches_numpy():
+    from volumetricrenderer_tpu.pipeline import _upsample_cosited
+    rng = np.random.RandomState(0)
+    p = rng.rand(5, 7).astype(np.float32)
+    up = np.asarray(_upsample_cosited(jnp.asarray(p), 2))
+    assert up.shape == (10, 14)
+    pe = np.concatenate([p, p[-1:]], 0)
+    pe = np.concatenate([pe, pe[:, -1:]], 1)
+    for y in range(10):
+        for x in range(14):
+            iy, fy = divmod(y, 2)
+            ix, fx = divmod(x, 2)
+            ref = (pe[iy, ix] * (1 - fy / 2) * (1 - fx / 2)
+                   + pe[iy + 1, ix] * (fy / 2) * (1 - fx / 2)
+                   + pe[iy, ix + 1] * (1 - fy / 2) * (fx / 2)
+                   + pe[iy + 1, ix + 1] * (fy / 2) * (fx / 2))
+            np.testing.assert_allclose(up[y, x], ref, atol=1e-6)

@@ -177,6 +177,18 @@ class RenderConfig:
     # documented dead end — see PERF.md).
     composite_impl: str = "tentmm"
 
+    # Fractional-resolution volumetric compositing (quality knob, 1 = off):
+    # N > 1 evaluates the per-pixel trilinear volumetric layer (L, T) at
+    # 1/N screen resolution (co-sited samples — every Nth pixel is EXACT)
+    # and upsamples it gather-free (interleaved co-sited bilinear) before
+    # the full-resolution scene blend — the industry-standard fractional-res
+    # volumetrics pass (the froxel grid is far coarser than a 4K pixel grid
+    # anyway; only depth edges within an NxN quad can differ, by ~1 froxel
+    # of halo). At 4K with N=2 the composite runs the optimal 8x8-cell
+    # kernel at 1080p cost. Applies to the unsharded zgather path; other
+    # paths ignore it.
+    composite_upsample: int = 1
+
     # MXU precision of the composite tent matmuls. f32 dots on the TPU MXU
     # decompose into bf16 passes: "highest" = 6 passes (exact trilinear, the
     # parity default), "high" = 3 passes (~1e-6 rel error, half the MXU time),

@@ -718,6 +718,30 @@ def zgather_slab_eligible(cfg: RenderConfig, halo: int) -> bool:
     return (nblk - 1 + bb + nwin) * HB <= padded_dims(h)[0]
 
 
+def _upsample_rows_cosited(p: jax.Array, us: int) -> jax.Array:
+    """[h, w] -> [us*h, w] co-sited bilinear row upsample: low sample i sits
+    at full row us*i, so out[us*i + k] lerps rows i and i+1 at t = k/us
+    (edge-clamped). The us phases interleave with ONE stack+reshape on the
+    ROW axis — [h, us, w] -> [us*h, w] is a contiguous merge, no relayout."""
+    n = p.shape[0]
+    nxt = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    phases = [p + (k / us) * (nxt - p) for k in range(us)]
+    return jnp.stack(phases, axis=1).reshape(n * us, p.shape[1])
+
+
+def _upsample_cosited(p: jax.Array, us: int) -> jax.Array:
+    """[h, w] -> [us*h, us*w] co-sited bilinear upsample, gather-free.
+
+    Rows interleave directly (layout-free merge); columns go through a
+    transpose -> row-interleave -> transpose — a phase stack on the MINOR
+    axis would materialize a [..., us] array whose us-wide lane dim tiles
+    to 128 (the tiny-minor trap, CLAUDE.md): measured 54 ms for the 4K
+    ms_4k_half scope vs ~1 ms via transposes."""
+    p = _upsample_rows_cosited(p, us)
+    p = _upsample_rows_cosited(p.T, us)
+    return p.T
+
+
 def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
               scene_color: jax.Array, view_depth: jax.Array,
               slab=None, planes=None,
@@ -801,6 +825,41 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         return composite_rowmm(accumulation, scene_color, fz, params.grid,
                                fy=fy, row_off=0,
                                precision=cfg.composite_precision)
+    us = max(int(cfg.composite_upsample), 1)
+    if us > 1 and ih % us == 0 and iw % us == 0:
+        # fractional-resolution volumetrics (config.composite_upsample):
+        # trilinear (L, T) at 1/us screen res on CO-SITED samples (low pixel
+        # (i, j) = full pixel (us*i, us*j), so every us-th output pixel is
+        # exact), interleaved-bilinear upsample, then the scene blend at
+        # FULL res. The upsample is stack+reshape interleaves of shifted
+        # averages — no gathers, no strided relayout on the row axis.
+        import dataclasses as _dc
+        cfg_lo = _dc.replace(cfg, image_width=iw // us,
+                             image_height=ih // us, composite_upsample=1)
+        if zgather_eligible(cfg_lo):
+            from volumetricrenderer_tpu.ops.pallas.zg_composite import \
+                composite_zgather_planes
+            # stride the MINOR axis via a transpose round trip: a direct
+            # [::us] lane-strided slice of a 4K plane is a serial-gather
+            # class op (measured ~tens of ms); row strides + transposes are
+            # plain DMA traffic
+            vd_lo = view_depth[::us].T[::us].T
+            fz = froxel.depth_to_froxel_z(params, vd_lo) - 0.5
+            pl4 = planes if planes is not None \
+                else tuple(accumulation[..., c] for c in range(4))
+            lo = composite_zgather_planes(
+                pl4, fz, cfg.grid, interpret=jax.default_backend() != "tpu",
+                prepadded=planes_prepadded)
+            up = [_upsample_cosited(p, us) for p in lo]
+            if isinstance(scene_color, (tuple, list)):
+                sc_p = list(scene_color)
+            else:
+                sc_p = [scene_color[..., c] for c in range(3)]
+            out = [sc_p[c] * up[3] + up[c] for c in range(3)] + [up[3]]
+            if return_planes:
+                return tuple(out)
+            return jnp.stack(out, axis=-1)
+        # low-res shape not kernel-eligible: fall through to the exact path
     if zgather_eligible(cfg):
         # cells-as-rows take_along_axis kernel (ops/pallas/zg_composite.py);
         # consumes the accumulation channel planes directly (pre-padded ones
