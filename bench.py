@@ -142,11 +142,51 @@ def run_extras(argv):
 
     Each scope result prints to stderr as it lands (so a killed child still
     leaves partial results in the driver tail); the final stdout line is one
-    JSON object the parent merges into its second headline line."""
+    JSON object the parent merges into its second headline line.
+
+    CONTENTION SENTINEL (VERDICT r4 weak #4): the pooled chip's foreign
+    tenants inflate multi-program scopes 3-7x; a scope number measured under
+    load is not comparable round-over-round. Around every scope the child
+    re-measures ONE pipelined batch of the HEADLINE executable (compile-
+    cache hit — the parent just built it); if that sentinel exceeds 1.5x
+    the parent's headline best (BENCH_HEADLINE_MS), the scope lands in the
+    JSON's "contended" map with its sentinel value, making every extras
+    field self-qualifying."""
     cfg, renderer, scene, shadow_data, scene_color, view_depth = build(argv)
     post_cfg = PostConfig(exposure=1.0, bloom_strength=0.15, vignette=0.2)
     state = renderer.init_state(scene.dir_lights.count)
     extra = {}
+    contended = {}
+    headline_ms = float(os.environ.get("BENCH_HEADLINE_MS", "0"))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _sent_frame(st, time_x):
+        image, _, new_state = renderer.render_frame(
+            st, scene, time_x, scene_color, view_depth, shadow_data)
+        return jnp.sum(image), new_state
+
+    sent = {"state": renderer.init_state(scene.dir_lights.count), "t": 10.0,
+            "ok": False}
+    try:
+        with _Deadline(120, "sentinel warmup"):
+            probe, sent["state"] = _sent_frame(sent["state"],
+                                               jnp.float32(sent["t"]))
+            jax.block_until_ready(probe)
+            sent["ok"] = True
+    except Exception as e:  # noqa: BLE001
+        print(f"# sentinel unavailable: {e}", file=sys.stderr, flush=True)
+
+    def sentinel():
+        if not sent["ok"]:
+            return None
+        n = 8
+        t0 = time.perf_counter()
+        for i in range(n):
+            sent["t"] += 0.01
+            probe, sent["state"] = _sent_frame(sent["state"],
+                                               jnp.float32(sent["t"]))
+        jax.block_until_ready(probe)
+        return (time.perf_counter() - t0) / n * 1e3
 
     scopes_t0 = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_EXTRAS_BUDGET_S", "400"))
@@ -160,9 +200,20 @@ def run_extras(argv):
                   f"exhausted ({left:.0f}s left)", file=sys.stderr, flush=True)
             return
         try:
+            s_pre = sentinel()
             with _Deadline(min(deadline_s, left), key):
                 extra[key] = round(thunk(), 3)
-            print(f"# extra {key}={extra[key]}", file=sys.stderr, flush=True)
+            s_post = sentinel()
+            s_max = max(s for s in (s_pre, s_post) if s is not None) \
+                if (s_pre is not None or s_post is not None) else None
+            tag = ""
+            if s_max is not None and headline_ms \
+                    and s_max > 1.5 * headline_ms:
+                contended[key] = round(s_max, 2)
+                tag = f" CONTENDED (sentinel {s_max:.2f} vs headline " \
+                      f"{headline_ms:.2f})"
+            print(f"# extra {key}={extra[key]}{tag}", file=sys.stderr,
+                  flush=True)
         except Exception as e:  # noqa: BLE001 — best-effort secondary scope
             print(f"# scope {key} skipped: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr, flush=True)
@@ -197,9 +248,17 @@ def run_extras(argv):
 
         return pipelined(frame_map, r_map.init_state(scene.dir_lights.count))
 
-    def run_4k():
-        # 4K composite scope (zgather's multiple-of-8 cell decomposition)
-        cfg_4k = dataclasses.replace(cfg, image_width=3840, image_height=2160)
+    def run_4k(upsample):
+        # 4K scope. upsample=2 is the PRODUCTION 4K profile (UHD_CONFIG,
+        # round-5 decision): fractional-res volumetrics — the (L, T) layer
+        # at 1080p on CO-SITED samples via the optimal 8x8-cell kernel +
+        # gather-free co-sited bilinear upsample + full-res scene blend
+        # (quality envelope in SPEC.md). upsample=1 is the exact trilinear
+        # path (ms_4k_exact), measured at its ~2.8 ms VPU-roofline kernel
+        # cost (PERF.md round-4 accounting).
+        cfg_4k = dataclasses.replace(cfg, image_width=3840,
+                                     image_height=2160,
+                                     composite_upsample=upsample)
         r_4k = VolumetricRenderer(cfg_4k)
         gb4k = jax.jit(lambda sc: r_4k.render_scene_inputs(sc))
         sc4k, vd4k = jax.block_until_ready(gb4k(scene))
@@ -212,33 +271,32 @@ def run_extras(argv):
 
         return pipelined(frame_4k, r_4k.init_state(scene.dir_lights.count))
 
-    def run_4k_half():
-        # 4K with fractional-res volumetrics (composite_upsample=2): the
-        # (L, T) layer at 1080p via the optimal 8x8-cell kernel + co-sited
-        # bilinear upsample + full-res scene blend — the quality knob's
-        # measured point next to the exact ms_4k
-        cfg_4kh = dataclasses.replace(cfg, image_width=3840,
-                                      image_height=2160,
-                                      composite_upsample=2)
-        r_4kh = VolumetricRenderer(cfg_4kh)
-        gb = jax.jit(lambda sc: r_4kh.render_scene_inputs(sc))
-        sc4k, vd4k = jax.block_until_ready(gb(scene))
+    def run_exact():
+        # the EXACT-semantics twin of the headline config (VERDICT r4 weak
+        # #3): per-froxel visibility march, no low-rate bake
+        # (scatter_bake="vis", raycast_shadow_subsample=1 — the
+        # oracle-parity path the equivalence tests pin). Keeps the exact
+        # path's cost driver-visible next to the ss=4 production headline.
+        cfg_ex = dataclasses.replace(cfg, scatter_bake="vis",
+                                     raycast_shadow_subsample=1)
+        r_ex = VolumetricRenderer(cfg_ex)
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def frame_4kh(state, time_x):
-            image, _, new_state = r_4kh.render_frame(
-                state, scene, time_x, sc4k, vd4k, shadow_data)
+        def frame_ex(state, time_x):
+            image, _, new_state = r_ex.render_frame(
+                state, scene, time_x, scene_color, view_depth, shadow_data)
             return jnp.sum(image), new_state
 
-        return pipelined(frame_4kh, r_4kh.init_state(scene.dir_lights.count))
+        return pipelined(frame_ex, r_ex.init_state(scene.dir_lights.count))
 
     def run_texture():
-        # texture-mode noise (_WITH_NOISE wrap-trilinear, compute:51-58) at
-        # the production low-rate sampling (texture_noise_subsample=4) —
-        # records the VERDICT r2 #8 criterion (within ~2x of procedural;
-        # full-rate texture sampling remains the ~260 ms parity cliff)
-        cfg_tex = dataclasses.replace(cfg, texture_noise_subsample=4)
-        r_tex = VolumetricRenderer(cfg_tex)
+        # texture-mode noise (_WITH_NOISE wrap-trilinear, compute:51-58).
+        # Round 5: texture media are FOLDABLE — the factor is wrap-sampled
+        # at the radiance bake's low grid in XLA and rides the bake channels
+        # into the megakernel (visibility.bake_noise_channels_xla), so this
+        # scope runs the SAME fused frame as the headline plus one low-rate
+        # texture gather (was 10.8 ms on the fully-unfused path).
+        r_tex = VolumetricRenderer(cfg)
         scene_tex = benchmark_scene(
             aspect=cfg.image_width / cfg.image_height, num_local_lights=16,
             noise_tex=jnp.asarray(perlin_texture_3d()), noise_mode="texture")
@@ -250,12 +308,7 @@ def run_extras(argv):
                 shadow_data)
             return jnp.sum(image), new_state
 
-        # packed init: texture-noise media are not foldable, so this config
-        # takes the unfused path whose steady-state history is packed — the
-        # planar "auto" layout would add a structure flip (an extra full
-        # compile) and a frame-0 donation miss
-        return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count,
-                                                     layout="packed"))
+        return pipelined(frame_tex, r_tex.init_state(scene.dir_lights.count))
 
     def run_slab1():
         # the shard_map slab pipeline on a 1-device mesh: quantifies the
@@ -309,9 +362,13 @@ def run_extras(argv):
     scope("frame_post_ms", run_frame_post)
     if "--small" not in argv and "--map-shadows" not in argv:
         scope("map_ms", run_map)
-        scope("ms_4k", run_4k)
-        scope("ms_4k_half", run_4k_half)
+        # ms_4k reports the PRODUCTION 4K profile (UHD_CONFIG: fractional-
+        # res composite, round 5 — previously the key carried the exact
+        # path, now ms_4k_exact; lineage noted in BASELINE.md)
+        scope("ms_4k", lambda: run_4k(2))
+        scope("ms_4k_exact", lambda: run_4k(1))
         scope("tex_ms", run_texture)
+        scope("exact_ms", run_exact)
         scope("slab1_ms", run_slab1)
         scope("slab3_seq_ms", lambda: run_slabn(3))
         # 5-shard point on the same curve (best-effort — last in the budget
@@ -320,6 +377,8 @@ def run_extras(argv):
         # v5e ring (135 = 27*5 froxel rows, 1080 = 216*5 image rows)
         scope("slab5_seq_ms", lambda: run_slabn(5))
 
+    if contended:
+        extra["contended"] = contended
     print(json.dumps(extra), flush=True)
 
 
@@ -451,6 +510,14 @@ def main():
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / frame_ms, 3),
         "timing": timing_tag,
+        # DISCLOSED measurement convention (round-5 advisor finding): the
+        # headline jit closes over the engine inputs (G-buffer + shadow
+        # bake) as compile-time constants — the reference's equivalent
+        # passes are Unity-owned and outside the scoped metric, but a
+        # production frame with per-frame depth would also pay the
+        # composite's fz re-layout (~0.4 ms, PERF.md). Same convention
+        # since round 4; recorded here so numbers are comparable.
+        "static_inputs": "gbuffer+shadow_bake",
     }
     # THE DELIVERY: the driver's number is on disk before any secondary scope
     # can wedge the process (VERDICT r3 #1).
@@ -480,7 +547,8 @@ def main():
     if "--headline-only" in argv:
         left = 0.0
     if left >= EXTRAS_MIN_S:
-        env = dict(os.environ, BENCH_EXTRAS_BUDGET_S=f"{left - 30:.0f}")
+        env = dict(os.environ, BENCH_EXTRAS_BUDGET_S=f"{left - 30:.0f}",
+                   BENCH_HEADLINE_MS=f"{frame_ms:.3f}")
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--extras-only",
              *[a for a in argv if a in ("--small", "--map-shadows")]],

@@ -85,3 +85,43 @@ def test_rowmm_entry_shape():
                        image_width=64, image_height=90,
                        composite_impl="tentmm")
     _check(cfg, seed=4)
+
+
+def test_anyres_non_integer_both_ratios():
+    # round-5 item: non-integer IW/W no longer falls to the per-pixel
+    # gather — composite_anyres blends BOTH axes with static tent matmuls.
+    # 100 x 70 image over a 16x9 grid (neither axis divides).
+    cfg = RenderConfig(volume_width=16, volume_height=9, volume_depth=12,
+                       image_width=100, image_height=70,
+                       composite_impl="tentmm")
+    _check(cfg, seed=5)
+
+
+def test_anyres_zgather_impl_falls_through():
+    # the production impl name routes through the same fallback chain
+    cfg = RenderConfig(volume_width=16, volume_height=9, volume_depth=12,
+                       image_width=100, image_height=70,
+                       composite_impl="zgather")
+    _check(cfg, seed=6)
+
+
+def test_anyres_downsampled_both():
+    # fewer pixels than cells on both axes
+    cfg = RenderConfig(volume_width=24, volume_height=18, volume_depth=8,
+                       image_width=10, image_height=7,
+                       composite_impl="rowmm")
+    _check(cfg, seed=7)
+
+
+def test_anyres_depth_edges():
+    cfg = RenderConfig(volume_width=16, volume_height=9, volume_depth=12,
+                       image_width=100, image_height=70,
+                       composite_impl="tentmm")
+    params, acc, scene, _ = _inputs(cfg, 8)
+    depth = jnp.full((cfg.image_height, cfg.image_width), 0.31, jnp.float32)
+    depth = depth.at[0, :].set(500.0)
+    depth = depth.at[:, 0].set(500.0)
+    cfg_g = dataclasses.replace(cfg, composite_impl="xla")
+    ref = np.asarray(pipeline.composite(cfg_g, params, acc, scene, depth))
+    out = np.asarray(pipeline.composite(cfg, params, acc, scene, depth))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

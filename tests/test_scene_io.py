@@ -144,3 +144,47 @@ def test_post_unknown_key_raises():
     from volumetricrenderer_tpu.io.scene_io import post_from_dict
     with pytest.raises(ValueError, match="unknown post keys"):
         post_from_dict({"explosure": 2.0})
+
+
+def test_authored_heterogeneous_optional_keys():
+    """Entries may set optional per-light keys (has_shadow, multipliers) on
+    only SOME lights; missing entries get create()'s per-light default
+    (round-5 advisor fix — this used to raise ValueError)."""
+    import pytest
+    scene = scene_from_dict({
+        "camera": {"position": (0, 2, -10), "forward": (0, 0, 1),
+                   "aspect": 16 / 9},
+        "dir_lights": [
+            {"direction": (0.3, -0.7, 0.5), "color": (1, 1, 1),
+             "intensity": 2.0, "has_shadow": False},
+            {"direction": (0, -1, 0), "color": (1, 1, 1),
+             "intensity": 1.0},                     # -> dir default True
+        ],
+        "point_lights": [
+            {"position": (0, 5, 0), "color": (1, 0, 0), "intensity": 7.0,
+             "range": 50.0, "has_shadow": True, "shadow_strength": 0.5},
+            {"position": (3, 5, 0), "color": (0, 1, 0), "intensity": 7.0,
+             "range": 50.0},            # -> point defaults False / 1.0
+        ],
+        "media": [{"absorption": 0.19, "phase_g": 0.3}],
+    })
+    np.testing.assert_array_equal(np.asarray(scene.dir_lights.has_shadow),
+                                  [False, True])
+    np.testing.assert_array_equal(np.asarray(scene.point_lights.has_shadow),
+                                  [True, False])
+    np.testing.assert_allclose(
+        np.asarray(scene.point_lights.shadow_strength), [0.5, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(scene.point_lights.intensity_multiplier), [1.0, 1.0])
+    # a REQUIRED key missing on some entries is still an authoring error
+    with pytest.raises(ValueError, match="required key 'range'"):
+        scene_from_dict({
+            "camera": {"position": (0, 0, 0), "forward": (0, 0, 1),
+                       "aspect": 1.0},
+            "point_lights": [
+                {"position": (0, 5, 0), "color": (1, 0, 0),
+                 "intensity": 7.0, "range": 50.0},
+                {"position": (3, 5, 0), "color": (0, 1, 0),
+                 "intensity": 7.0},
+            ],
+        })

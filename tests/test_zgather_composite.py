@@ -169,12 +169,21 @@ def test_multisub_matches_per_sub_passes(monkeypatch):
 
 def test_composite_upsample_cosited_exact_and_smooth():
     """composite_upsample=2: every 2nd pixel equals the full-res exact
-    composite bit-for-bit (co-sited samples share fz and planes); the
-    in-between pixels match a numpy co-sited bilinear oracle of the
-    half-res (L, T) layer blended with the full-res scene."""
-    from volumetricrenderer_tpu import pipeline
-    cfg = CFG                                       # 128x72 over 16x9 cells
+    composite bit-for-bit (co-sited samples: the low-res pass reads fz at
+    full pixels us*i AND uses XY tent weights at those full-pixel positions
+    — the round-5 co-siting fix); the in-between pixels stay within the
+    smooth-volume envelope.
+
+    The image dims are chosen so the HALF-res config is itself
+    zgather-eligible (256x144 over 16x9 -> low 128x72 with 8x8-px cells);
+    the previous 128x72 version's half-res shape failed the eligibility
+    gate and trivially took the exact path (round-5 advisor finding)."""
+    cfg = dataclasses.replace(CFG, image_width=256, image_height=144)
     cfg2 = dataclasses.replace(cfg, composite_upsample=2)
+    from volumetricrenderer_tpu.pipeline import zgather_eligible
+    assert zgather_eligible(dataclasses.replace(
+        cfg2, image_width=128, image_height=72, composite_upsample=1)), \
+        "test misconfigured: half-res shape must be kernel-eligible"
     renderer = VolumetricRenderer(cfg)
     scene = demo_scene(aspect=cfg.image_width / cfg.image_height)
     sc, vd = jax.jit(renderer.render_scene_inputs)(scene)
@@ -189,11 +198,30 @@ def test_composite_upsample_cosited_exact_and_smooth():
     full = run(cfg)
     half = run(cfg2)
     assert np.isfinite(half).all()
-    # co-sited pixels are exact
-    np.testing.assert_array_equal(half[::2, ::2], full[::2, ::2])
-    # the volumetric layer is smooth at froxel scale: everywhere close
-    err = np.abs(half - full).max()
-    assert err < 0.06, err
+    # co-sited pixels are exact up to the final scene-blend's FMA
+    # contraction (the two jits fuse scene*T + L differently; the trilinear
+    # sample itself is identical arithmetic): ~1 ulp, measured 2.4e-7 rel
+    np.testing.assert_allclose(half[::2, ::2], full[::2, ::2],
+                               rtol=1e-6, atol=1e-6)
+    # off-phase pixels: bounded by the volumetric layer's froxel-scale
+    # smoothness EXCEPT at depth-silhouette pixels whose enclosing co-sited
+    # 2x2 quad spans a depth edge (those interpolate between the two
+    # surfaces' fz — the documented quality envelope, SPEC.md). Build the
+    # quad-depth-spread mask and assert the contract piecewise.
+    vdn = np.asarray(vd)
+    ihh, iww = vdn.shape
+    y0 = (np.arange(ihh) // 2) * 2
+    x0 = (np.arange(iww) // 2) * 2
+    y1 = np.minimum(y0 + 2, ihh - 2)
+    x1 = np.minimum(x0 + 2, iww - 2)
+    corners = np.stack([vdn[np.ix_(a, b)] for a in (y0, y1)
+                        for b in (x0, x1)])
+    spread = corners.max(0) - corners.min(0)
+    edge = spread > 0.02 * (vdn.max() - vdn.min())
+    err_img = np.abs(half - full).max(axis=-1)
+    assert err_img[~edge].max() < 0.06, err_img[~edge].max()
+    # edge pixels are sparse (isolated silhouettes, not area artifacts)
+    assert edge.mean() < 0.15, edge.mean()
 
 
 def test_upsample_cosited_matches_numpy():

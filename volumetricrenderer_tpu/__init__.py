@@ -6,7 +6,8 @@ PhilipZeratul/VolumetricRenderer (Unity froxel volumetric fog in the Frostbite
 reference analysis and SPEC.md for the numerical contract.
 """
 
-from volumetricrenderer_tpu.config import RenderConfig, DEMO_CONFIG, FULL_CONFIG
+from volumetricrenderer_tpu.config import (RenderConfig, DEMO_CONFIG,
+                                           FULL_CONFIG, UHD_CONFIG)
 from volumetricrenderer_tpu.renderer import VolumetricRenderer
 from volumetricrenderer_tpu.state import FrameState
 from volumetricrenderer_tpu.models import (Camera, DirectionalLights, Geometry,
@@ -17,7 +18,7 @@ from volumetricrenderer_tpu.models import (Camera, DirectionalLights, Geometry,
 __version__ = "0.1.0"
 
 __all__ = [
-    "RenderConfig", "DEMO_CONFIG", "FULL_CONFIG",
+    "RenderConfig", "DEMO_CONFIG", "FULL_CONFIG", "UHD_CONFIG",
     "VolumetricRenderer", "FrameState",
     "Camera", "DirectionalLights", "PointLights", "SpotLights",
     "Medium", "Geometry", "Scene", "demo_scene", "benchmark_scene",

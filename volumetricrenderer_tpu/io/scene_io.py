@@ -88,6 +88,22 @@ def _is_serialized(cls, d: dict) -> bool:
                if f.default is dataclasses.MISSING)
 
 
+# per-entry defaults for the OPTIONAL create() kwargs, matching what each
+# class's create() fills when the whole column is omitted — so authored
+# light lists may set e.g. has_shadow on only some entries
+_LIGHT_KEY_DEFAULTS = {
+    "shadow_strength": 1.0,
+    "intensity_multiplier": 1.0,
+    "inner_angle_percent": 0.5,
+}
+
+
+def _light_key_default(cls, key):
+    if key == "has_shadow":
+        return cls is DirectionalLights     # create() default: dir True,
+    return _LIGHT_KEY_DEFAULTS.get(key)     # point/spot False
+
+
 def _lights_from(cls, d):
     if isinstance(d, dict):                       # serialized SoA
         return _dc_from_dict(cls, d)
@@ -96,10 +112,16 @@ def _lights_from(cls, d):
     # authored: list of per-light dicts -> SoA create() kwargs
     keys = set().union(*[set(e) for e in d])
     cols = {k: [e.get(k) for e in d] for k in keys}
-    # fill per-light defaults where a key is missing on some entries
+    # entries missing an OPTIONAL key get that key's create() default
+    # (per entry — other entries keep their authored values); a REQUIRED
+    # key missing on some entries is still an authoring error
     for k, col in cols.items():
         if any(v is None for v in col):
-            raise ValueError(f"light list entries disagree on key '{k}'")
+            default = _light_key_default(cls, k)
+            if default is None:
+                raise ValueError(
+                    f"light list entries disagree on required key '{k}'")
+            cols[k] = [default if v is None else v for v in col]
     return cls.create(**cols)
 
 

@@ -33,21 +33,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cell_weights(py: int, px: int) -> np.ndarray:
-    """Static bilinear XY weights per pixel-in-cell for the 3x3 corner shifts.
-
-    Pixel (iy, ix) inside its froxel cell sits at fractional offset
-    ((i+0.5)/p - 0.5) from the cell center; its two taps per axis land on
-    shifts {-1,0} or {0,+1}. Returns w[3*3, py*px] for dy,dx in (-1,0,1)."""
+def _cell_weights_at(fy: np.ndarray, fx: np.ndarray) -> np.ndarray:
+    """Static bilinear XY weights for pixels at in-cell fractional offsets
+    fy[py], fx[px] (froxel units from the cell center, each in (-1, 1) so the
+    two taps per axis land on shifts {-1,0} or {0,+1}).
+    Returns w[3*3, py*px] for dy,dx in (-1,0,1)."""
+    py, px = len(fy), len(fx)
     out = np.zeros((3, 3, py, px), np.float32)
-    fy = (np.arange(py) + 0.5) / py - 0.5
-    fx = (np.arange(px) + 0.5) / px - 0.5
     for d in (-1, 0, 1):
         wy = np.maximum(0.0, 1.0 - np.abs(fy - d))
         for e in (-1, 0, 1):
             wx = np.maximum(0.0, 1.0 - np.abs(fx - e))
             out[d + 1, e + 1] = np.outer(wy, wx)
     return out.reshape(9, py * px)
+
+
+def _cell_weights(py: int, px: int) -> np.ndarray:
+    """Static bilinear XY weights per pixel-in-cell for the 3x3 corner shifts.
+
+    Pixel (iy, ix) inside its froxel cell sits at fractional offset
+    ((i+0.5)/p - 0.5) from the cell center. Returns w[3*3, py*px]."""
+    fy = (np.arange(py) + 0.5) / py - 0.5
+    fx = (np.arange(px) + 0.5) / px - 0.5
+    return _cell_weights_at(fy, fx)
 
 
 def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, d_blk: int,

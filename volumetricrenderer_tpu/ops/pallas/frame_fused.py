@@ -467,7 +467,7 @@ def frame_volume_fused(params, view_to_world, prev_world_to_view, jitter,
         if vis is not None:
             n_noise = max(vis.shape[0] - 3, 0)
         elif bake_noise:
-            n_noise = sum(int(st[0]) for st in media_static)
+            n_noise = sum(1 for st in media_static if st[0])
     scatter_statics = dict(jitter_dir=jitter_dir, n_planes=n_planes,
                            n_spheres=n_spheres, n_boxes=n_boxes,
                            media_static=media_static, hf_static=hf_sc,

@@ -25,8 +25,22 @@ import numpy as np
 
 
 def media_foldable(media: Sequence) -> bool:
-    """True when every medium can be evaluated in-kernel (no texture gather)."""
+    """True when every medium can be evaluated fully in-kernel (no texture
+    gather). Texture-noise media additionally fold on the RADIANCE-bake path
+    (scatter_bake="radiance", ss > 1): their wrap-trilinear factor is sampled
+    at the low bake grid in XLA (visibility.bake_noise_channels_xla) and
+    rides the bake channels into the kernel — render_frame's fuse_frame gate
+    ORs that condition in (renderer.py)."""
     return all(m.noise_tex is None for m in media)
+
+
+def noise_src(m) -> int:
+    """Per-medium noise source code for the static table: 0 = no noise,
+    1 = procedural (in-kernel fBm), 2 = texture (factor MUST arrive via
+    noise_planes — baked outside the kernel; there is no in-kernel gather)."""
+    if m.noise_mode == "procedural":
+        return 1
+    return 2 if m.noise_tex is not None else 0
 
 
 ROW = 20  # floats per packed medium row
@@ -38,7 +52,9 @@ def pack_media(media: Sequence, time_x) -> Tuple[jax.Array, tuple]:
 
     Row: sigma_s(3) sigma_a g tiling(3) offset(3 = scroll*time_x)
          height_falloff height_base box_min(3) box_max(3) softness.
-    Static: (has_noise, octaves, period, seed, is_box, additive) per medium."""
+    Static: (noise_src, octaves, period, seed, is_box, additive) per medium
+    — noise_src per the noise_src() code (0 none / 1 procedural / 2 texture;
+    truthy = the medium consumes a noise factor)."""
     rows = []
     static = []
     tx = jnp.asarray(time_x, jnp.float32)
@@ -48,7 +64,7 @@ def pack_media(media: Sequence, time_x) -> Tuple[jax.Array, tuple]:
             m.noise_tiling, m.noise_scroll * tx,
             m.height_falloff[None], m.height_base[None],
             m.box_min, m.box_max, m.box_softness[None]]))
-        static.append((m.noise_mode == "procedural", int(m.noise_octaves),
+        static.append((noise_src(m), int(m.noise_octaves),
                        int(m.noise_period), int(m.noise_seed),
                        m.volume_type == "box", m.blend_type == "additive"))
     return jnp.stack(rows), tuple(static)
@@ -226,10 +242,13 @@ def noise_factor_planes(med_ref, media_static: tuple, wx, wy, wz):
     at full rate; the noise field is band-limited by its tiling so the tent
     upsample sits far above its Nyquist rate (tests/test_noise_bake.py)."""
     out = []
-    for mi, (has_noise, octaves, period, seed, *_rest) \
+    for mi, (src, octaves, period, seed, *_rest) \
             in enumerate(media_static):
-        if not has_noise:
+        if not src:
             continue
+        assert src == 1, \
+            "texture-noise media have no in-kernel factor — bake their " \
+            "channels outside (visibility.bake_noise_channels_xla)"
         q = lambda i: med_ref[mi, i]
         out.append(perlin_planes(wx * q(5) + q(8), wy * q(6) + q(9),
                                  wz * q(7) + q(10), octaves, period, seed))
@@ -250,16 +269,19 @@ def material_planes(med_ref, media_static: tuple, wx, wy, wz,
     sr = sg = sb = sa = g = zero
     noise_i = 0
 
-    for mi, (has_noise, octaves, period, seed, is_box, additive) \
+    for mi, (src, octaves, period, seed, is_box, additive) \
             in enumerate(media_static):
         q = lambda i: med_ref[mi, i]
 
         factor = jnp.ones((h, w), jnp.float32)
-        if has_noise:
+        if src:
             if noise_planes is not None:
                 factor = factor * noise_planes[noise_i]
                 noise_i += 1
             else:
+                assert src == 1, \
+                    "texture noise requires baked noise_planes (there is " \
+                    "no in-kernel texture gather)"
                 uxp = wx * q(5) + q(8)
                 uyp = wy * q(6) + q(9)
                 uzp = wz * q(7) + q(10)

@@ -357,7 +357,7 @@ def bake_radiance_pallas(params, view_to_world, camera_pos, jitter,
                  geometry.hf_steps, geometry.hf_far) \
         if (geometry.hf_enabled and heightfield_shadows) else None
     med, media_static = _pack_media_or_empty(media, time_x)
-    n_noise = sum(int(st[0]) for st in media_static) if bake_noise else 0
+    n_noise = sum(1 for st in media_static if st[0]) if bake_noise else 0
     n_ch = 3 + n_noise
 
     kernel = functools.partial(
@@ -634,6 +634,46 @@ def low_res_world_positions(cfg, params, view_to_world, jitter, ss: int):
         fro = fro + jitter
     view = froxel_lib.froxel_to_view(params, fro + 0.5)
     return froxel_lib.transform_points(view_to_world, view)
+
+
+def bake_noise_channels_xla(cfg, params, view_to_world, jitter, media,
+                            time_x, ss: int) -> jax.Array:
+    """[Nn, DL, HL, WL] per-medium noise-factor channels at the low bake
+    grid, computed in XLA — the TEXTURE-noise fold (round 5): texture media
+    wrap-trilinear-sample noise_tex at 1/ss^3 rate (the only gather on the
+    fused frame, amortized 64x at ss=4), procedural media evaluate the same
+    tileable fBm. Channel order = media order over ALL noise-bearing media
+    (material.noise_src != 0), matching material_planes' noise_planes
+    consumption; the caller concatenates these after the radiance bake's rgb
+    channels (frame_volume_fused reads n_noise = vis.shape[0] - 3).
+    Coordinate contract: low_res_world_positions — identical samples to the
+    in-kernel bake up to FMA association (tests/test_noise_bake.py).
+    Reference: WriteMaterialVolumeConstant_WITH_NOISE,
+    VolumetricCompute.compute:51-58."""
+    from volumetricrenderer_tpu.ops.pallas.material import (noise_src,
+                                                            pack_media,
+                                                            perlin_planes)
+    from volumetricrenderer_tpu.pipeline import _sample_noise
+
+    world = low_res_world_positions(cfg, params, view_to_world, jitter, ss)
+    med, media_static = pack_media(media, time_x)
+    chans = []
+    for mi, m in enumerate(media):
+        src = noise_src(m)
+        if not src:
+            continue
+        if src == 1:
+            octaves, period, seed = (media_static[mi][1], media_static[mi][2],
+                                     media_static[mi][3])
+            chans.append(perlin_planes(
+                world[..., 0] * med[mi, 5] + med[mi, 8],
+                world[..., 1] * med[mi, 6] + med[mi, 9],
+                world[..., 2] * med[mi, 7] + med[mi, 10],
+                octaves, period, seed))
+        else:
+            # the exact sampler write_material_volumes uses (wrap trilinear)
+            chans.append(_sample_noise(m, world, time_x))
+    return jnp.stack(chans)
 
 
 def bake_visibility_from_maps(cfg, params, view_to_world, jitter,

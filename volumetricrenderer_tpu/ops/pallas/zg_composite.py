@@ -272,8 +272,11 @@ def composite_zgather_planes(planes, fz_texel: jax.Array,
         n_ch = len(planes)
         fz4 = fz_texel.reshape(h, ky, 8, w, kx, 8)
         # tent weights stay those of the PARENT py x px cell: sub-image
-        # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5
-        w_full = _cell_weights(py, px).reshape(3, 3, py, px)
+        # (a, b)'s pixels sit at in-cell offsets (a*8 + i + 0.5)/py - 0.5.
+        # A caller-supplied w9_override (e.g. the co-sited fractional-res
+        # composite) replaces the full-cell weights before the sub split.
+        w_full = (np.asarray(w9_override) if w9_override is not None
+                  else _cell_weights(py, px)).reshape(3, 3, py, px)
         if MULTISUB:
             # all sub-images in ONE kernel (see the MULTISUB knob comment)
             n_sub = ky * kx

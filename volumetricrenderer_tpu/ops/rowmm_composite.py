@@ -123,3 +123,88 @@ def composite_rowmm(acc_padded: jax.Array, scene_color: jax.Array,
     trans = out[..., 3:4]
     rgb = scene_color * trans + out[..., :3]
     return jnp.concatenate([rgb, trans], axis=-1)
+
+
+def _tap_blocks(f: np.ndarray, n_pad: int, nb: int):
+    """Static 2-tap selection blocks for one axis: coordinate f[i] (in PADDED
+    cells: tap rows floor(f), floor(f)+1 index the clamp-padded axis) blocked
+    by nb. Returns (base [n/nb] int, sel [n/nb, nb, ncols] f32)."""
+    c0 = np.floor(f).astype(np.int64)
+    t = (f - c0).astype(np.float32)
+    nblk = len(f) // nb
+    base = c0[::nb].copy()
+    ncols = int(max(int(((c0.reshape(nblk, nb).max(1) - base) + 2).max()), 2))
+    base = np.minimum(base, n_pad - ncols)
+    sel = np.zeros((nblk, nb, ncols), np.float32)
+    for blk in range(nblk):
+        for u in range(nb):
+            i = blk * nb + u
+            sel[blk, u, c0[i] - base[blk]] += 1.0 - t[i]
+            sel[blk, u, c0[i] + 1 - base[blk]] += t[i]
+    return base, sel
+
+
+def composite_anyres(accumulation: jax.Array, scene_color: jax.Array,
+                     fz_texel: jax.Array, grid_whd: Tuple[int, int, int],
+                     precision: str = "highest") -> jax.Array:
+    """Gather-free composite for ARBITRARY image dims — BOTH screen axes as
+    static 2-tap selection matmuls (the pixel -> froxel-cell XY mapping is
+    pure static geometry at any resolution), z as the per-pixel tent-weight
+    MXU contraction. Covers the reference's any-screen-size hardware
+    trilinear (VolumetricRenderer.shader:79-80) without the ~8 ns/element
+    per-pixel gather the old fallback paid (round-5 item: non-integer IW/W
+    used to be the one shape class left on the gather path).
+
+    accumulation [D, H, W, 4]; scene_color [IH, IW, 3]; fz_texel [IH, IW]
+    (continuous froxel z - 0.5). Returns [IH, IW, 4], rgb = scene*T + L."""
+    w, h, d = grid_whd
+    ih, iw = fz_texel.shape
+
+    # clamp-pad one cell per side on both axes (the GPU clamp sampler)
+    acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))        # [H, W, D, C]
+    acc_t = jnp.concatenate([acc_t[:1], acc_t, acc_t[-1:]], axis=0)
+    acc_t = jnp.concatenate([acc_t[:, :1], acc_t, acc_t[:, -1:]], axis=1)
+
+    # padded-axis texel coords: pixel center -> froxel - 0.5, +1 for the pad
+    fy = (np.arange(ih) + 0.5) * (h / ih) - 0.5 + 1.0
+    fx = (np.arange(iw) + 0.5) * (w / iw) - 0.5 + 1.0
+    nb = _pick_block(ih)
+    cb = _pick_block(iw)
+    base_y, ysel = _tap_blocks(fy, h + 2, nb)
+    base_x, xsel = _tap_blocks(fx, w + 2, cb)
+    nrows, ncols = ysel.shape[2], xsel.shape[2]
+    nblk, cblk = ih // nb, iw // cb
+
+    fz = jnp.clip(fz_texel, 0.0, d - 1.0)
+    # [nblk, cblk, nb, cb] pixel tiles
+    fz_t = fz.reshape(nblk, nb, cblk, cb).transpose(0, 2, 1, 3)
+    zi = jnp.arange(d, dtype=jnp.float32)
+    hi = PRECISIONS[precision]
+    ysel_j, xsel_j = jnp.asarray(ysel), jnp.asarray(xsel)
+    base_yj = jnp.asarray(base_y, jnp.int32)
+    base_xj = jnp.asarray(base_x, jnp.int32)
+
+    def rowblock(args):
+        by, ysel_i, fz_i = args                       # fz_i [cblk, nb, cb]
+        rows = jax.lax.dynamic_slice_in_dim(acc_t, by, nrows, 0)
+        yb = jnp.einsum("br,rwdc->bwdc", ysel_i, rows,
+                        precision=hi)                 # [nb, W+2, D, C]
+
+        def colblock(cargs):
+            bx, xsel_ij, fz_ij = cargs
+            cols = jax.lax.dynamic_slice_in_dim(yb, bx, ncols, 1)
+            xb = jnp.einsum("uk,bkdc->budc", xsel_ij, cols,
+                            precision=hi)             # [nb, cb, D, C]
+            t = jnp.maximum(0.0, 1.0 - jnp.abs(fz_ij[..., None] - zi))
+            return jax.lax.dot_general(
+                t, xb, dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32, precision=hi)
+
+        return jax.lax.map(colblock, (base_xj, xsel_j, fz_i))
+
+    out = jax.lax.map(rowblock, (base_yj, ysel_j,
+                                 fz_t))               # [nblk, cblk, nb, cb, 4]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(ih, iw, 4)
+    trans = out[..., 3:4]
+    rgb = scene_color * trans + out[..., :3]
+    return jnp.concatenate([rgb, trans], axis=-1)

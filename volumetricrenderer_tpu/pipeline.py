@@ -837,6 +837,9 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
         cfg_lo = _dc.replace(cfg, image_width=iw // us,
                              image_height=ih // us, composite_upsample=1)
         if zgather_eligible(cfg_lo):
+            import numpy as np
+            from volumetricrenderer_tpu.ops.pallas.composite import \
+                _cell_weights_at
             from volumetricrenderer_tpu.ops.pallas.zg_composite import \
                 composite_zgather_planes
             # stride the MINOR axis via a transpose round trip: a direct
@@ -847,9 +850,20 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
             fz = froxel.depth_to_froxel_z(params, vd_lo) - 0.5
             pl4 = planes if planes is not None \
                 else tuple(accumulation[..., c] for c in range(4))
+            # CO-SITED XY weights: low pixel i stands for FULL pixel us*i
+            # (that is what vd_lo and _upsample_cosited assume), whose
+            # in-cell froxel offset is (us*i + 0.5)/(us*p_lo) - 0.5 — NOT
+            # the low-res pixel center (i + 0.5)/p_lo - 0.5 the default
+            # weights would use (a 0.25/p_lo froxel skew that broke the
+            # every-us-th-pixel-exact contract; round-5 advisor finding)
+            py_lo = (ih // us) // h
+            px_lo = (iw // us) // w
+            w9 = _cell_weights_at(
+                (us * np.arange(py_lo) + 0.5) / (us * py_lo) - 0.5,
+                (us * np.arange(px_lo) + 0.5) / (us * px_lo) - 0.5)
             lo = composite_zgather_planes(
                 pl4, fz, cfg.grid, interpret=jax.default_backend() != "tpu",
-                prepadded=planes_prepadded)
+                prepadded=planes_prepadded, w9_override=w9)
             up = [_upsample_cosited(p, us) for p in lo]
             if isinstance(scene_color, (tuple, list)):
                 sc_p = list(scene_color)
@@ -893,6 +907,16 @@ def composite(cfg: RenderConfig, params: FroxelParams, accumulation: jax.Array,
                                  accumulation[:, -1:]], axis=1)
         return composite_rowmm(acc_p, scene_color, fz, cfg.grid, row_off=1,
                                precision=cfg.composite_precision)
+    if cfg.composite_impl in ("pallas", "tentmm", "rowmm", "zgather"):
+        # non-integer IW/W (any screen size, like the reference's hardware
+        # trilinear): BOTH axes as static tent selection matmuls — the last
+        # shape class that used to fall to the per-pixel gather (round 5).
+        # The gather survives only as the composite_impl="xla" parity path.
+        from volumetricrenderer_tpu.ops.rowmm_composite import \
+            composite_anyres
+        fz = froxel.depth_to_froxel_z(params, view_depth) - 0.5
+        return composite_anyres(accumulation, scene_color, fz, cfg.grid,
+                                precision=cfg.composite_precision)
     u = (jnp.arange(iw, dtype=jnp.float32) + 0.5) / iw
     v = (jnp.arange(ih, dtype=jnp.float32) + 0.5) / ih
     fx = (u * w)[None, :] - 0.5

@@ -235,6 +235,15 @@ class VolumetricRenderer:
             from volumetricrenderer_tpu.ops.pallas.material import \
                 media_foldable
             foldable = bool(scene.media) and media_foldable(scene.media)
+            if bool(scene.media) and not foldable:
+                # TEXTURE-noise fold (round 5): the wrap-trilinear factor is
+                # sampled at the radiance bake's low grid in XLA
+                # (visibility.bake_noise_channels_xla) and rides the bake
+                # channels into the megakernel — texture media no longer
+                # force the whole frame off the fused path (was tex_ms
+                # 10.8 vs 4.7 headline). Needs the radiance bake on (ss>1).
+                foldable = (cfg.scatter_bake == "radiance"
+                            and max(int(cfg.raycast_shadow_subsample), 1) > 1)
         except Exception:
             foldable = False
         fuse_frame = (cfg.frame_fused
@@ -413,9 +422,16 @@ class VolumetricRenderer:
         # low grid is phase-aligned with the unsharded one; the only
         # semantic difference is tent clamp-to-edge at slab borders, which
         # lands on cropped halo rows (tests/test_shard_render.py bounds it).
+        # texture-noise media: their factor channels must be sampled in XLA
+        # (no in-kernel gather) at the bake grid and passed in with the
+        # radiance volume — forces the vis-PASSED path (no inline bake); all
+        # noise channels (procedural too) then come from XLA so the channel
+        # order stays media order (bake_noise_channels_xla docstring)
+        has_tex = any(m.noise_tex is not None and m.noise_mode != "procedural"
+                      for m in scene.media)
         if ss > 1:
             from volumetricrenderer_tpu.ops.pallas import frame_fused as ffm
-            if ffm.INLINE_VIS:
+            if ffm.INLINE_VIS and not (has_tex and radiance):
                 # visibility bakes inside the megakernel's own grid (stage 0)
                 inline_bake = True
             else:
@@ -427,7 +443,13 @@ class VolumetricRenderer:
                         scene.point_lights, scene.spot_lights, scene.geometry,
                         scene.media, time_x, cfg.grid, ss, interpret=interp,
                         heightfield_shadows=cfg.heightfield_local_shadows,
-                        bake_noise=cfg.bake_procedural_noise)
+                        bake_noise=cfg.bake_procedural_noise and not has_tex)
+                    if has_tex:
+                        with jax.named_scope("bake_noise_tex"):
+                            nz = vis_lib.bake_noise_channels_xla(
+                                cfg, params, view_to_world, jitter,
+                                scene.media, time_x, ss)
+                        vis = jnp.concatenate([vis, nz], axis=0)
                 else:
                     vis = vis_lib.bake_visibility_pallas(
                         params, view_to_world, scene.camera.position, jitter,
