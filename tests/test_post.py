@@ -330,3 +330,158 @@ def test_full_chain_with_round4_effects():
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0
     assert np.isfinite(float(luma))
+
+
+# --------------------------------------------------------------------------- #
+# Screen-space reflections (round 5 — ScreenSpaceReflections.cs:90 equivalent)
+# --------------------------------------------------------------------------- #
+
+def _ssr_scene(n=128):
+    """Synthetic G-buffer with a known reflection: fov 90 camera, a gray
+    floor plane at view-space y=+1 and a bright red wall at z=10. The floor's
+    reflected rays march up-screen and hit the wall, so SSR must add red to
+    the floor band."""
+    ys = (np.arange(n, dtype=np.float32) + 0.5) / n * 2.0 - 1.0
+    gy = np.broadcast_to(ys[:, None], (n, n)).copy()      # tan_y=1, asp=1
+    floor = gy > 0.12
+    depth = np.where(floor, 1.0 / np.maximum(gy, 0.12), 10.0)
+    color = np.zeros((n, n, 3), np.float32)
+    color[..., 0] = np.where(floor, 0.2, 2.0)
+    color[..., 1] = np.where(floor, 0.2, 0.1)
+    color[..., 2] = np.where(floor, 0.2, 0.1)
+    return (jnp.asarray(color), jnp.asarray(depth.astype(np.float32)),
+            floor)
+
+
+def test_ssr_adds_reflection_on_floor():
+    from volumetricrenderer_tpu.post import (PostConfig,
+                                             screen_space_reflections)
+    color, depth, floor = _ssr_scene()
+    cfg = PostConfig(ssr_intensity=0.8, ssr_downsample=2, ssr_fov_y_deg=90.0,
+                     ssr_thickness=1.5, ssr_max_px=56, ssr_steps=16)
+    out = np.asarray(jax.jit(
+        lambda c, d: screen_space_reflections(c, d, cfg))(color, depth))
+    assert np.isfinite(out).all()
+    base = np.asarray(color)
+    # red energy appears on the floor band (reflections of the wall)
+    mid = floor & (np.arange(128)[:, None] < 110)     # skip the near edge
+    added_r = (out[..., 0] - base[..., 0])[mid]
+    assert added_r.max() > 0.1, added_r.max()
+    # and it is red-dominant (the wall color), not a uniform brightening
+    added_g = (out[..., 1] - base[..., 1])[mid]
+    assert added_r.sum() > 2.0 * abs(added_g.sum()), \
+        (added_r.sum(), added_g.sum())
+    # the wall itself (reflections point back at the camera -> no hit)
+    # stays essentially unchanged away from the blurred seam
+    wall = ~floor & (np.arange(128)[:, None] < 40)
+    assert np.abs(out - base).max(axis=-1)[wall].mean() < 0.02
+
+
+def test_ssr_disabled_is_identity_and_wired():
+    from volumetricrenderer_tpu.post import PostConfig, apply_post
+    color, depth, _ = _ssr_scene(64)
+    rgba = jnp.concatenate([color, jnp.ones((64, 64, 1))], axis=-1)
+    base_cfg = PostConfig(exposure=1.0)
+    on_cfg = PostConfig(exposure=1.0, ssr_intensity=0.8, ssr_downsample=2,
+                        ssr_fov_y_deg=90.0, ssr_thickness=1.5, ssr_max_px=28)
+    a = np.asarray(apply_post(rgba, base_cfg, view_depth=depth))
+    b = np.asarray(apply_post(rgba, on_cfg, view_depth=depth))
+    assert np.isfinite(b).all()
+    assert not np.array_equal(a, b)      # the knob engages through the chain
+    # without view_depth the effect is skipped, not an error
+    c = np.asarray(apply_post(rgba, on_cfg))
+    np.testing.assert_array_equal(
+        c, np.asarray(apply_post(rgba, base_cfg)))
+
+
+# --------------------------------------------------------------------------- #
+# SMAA (round 5 — SubpixelMorphologicalAntialiasing.cs equivalent)
+# --------------------------------------------------------------------------- #
+
+def test_smaa_flat_image_unchanged():
+    from volumetricrenderer_tpu.post import PostConfig, smaa
+    img = jnp.full((32, 48, 3), 0.4, jnp.float32)
+    out = np.asarray(jax.jit(lambda i: smaa(i, PostConfig(smaa=True)))(img))
+    np.testing.assert_array_equal(out, np.asarray(img))
+
+
+def test_smaa_straight_edge_unchanged():
+    # an infinite straight horizontal edge has no crossings at either run
+    # end -> zero area -> SMAA must not blur it (unlike a plain blur)
+    from volumetricrenderer_tpu.post import PostConfig, smaa
+    img = np.zeros((32, 48, 3), np.float32)
+    img[16:] = 1.0
+    out = np.asarray(jax.jit(
+        lambda i: smaa(i, PostConfig(smaa=True)))(jnp.asarray(img)))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_smaa_staircase_smoothed():
+    """A rasterized shallow diagonal (stairs of 8-px steps): SMAA must
+    produce intermediate values along the staircase that ramp toward the
+    step transitions (the reconstructed AA line), while staying inside the
+    input's value range and leaving far-from-edge pixels untouched."""
+    from volumetricrenderer_tpu.post import PostConfig, smaa
+    n, step = 64, 8
+    img = np.zeros((n, n, 3), np.float32)
+    for x in range(n):
+        ystep = 20 + x // step          # edge row for this column
+        img[ystep:, x] = 1.0
+    out = np.asarray(jax.jit(
+        lambda i: smaa(i, PostConfig(smaa=True)))(jnp.asarray(img)))
+    assert np.isfinite(out).all()
+    assert out.min() >= -1e-6 and out.max() <= 1 + 1e-6
+    # intermediate values appear near the staircase
+    mids = ((out[..., 0] > 0.1) & (out[..., 0] < 0.9)).sum()
+    assert mids > 20, mids
+    # far from the edge nothing changes
+    np.testing.assert_array_equal(out[:10], img[:10])
+    np.testing.assert_array_equal(out[40:], img[40:])
+    # the stair transition softens: along each column crossing a step
+    # boundary, the output ramp is strictly less steep than the input's
+    col = 4 + step                       # a column mid-way along a stair
+    d_in = np.abs(np.diff(img[:, col, 0]))
+    d_out = np.abs(np.diff(out[:, col, 0]))
+    assert d_out.max() < d_in.max(), (d_out.max(), d_in.max())
+
+
+def test_smaa_wired_into_apply_post():
+    from volumetricrenderer_tpu.post import PostConfig, apply_post
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(32, 48, 4).astype(np.float32))
+    a = np.asarray(apply_post(img, PostConfig()))
+    b = np.asarray(apply_post(img, PostConfig(smaa=True)))
+    assert np.isfinite(b).all()
+    assert not np.array_equal(a, b)
+
+
+def test_multi_scale_ao():
+    """MSVO equivalent: flat depth -> no occlusion; a large-scale valley
+    occludes more than the single-scale rings see; knob wired."""
+    from volumetricrenderer_tpu.post import (PostConfig, ambient_occlusion,
+                                             apply_post, multi_scale_ao)
+    flat = jnp.full((64, 64), 10.0, jnp.float32)
+    ao = np.asarray(jax.jit(
+        lambda d: multi_scale_ao(d, 1.0))(flat))
+    np.testing.assert_allclose(ao, 1.0, atol=1e-6)
+    # a wide smooth valley (64-px scale): the multi-scale variant picks up
+    # occlusion at the center that the 8-px single-scale rings miss
+    xs = np.arange(64, dtype=np.float32)
+    valley = 10.0 + 0.5 * np.abs(xs[None, :] - 32.0)
+    valley = jnp.asarray(np.broadcast_to(valley, (64, 64)).copy())
+    ms = np.asarray(jax.jit(lambda d: multi_scale_ao(d, 1.0))(valley))
+    ss = np.asarray(jax.jit(
+        lambda d: ambient_occlusion(d, 1.0, 4))(valley))
+    center_ms = ms[20:44, 28:36].mean()
+    center_ss = ss[20:44, 28:36].mean()
+    assert center_ms < center_ss - 0.01, (center_ms, center_ss)
+    # wired through apply_post
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(64, 64, 4).astype(np.float32))
+    a = np.asarray(apply_post(img, PostConfig(ao_intensity=1.0),
+                              view_depth=valley))
+    b = np.asarray(apply_post(
+        img, PostConfig(ao_intensity=1.0, ao_multiscale=True),
+        view_depth=valley))
+    assert np.isfinite(b).all()
+    assert not np.array_equal(a, b)

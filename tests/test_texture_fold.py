@@ -127,3 +127,20 @@ def test_texture_fold_needs_radiance_bake():
     img, aux = _render(cfg, scene)
     assert np.isfinite(img).all()
     assert aux["scatter"] is not None
+
+
+def test_sample_tex_selection_matches_gather():
+    """The selection-matmul wrap-trilinear sampler == the gather sampler:
+    exact at precision='highest', ~bf16-bounded at the production default."""
+    from volumetricrenderer_tpu.ops.pallas.visibility import \
+        sample_tex_selection
+    from volumetricrenderer_tpu.ops.sampling import trilinear_sample_3d
+    rng = np.random.RandomState(11)
+    tex = jnp.asarray(rng.rand(8, 16, 32).astype(np.float32))
+    pos = jnp.asarray((rng.rand(7, 9, 3).astype(np.float32) * 80.0 - 40.0))
+    ref = np.asarray(trilinear_sample_3d(tex, pos, wrap=True))
+    hi = np.asarray(jax.jit(lambda t, p: sample_tex_selection(
+        t, p, precision="highest"))(tex, pos))
+    np.testing.assert_allclose(hi, ref, rtol=1e-5, atol=1e-6)
+    lo = np.asarray(jax.jit(sample_tex_selection)(tex, pos))
+    np.testing.assert_allclose(lo, ref, rtol=0.02, atol=0.01)

@@ -51,8 +51,15 @@ def main():
     else:
         no_lights = False
     r = VolumetricRenderer(cfg)
-    scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
-                            noise_mode="procedural")
+    if "--texture" in sys.argv:      # texture-noise fold (bench tex_ms)
+        sys.argv.remove("--texture")
+        from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
+        scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
+                                noise_tex=jnp.asarray(perlin_texture_3d()),
+                                noise_mode="texture")
+    else:
+        scene = benchmark_scene(aspect=cfg.image_width / cfg.image_height,
+                                noise_mode="procedural")
     if no_lights:
         from volumetricrenderer_tpu.models.lights import (DirectionalLights,
                                                           PointLights,

@@ -636,6 +636,61 @@ def low_res_world_positions(cfg, params, view_to_world, jitter, ss: int):
     return froxel_lib.transform_points(view_to_world, view)
 
 
+def sample_tex_selection(tex: jax.Array, pos_texel: jax.Array,
+                         precision: str = "default") -> jax.Array:
+    """Wrap-trilinear 3D texture sampling as ONE selection matmul (no gather).
+
+    XLA's take() is a ~8 ns/element serial gather on TPU: the low-rate
+    noise-texture sample (65k samples x 8 taps at FULL/ss=4) measured
+    3.46 ms/frame — eight identical 0.433 ms gather fusions in the device
+    trace, dwarfing everything else the texture fold added. The TPU-native
+    form used everywhere else in this repo applies here too: the (z, y)
+    bilinear selection becomes an [N, Nz*Ny] weight matrix (4 nonzeros per
+    sample — the wrap-mod'd corner rows, bilinearly weighted) contracted on
+    the MXU against the texture's [Nz*Ny, Nx] row matrix; the two x taps
+    then reduce over the tiny Nx lane dim elementwise (exact f32).
+
+    precision="default" runs the dot at MXU bf16 (~0.5% factor error — the
+    same class as the baked-radiance tent upsample that already ships,
+    PERF.md); "highest" is exact trilinear for the parity tests.
+
+    tex [Nz, Ny, Nx]; pos_texel [..., 3] (x, y, z) texel coords, matching
+    ops/sampling.trilinear_sample_3d(wrap=True)."""
+    nz, ny, nx = tex.shape
+    shp = pos_texel.shape[:-1]
+    p = pos_texel.reshape(-1, 3)
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx, fy, fz = x - x0f, y - y0f, z - z0f
+    ix0 = jnp.mod(x0f.astype(jnp.int32), nx)
+    ix1 = jnp.mod(ix0 + 1, nx)
+    iy0 = jnp.mod(y0f.astype(jnp.int32), ny)
+    iy1 = jnp.mod(iy0 + 1, ny)
+    iz0 = jnp.mod(z0f.astype(jnp.int32), nz)
+    iz1 = jnp.mod(iz0 + 1, nz)
+
+    rows = tex.reshape(nz * ny, nx)
+    ri = jnp.arange(nz * ny, dtype=jnp.int32)[None, :]
+    wsel = jnp.zeros((p.shape[0], nz * ny), jnp.float32)
+    for zi, wz in ((iz0, 1.0 - fz), (iz1, fz)):
+        for yi, wy in ((iy0, 1.0 - fy), (iy1, fy)):
+            r = (zi * ny + yi)[:, None]
+            wsel = wsel + (r == ri).astype(jnp.float32) * (wz * wy)[:, None]
+    if precision == "highest":
+        v = jnp.matmul(wsel, rows, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # [N, Nx]
+    else:
+        # explicit bf16 operands: halves the [N, Nz*Ny] weight-matrix
+        # traffic (the MXU truncates to bf16 at default precision anyway)
+        v = jnp.matmul(wsel.astype(jnp.bfloat16),
+                       rows.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)  # [N, Nx]
+    xi = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    xw = ((ix0[:, None] == xi).astype(jnp.float32) * (1.0 - fx)[:, None]
+          + (ix1[:, None] == xi).astype(jnp.float32) * fx[:, None])
+    return jnp.sum(v * xw, axis=-1).reshape(shp)
+
+
 def bake_noise_channels_xla(cfg, params, view_to_world, jitter, media,
                             time_x, ss: int) -> jax.Array:
     """[Nn, DL, HL, WL] per-medium noise-factor channels at the low bake
@@ -671,8 +726,20 @@ def bake_noise_channels_xla(cfg, params, view_to_world, jitter, media,
                 world[..., 2] * med[mi, 7] + med[mi, 10],
                 octaves, period, seed))
         else:
-            # the exact sampler write_material_volumes uses (wrap trilinear)
-            chans.append(_sample_noise(m, world, time_x))
+            tex = m.noise_tex
+            if tex.shape[0] * tex.shape[1] <= 8192:
+                # gather-free selection-matmul sampler (same positions as
+                # _sample_noise; ~0.5% bf16 factor error, documented above)
+                uvw = world * m.noise_tiling + m.noise_scroll \
+                    * jnp.asarray(time_x, jnp.float32)
+                nzt, nyt, nxt = tex.shape
+                texel = jnp.stack([uvw[..., 0] * nxt - 0.5,
+                                   uvw[..., 1] * nyt - 0.5,
+                                   uvw[..., 2] * nzt - 0.5], axis=-1)
+                chans.append(sample_tex_selection(tex, texel))
+            else:
+                # huge textures: the exact gather sampler (parity fallback)
+                chans.append(_sample_noise(m, world, time_x))
     return jnp.stack(chans)
 
 

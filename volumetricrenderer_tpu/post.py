@@ -124,14 +124,40 @@ class PostConfig:
     dithering: bool = False
     # Ambient occlusion (ScalableAO.cs equivalent): 0 disables. Radius in
     # pixels of the outer tap ring; needs view_depth passed to apply_post.
+    # ao_multiscale switches to the MultiScaleVO.cs-equivalent depth-pyramid
+    # variant (multi_scale_ao) with ao_levels LODs.
     ao_intensity: float = 0.0
     ao_radius_px: int = 8
+    ao_multiscale: bool = False
+    ao_levels: int = 4
     # TAA (TemporalAntialiasing.cs:18-43): used by temporal_antialiasing()
     # (history threading is the caller's — see the function docstring).
     taa_sharpness: float = 0.25
     taa_stationary_blend: float = 0.95
     taa_motion_blend: float = 0.85
     taa_window: int = 4                 # history reprojection window, px
+    # SMAA (SubpixelMorphologicalAntialiasing.cs, final LDR pass). TPU-shaped
+    # (_smaa_p): luma edges via shifts; the per-pixel edge-end SEARCH becomes
+    # run-length associative scans; the AreaTex lookup becomes the analytic
+    # trapezoid the texture bakes. Diagonal patterns + corner rounding are
+    # omitted (documented in _smaa_p).
+    smaa: bool = False
+    smaa_threshold: float = 0.1         # High preset (hlsl:313 family)
+    smaa_max_search: int = 16           # capped run distance (hlsl:314)
+    # Screen-space reflections (ScreenSpaceReflections.cs:90 — McGuire-Mara
+    # screen-space march, ScreenSpaceReflections.hlsl:137). TPU-shaped:
+    # downsampled buffer (the reference's own Downsampled default),
+    # direction-QUANTIZED march — every depth test and the color resolve are
+    # constant-offset shifts (no per-pixel gather; see _ssr_p). Needs
+    # view_depth passed to apply_post. 0 disables.
+    ssr_intensity: float = 0.0
+    ssr_steps: int = 12                 # march steps (log-spaced radii)
+    ssr_dirs: int = 8                   # quantized screen directions
+    ssr_thickness: float = 0.6          # hit thickness, view-space units
+    ssr_max_px: int = 56                # max march radius at the low res
+    ssr_downsample: int = 4             # buffer downsample (power of 2)
+    ssr_fov_y_deg: float = 60.0         # camera vertical FoV for view recon
+    ssr_distance_fade: float = 0.5      # fade with march distance
 
 
 def _split(rgb: jax.Array):
@@ -407,6 +433,294 @@ def _motion_blur_p(planes, velocity: jax.Array, strength: float):
 def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
                 ) -> jax.Array:
     return _merge(_motion_blur_p(_split(rgb), velocity, strength))
+
+
+def _ssr_p(planes, view_depth: jax.Array, cfg: PostConfig):
+    """Screen-space reflections, TPU-shaped (round-5 probe-to-landing of the
+    PARITY.md 'out of scope' claim).
+
+    The reference marches each pixel's reflected ray through the depth
+    buffer with a per-pixel screen-space DDA (McGuire-Mara;
+    ScreenSpaceReflections.hlsl:137 March, .cs:90 presets) and resolves
+    scene color at the hit — per-pixel gathers twice over. This version
+    keeps the reference's structure (downsampled buffer = its Downsampled
+    default, perspective-correct 1/z interpolation along the ray, thickness
+    hit test, distance fade) but makes every memory access a
+    CONSTANT-OFFSET shift, the motion-blur trick at march scale:
+
+    - the screen direction of each pixel's reflected ray is QUANTIZED to
+      ssr_dirs bins; within a bin, march step k samples depth and color at
+      one static offset (round(t_k * dir_b)) — whole-plane shifts;
+    - the ray's depth at step k is the perspective-correct 1/z line
+      (1/z affine in screen distance — hlsl:186 homogenizers), evaluated
+      elementwise from a per-pixel 1/z gradient;
+    - the first-hit select is a running not-yet-hit mask; the resolve
+      accumulates (first-hit one-hot) * shifted color — no gather;
+    - the surface normal is implicit from view-space position differences
+      of the depth buffer (the G-buffer normal stand-in).
+
+    Returns (refl_r, refl_g, refl_b, strength) at full res: the caller
+    blends out = lerp(p, refl, strength)."""
+    import math
+    h, w = planes[0].shape
+    ds = max(int(cfg.ssr_downsample), 1)
+    n2 = max(int(round(math.log2(ds))), 0)
+    dq = view_depth[:h, :w]
+    cq = list(planes)
+    for _ in range(n2):
+        dq = _down2_p(dq)
+        cq = [_down2_p(p) for p in cq]
+    hq, wq = dq.shape
+    f32 = planes[0].dtype
+    tan_y = math.tan(math.radians(cfg.ssr_fov_y_deg) / 2.0)
+    asp = w / h
+
+    xs = (jnp.arange(wq, dtype=f32) + 0.5) / wq * 2.0 - 1.0
+    ys = (jnp.arange(hq, dtype=f32) + 0.5) / hq * 2.0 - 1.0
+    gx = xs[None, :] * (tan_y * asp)
+    gy = ys[:, None] * tan_y
+    px_, py_, pz_ = gx * dq, gy * dq, dq
+
+    def cdx(p):
+        return (_shift2_p(p, 0, 1) - _shift2_p(p, 0, -1)) * 0.5
+
+    def cdy(p):
+        return (_shift2_p(p, 1, 0) - _shift2_p(p, -1, 0)) * 0.5
+
+    ax_, ay_, az_ = cdx(px_), cdx(py_), cdx(pz_)
+    bx_, by_, bz_ = cdy(px_), cdy(py_), cdy(pz_)
+    nx = ay_ * bz_ - az_ * by_
+    ny = az_ * bx_ - ax_ * bz_
+    nz = ax_ * by_ - ay_ * bx_
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-12)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    flip = jnp.where(nx * px_ + ny * py_ + nz * pz_ > 0.0, -1.0, 1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+    ilen = jax.lax.rsqrt(px_ * px_ + py_ * py_ + pz_ * pz_ + 1e-12)
+    vx, vy, vz = px_ * ilen, py_ * ilen, pz_ * ilen
+    vdn = vx * nx + vy * ny + vz * nz                    # < 0 facing camera
+    rx = vx - 2.0 * vdn * nx
+    ry = vy - 2.0 * vdn * ny
+    rz = vz - 2.0 * vdn * nz
+
+    # probe point a bounded view-space step along the ray (clamped before
+    # the near plane) -> the ray's screen direction and 1/z gradient
+    near = 0.05
+    step = 0.25 * dq
+    lim = jnp.where(rz < -1e-6, (pz_ - near) / (-rz + 1e-9), 1e9)
+    step = jnp.clip(jnp.minimum(step, 0.9 * lim), 1e-3, None)
+    qx, qy, qz = px_ + step * rx, py_ + step * ry, pz_ + step * rz
+    qz = jnp.maximum(qz, near)
+    du = (qx / (qz * tan_y * asp) - xs[None, :]) * (wq / 2.0)
+    dv = (qy / (qz * tan_y) - ys[:, None]) * (hq / 2.0)
+    mag = jnp.sqrt(du * du + dv * dv)
+    valid = (mag > 1e-3).astype(f32)
+    g = (1.0 / qz - 1.0 / pz_) / jnp.maximum(mag, 1e-3)  # d(1/z)/px
+
+    nb = max(int(cfg.ssr_dirs), 1)
+    ks = max(int(cfg.ssr_steps), 1)
+    ang = jnp.arctan2(dv, jnp.where(jnp.abs(du) < 1e-8, 1e-8, du))
+    bin_idx = jnp.mod(jnp.round(ang / (2.0 * jnp.pi / nb)), nb)
+    max_px = float(cfg.ssr_max_px)
+    radii = [2.0 * (max_px / 2.0) ** (k / max(ks - 1, 1)) for k in range(ks)]
+    yy = jnp.arange(hq, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(wq, dtype=jnp.int32)[None, :]
+
+    refl = [jnp.zeros((hq, wq), f32) for _ in range(3)]
+    hitw = jnp.zeros((hq, wq), f32)
+    hitt = jnp.zeros((hq, wq), f32)
+    for b in range(nb):
+        theta = 2.0 * math.pi * b / nb
+        dirx, diry = math.cos(theta), math.sin(theta)
+        sel = (bin_idx == b).astype(f32) * valid
+        not_hit = jnp.ones((hq, wq), f32)
+        acc = [jnp.zeros((hq, wq), f32) for _ in range(3)]
+        aw = jnp.zeros((hq, wq), f32)
+        at = jnp.zeros((hq, wq), f32)
+        seen = set()
+        t_prev = 0.0
+        for t in radii:
+            oy, ox = int(round(t * diry)), int(round(t * dirx))
+            if (oy, ox) in seen or (oy == 0 and ox == 0):
+                t_prev = t
+                continue
+            seen.add((oy, ox))
+            zs = _shift2_p(dq, oy, ox)
+            invz = 1.0 / pz_ + g * t
+            z_ray = jnp.where(invz > 1e-4, 1.0 / jnp.maximum(invz, 1e-4),
+                              1e9)
+            # CROSSING test (the DDA hit condition, hlsl:199): the ray was
+            # in front of this depth at the previous radius (within the
+            # thickness slack) and is at-or-behind it now — robust to the
+            # log-spaced steps' growing z advance, where a fixed-thickness
+            # window would step straight over thin depth ranges.
+            invz_p = 1.0 / pz_ + g * t_prev
+            z_prev = jnp.where(invz_p > 1e-4,
+                               1.0 / jnp.maximum(invz_p, 1e-4), 1e9)
+            onscreen = ((yy + oy >= 0) & (yy + oy < hq)
+                        & (xx + ox >= 0) & (xx + ox < wq)).astype(f32)
+            hit = ((z_ray >= zs)
+                   & (z_prev <= zs + cfg.ssr_thickness)).astype(f32) \
+                * onscreen
+            t_prev = t
+            wgt = not_hit * hit
+            for c in range(3):
+                acc[c] = acc[c] + wgt * _shift2_p(cq[c], oy, ox)
+            aw = aw + wgt
+            at = at + wgt * (t / max_px)
+            not_hit = not_hit * (1.0 - hit)
+        for c in range(3):
+            refl[c] = refl[c] + sel * acc[c]
+        hitw = hitw + sel * aw
+        hitt = hitt + sel * at
+
+    # strength: fresnel (Schlick, f0 = 0.25 — no roughness G-buffer) x
+    # distance fade (the reference's _DistanceFade) x hit mask
+    cosv = jnp.clip(-vdn, 0.0, 1.0)
+    fres = 0.25 + 0.75 * (1.0 - cosv) ** 5
+    fade = jnp.clip(1.0 - cfg.ssr_distance_fade * hitt, 0.0, 1.0)
+    strength = cfg.ssr_intensity * fres * fade * hitw
+
+    outs = []
+    for p in refl + [strength]:
+        for _ in range(n2):
+            p = _up2_p(p, min(p.shape[0] * 2, h), min(p.shape[1] * 2, w))
+        outs.append(_blur3_p(p))
+    return outs
+
+
+def screen_space_reflections(rgb: jax.Array, view_depth: jax.Array,
+                             cfg: PostConfig) -> jax.Array:
+    planes = _split(rgb)
+    rr, rg, rb, k = _ssr_p(planes, view_depth, cfg)
+    return _merge([p + k * (r - p)
+                   for p, r in zip(planes, (rr, rg, rb))])
+
+
+def _runlen_scan(m: jax.Array, axis: int, reverse: bool = False) -> jax.Array:
+    """Inclusive run-length of consecutive nonzero m along axis (exact,
+    O(log n) depth): r[i] = m[i] ? r[i-1] + 1 : 0. The associative form is
+    (len, full): combine((l1,f1),(l2,f2)) = (l2 + f2*l1, f1*f2)."""
+    def comb(a, b):
+        return (b[0] + b[1] * a[0], a[1] * b[1])
+    l, _ = jax.lax.associative_scan(comb, (m, m), axis=axis, reverse=reverse)
+    return l
+
+
+def _propagate_start(v0: jax.Array, m: jax.Array, axis: int,
+                     reverse: bool = False) -> jax.Array:
+    """Segmented copy-from-segment-start scan: within each run of nonzero m,
+    every element receives v0 at the run's first element. inherit flag
+    f[i] = m[i]*m[i-1]; combine((v1,f1),(v2,f2)) = (f2*v1+(1-f2)*v2, f1*f2)."""
+    prev = _shift2_p(m, -1, 0) if axis == 0 else _shift2_p(m, 0, -1)
+    if reverse:
+        prev = _shift2_p(m, 1, 0) if axis == 0 else _shift2_p(m, 0, 1)
+    # the shifted edge-clamp repeats the border value; the border element
+    # can never inherit from outside — force its flag to 0
+    idx = jnp.arange(m.shape[axis])
+    first = (idx == (m.shape[axis] - 1 if reverse else 0))
+    first = first[:, None] if axis == 0 else first[None, :]
+    f = m * prev * (1.0 - first.astype(m.dtype))
+
+    def comb(a, b):
+        return (b[1] * a[0] + (1.0 - b[1]) * b[0], a[1] * b[1])
+    v, _ = jax.lax.associative_scan(comb, (v0, f), axis=axis, reverse=reverse)
+    return v
+
+
+def _smaa_axis_weights(e_run: jax.Array, e_cross_a: jax.Array,
+                       e_cross_b: jax.Array, axis: int, max_d: int):
+    """Blend weights for one SMAA line orientation.
+
+    e_run: the edges whose runs form the AA lines (e_top for horizontal
+    lines, e_left for vertical), [H, W] in {0,1}. e_cross_a/b: the crossing
+    edges evaluated at each position — a = crossing on the near side of the
+    boundary (offset +0.5 toward it), b = far side (-0.5). axis: 1 for
+    horizontal runs, 0 for vertical. Returns (w_pos, w_neg): blend weight
+    toward the positive-offset neighbor and (to be shifted by the caller)
+    the weight the OPPOSITE neighbor receives.
+
+    The reference searches the edge ends with up to 32 taps each way and
+    looks the (d_left, d_right, crossings) pattern up in the baked AreaTex
+    (SubpixelMorphologicalAntialiasing.hlsl SMAASearch*/SMAAArea); here the
+    run lengths come from two associative scans, the end crossings ride a
+    segmented copy-from-end scan, and the area is the trapezoid the texture
+    generator integrates: the line runs from (0, o_l/2) to (D, o_r/2) over
+    the run, and the per-pixel weight is its offset at the pixel center."""
+    m = e_run
+    d_fwd = _runlen_scan(m, axis=axis) - 1.0            # distance to start
+    d_bwd = _runlen_scan(m, axis=axis, reverse=True) - 1.0
+    d_fwd = jnp.minimum(d_fwd, float(max_d))
+    d_bwd = jnp.minimum(d_bwd, float(max_d))
+    # crossing direction at each position: +1 if the near-side crossing
+    # edge exists, -1 for far-side, 0 for none/both
+    cdir = jnp.clip(e_cross_a - e_cross_b, -1.0, 1.0)
+    o_l = _propagate_start(cdir * m, m, axis=axis)
+    o_r = _propagate_start(cdir * m, m, axis=axis, reverse=True)
+    dtot = d_fwd + d_bwd + 1.0
+    # line offset at the pixel center (linear => trapezoid mean is exact);
+    # ends sit half a pixel outside the run (the crossing pixel boundary)
+    p = (d_fwd + 0.5) / (dtot + 1e-6)
+    off = 0.5 * (o_l + (o_r - o_l) * p) * m
+    w_pos = jnp.maximum(off, 0.0)
+    w_neg = jnp.maximum(-off, 0.0)
+    return w_pos, w_neg
+
+
+def _smaa_p(planes, cfg: PostConfig):
+    """Subpixel morphological AA, TPU-shaped (round 5; reference
+    SubpixelMorphologicalAntialiasing.cs:12-17 passes, .hlsl:305-325
+    presets). Pass mapping:
+
+    - EdgeDetection (luma): shifts + threshold (local-contrast adaptation
+      and chroma edges omitted).
+    - BlendWeights: run-length associative scans replace the per-pixel
+      up-to-32-tap edge-end search; the end crossings propagate with a
+      segmented scan; the AreaTex lookup is evaluated as its generating
+      trapezoid (_smaa_axis_weights). DIAGONAL patterns and corner
+      rounding (SMAA_MAX_SEARCH_STEPS_DIAG / SMAA_CORNER_ROUNDING) are
+      NOT implemented — the dominant staircase patterns are the ortho
+      ones this covers.
+    - NeighborhoodBlending: a 4-neighbor weighted mix (the reference's
+      bilinear resample at the computed offset, linearized)."""
+    t = cfg.smaa_threshold
+    luma = (0.2126 * planes[0] + 0.7152 * planes[1] + 0.0722 * planes[2])
+    e_left = (jnp.abs(luma - _shift2_p(luma, 0, -1)) > t).astype(luma.dtype)
+    e_top = (jnp.abs(luma - _shift2_p(luma, -1, 0)) > t).astype(luma.dtype)
+    # border pixels have no outside neighbor — their shifted delta is 0 by
+    # edge clamp, so the masks are already clean there
+
+    # horizontal lines: runs of e_top along x; crossings are vertical edges
+    # at the run boundary columns: above the boundary (row y-1) vs below (y)
+    w_up, w_dn_src = _smaa_axis_weights(
+        e_top, _shift2_p(e_left, -1, 0), e_left, axis=1,
+        max_d=cfg.smaa_max_search)
+    # vertical lines: runs of e_left along y; crossings are horizontal
+    # edges left of the boundary (col x-1) vs right (x)
+    w_lf, w_rt_src = _smaa_axis_weights(
+        e_left, _shift2_p(e_top, 0, -1), e_top, axis=0,
+        max_d=cfg.smaa_max_search)
+    # a negative-offset line bulges into the OTHER side of the edge: that
+    # neighbor receives the weight (shift the source plane onto it)
+    w_dn = _shift2_p(w_dn_src, 1, 0)     # pixel y-1 blends toward y
+    w_rt = _shift2_p(w_rt_src, 0, 1)
+
+    total = w_up + w_dn + w_lf + w_rt
+    scale = jnp.minimum(1.0, 1.0 / jnp.maximum(total, 1e-6))
+    w_up, w_dn, w_lf, w_rt = (w * scale for w in (w_up, w_dn, w_lf, w_rt))
+    keep = 1.0 - jnp.minimum(total, 1.0)
+    outs = []
+    for p in planes:
+        outs.append(keep * p
+                    + w_up * _shift2_p(p, -1, 0) + w_dn * _shift2_p(p, 1, 0)
+                    + w_lf * _shift2_p(p, 0, -1) + w_rt * _shift2_p(p, 0, 1))
+    return outs
+
+
+def smaa(rgb: jax.Array, cfg: PostConfig) -> jax.Array:
+    """Packed-API SMAA (LDR input, like the reference's final pass)."""
+    return _merge(_smaa_p(_split(rgb), cfg))
 
 
 def _luts_p(planes, luts):
@@ -722,6 +1036,37 @@ def ambient_occlusion(view_depth: jax.Array, intensity: float,
     return 1.0 - jnp.clip(intensity, 0.0, 4.0) * jnp.clip(occ / n, 0.0, 1.0)
 
 
+def multi_scale_ao(view_depth: jax.Array, intensity: float,
+                   levels: int = 4, radius_px: int = 4) -> jax.Array:
+    """Multi-scale AO multiplier [H, W] — the MultiScaleVO.cs equivalent
+    (round 5, closing the last stock-PostProcessing runtime effect).
+
+    The engine's MSVO builds a depth pyramid in compute shaders, estimates
+    occlusion per LOD and merges upward (MultiScaleVO.cs's
+    RenderDownsampledDepth/RenderAO/UpsampleAO chain). TPU-shaped: the
+    single-scale ring-tap obscurance (ambient_occlusion — already
+    gather-free) runs on each _down2_p depth level, so a fixed pixel
+    radius doubles its world-space footprint per level; the per-level
+    occlusion upsamples back and merges as the probabilistic union
+    1 - prod(1 - occ_l) (large structures occlude without saturating the
+    fine-scale contact darkening), then one 3-tap blur stands in for the
+    engine's bilateral upsample."""
+    h, w = view_depth.shape
+    d = view_depth
+    un = jnp.ones((h, w), view_depth.dtype)
+    for lv in range(max(levels, 1)):
+        occ = 1.0 - ambient_occlusion(d, 1.0, radius_px)
+        for _ in range(lv):
+            occ = _up2_p(occ, min(occ.shape[0] * 2, h),
+                         min(occ.shape[1] * 2, w))
+        if occ.shape != (h, w):
+            occ = _up2_p(occ, h, w)
+        un = un * (1.0 - occ)
+        d = _down2_p(d)
+    total = _blur3_p(1.0 - un)
+    return 1.0 - jnp.clip(intensity, 0.0, 4.0) * jnp.clip(total, 0.0, 1.0)
+
+
 def apply_post(image_rgba: jax.Array, cfg: PostConfig,
                view_depth: jax.Array = None,
                velocity: jax.Array = None,
@@ -757,6 +1102,12 @@ def apply_post_planes(planes, cfg: PostConfig,
     h, w = planes[0].shape
     if cfg.lens_distortion != 0.0:
         planes = _lens_distort_p(planes, cfg)
+    if cfg.ssr_intensity > 0.0 and view_depth is not None:
+        # reflections are scene radiance: before DoF/blur/tonemap (the
+        # reference composites SSR into the deferred reflections buffer
+        # ahead of the post stack, ScreenSpaceReflections.cs Pass.Composite)
+        rr, rg, rb, k = _ssr_p(planes, view_depth, cfg)
+        planes = [p + k * (r - p) for p, r in zip(planes, (rr, rg, rb))]
     if cfg.dof_focus_distance > 0.0 and view_depth is not None:
         planes = _dof_p(planes, view_depth, cfg)
     if cfg.motion_blur > 0.0 and velocity is not None:
@@ -773,8 +1124,12 @@ def apply_post_planes(planes, cfg: PostConfig,
         vig = 1.0 - cfg.vignette * r2
         planes = [p * vig for p in planes]
     if cfg.ao_intensity > 0.0 and view_depth is not None:
-        ao = ambient_occlusion(view_depth[:h, :w], cfg.ao_intensity,
-                               cfg.ao_radius_px)
+        if cfg.ao_multiscale:
+            ao = multi_scale_ao(view_depth[:h, :w], cfg.ao_intensity,
+                                cfg.ao_levels, cfg.ao_radius_px)
+        else:
+            ao = ambient_occlusion(view_depth[:h, :w], cfg.ao_intensity,
+                                   cfg.ao_radius_px)
         planes = [p * ao for p in planes]
     if cfg.tonemap == "aces":
         planes = [aces_tonemap(p) for p in planes]
@@ -792,7 +1147,9 @@ def apply_post_planes(planes, cfg: PostConfig,
         gn = cfg.grain * n * mask
         planes = [p + gn for p in planes]
     planes = [jnp.clip(p, 0.0, 1.0) ** (1.0 / cfg.gamma) for p in planes]
-    # final LDR pass (the engine's FinalPass.shader: FXAA, then dither)
+    # final LDR pass (the engine's FinalPass.shader: AA, then dither)
+    if cfg.smaa:
+        planes = _smaa_p(planes, cfg)
     if cfg.fxaa:
         planes = _fxaa_p(planes, cfg.fxaa_abs_threshold,
                          cfg.fxaa_rel_threshold)
