@@ -598,34 +598,58 @@ def screen_space_reflections(rgb: jax.Array, view_depth: jax.Array,
                    for p, r in zip(planes, (rr, rg, rb))])
 
 
-def _runlen_scan(m: jax.Array, axis: int, reverse: bool = False) -> jax.Array:
-    """Inclusive run-length of consecutive nonzero m along axis (exact,
-    O(log n) depth): r[i] = m[i] ? r[i-1] + 1 : 0. The associative form is
-    (len, full): combine((l1,f1),(l2,f2)) = (l2 + f2*l1, f1*f2)."""
-    def comb(a, b):
-        return (b[0] + b[1] * a[0], a[1] * b[1])
-    l, _ = jax.lax.associative_scan(comb, (m, m), axis=axis, reverse=reverse)
-    return l
+def _shiftz_ax(p: jax.Array, axis: int, s: int) -> jax.Array:
+    """Shift by s along axis with ZERO fill (out[i] = p[i - s], zeros
+    outside) — run-length math must see "no edge" past the border, where
+    _shift2_p's edge clamp would fabricate one."""
+    if s == 0:
+        return p
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (s, 0) if s > 0 else (0, -s)
+    q = jnp.pad(p, pad)
+    sl = [slice(None), slice(None)]
+    n = p.shape[axis]
+    sl[axis] = slice(0, n) if s > 0 else slice(-s, -s + n)
+    return q[tuple(sl)]
 
 
-def _propagate_start(v0: jax.Array, m: jax.Array, axis: int,
+def _runlen_capped(m: jax.Array, axis: int, max_d: int,
+                   reverse: bool = False) -> jax.Array:
+    """Inclusive trailing run length of nonzero m along axis, CAPPED at
+    max_d, in log2(max_d) doubling steps of constant-offset shifts:
+    r_1 = m; r_2s[i] = r_s[i] + (r_s[i] == s) * r_s[i -/+ s] = min(run, 2s).
+
+    SMAA itself caps its edge-end search (SMAA_MAX_SEARCH_STEPS, hlsl:314),
+    so the cap loses nothing — and the doubling form costs 4 shifted planes
+    instead of a full-axis associative scan (which measured 14 ms/frame at
+    1080p in XLA: every scan level materializes its intermediates)."""
+    d = -1 if reverse else 1
+    r = m
+    s = 1
+    while s < max_d:
+        r = r + (r == s).astype(r.dtype) * _shiftz_ax(r, axis, d * s)
+        s *= 2
+    return jnp.minimum(r, float(max_d))
+
+
+def _propagate_start(v0: jax.Array, m: jax.Array, axis: int, max_d: int,
                      reverse: bool = False) -> jax.Array:
-    """Segmented copy-from-segment-start scan: within each run of nonzero m,
-    every element receives v0 at the run's first element. inherit flag
-    f[i] = m[i]*m[i-1]; combine((v1,f1),(v2,f2)) = (f2*v1+(1-f2)*v2, f1*f2)."""
-    prev = _shift2_p(m, -1, 0) if axis == 0 else _shift2_p(m, 0, -1)
-    if reverse:
-        prev = _shift2_p(m, 1, 0) if axis == 0 else _shift2_p(m, 0, 1)
-    # the shifted edge-clamp repeats the border value; the border element
-    # can never inherit from outside — force its flag to 0
-    idx = jnp.arange(m.shape[axis])
-    first = (idx == (m.shape[axis] - 1 if reverse else 0))
-    first = first[:, None] if axis == 0 else first[None, :]
-    f = m * prev * (1.0 - first.astype(m.dtype))
-
-    def comb(a, b):
-        return (b[1] * a[0] + (1.0 - b[1]) * b[0], a[1] * b[1])
-    v, _ = jax.lax.associative_scan(comb, (v0, f), axis=axis, reverse=reverse)
+    """Copy-from-run-start within each run of nonzero m (runs longer than
+    max_d propagate from max_d back — consistent with the capped
+    distances): the segmented-scan operator
+    ((vl,fl),(vr,fr)) -> (fr*vl + (1-fr)*vr, fl*fr) unrolled by doubling.
+    f[i] = m[i]*m[i-1] is the "inherit from the left" flag (zero-filled at
+    the border)."""
+    d = -1 if reverse else 1
+    f = m * _shiftz_ax(m, axis, d)
+    v = v0
+    s = 1
+    while s < max_d:
+        vs = _shiftz_ax(v, axis, d * s)
+        fs = _shiftz_ax(f, axis, d * s)
+        v = f * vs + (1.0 - f) * v
+        f = f * fs
+        s *= 2
     return v
 
 
@@ -649,15 +673,13 @@ def _smaa_axis_weights(e_run: jax.Array, e_cross_a: jax.Array,
     generator integrates: the line runs from (0, o_l/2) to (D, o_r/2) over
     the run, and the per-pixel weight is its offset at the pixel center."""
     m = e_run
-    d_fwd = _runlen_scan(m, axis=axis) - 1.0            # distance to start
-    d_bwd = _runlen_scan(m, axis=axis, reverse=True) - 1.0
-    d_fwd = jnp.minimum(d_fwd, float(max_d))
-    d_bwd = jnp.minimum(d_bwd, float(max_d))
+    d_fwd = _runlen_capped(m, axis, max_d) - 1.0        # distance to start
+    d_bwd = _runlen_capped(m, axis, max_d, reverse=True) - 1.0
     # crossing direction at each position: +1 if the near-side crossing
     # edge exists, -1 for far-side, 0 for none/both
     cdir = jnp.clip(e_cross_a - e_cross_b, -1.0, 1.0)
-    o_l = _propagate_start(cdir * m, m, axis=axis)
-    o_r = _propagate_start(cdir * m, m, axis=axis, reverse=True)
+    o_l = _propagate_start(cdir * m, m, axis, max_d)
+    o_r = _propagate_start(cdir * m, m, axis, max_d, reverse=True)
     dtot = d_fwd + d_bwd + 1.0
     # line offset at the pixel center (linear => trapezoid mean is exact);
     # ends sit half a pixel outside the run (the crossing pixel boundary)
