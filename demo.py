@@ -77,9 +77,9 @@ def main():
         print(f"wrote {args.dump_scene}")
         return
     if args.showcase:
-        # the full PostProcessing-2.3.0-shaped chain incl. the round-4
+        # the full PostProcessing-2.3.0-shaped chain incl. the round-4/5
         # effects: auto exposure (adapted luma carried across frames), lens
-        # distortion, AO, FXAA, final-pass dithering
+        # distortion, multi-scale AO, SSR, SMAA, final-pass dithering
         post = PostConfig(exposure=1.1, bloom_strength=0.25,
                           bloom_threshold=0.8, vignette=0.25,
                           chromatic_aberration=1.0, grain=0.02,
@@ -87,8 +87,9 @@ def main():
                           dof_focus_distance=20.0, dof_aperture=11.0,
                           dof_max_coc=3.0, motion_blur=0.4,
                           auto_exposure=True, ae_key=0.6, ae_min_ev=-2.0,
-                          ae_max_ev=2.0, fxaa=True, dithering=True,
-                          lens_distortion=8.0, ao_intensity=0.5)
+                          ae_max_ev=2.0, smaa=True, dithering=True,
+                          lens_distortion=8.0, ao_intensity=0.5,
+                          ao_multiscale=True, ssr_intensity=0.5)
     else:
         post = PostConfig(exposure=1.0, vignette=0.15)
     if scene_post is not None:       # the scene file's serialized profile

@@ -463,3 +463,52 @@ def test_shardmap_steady_init_matches_plain_init():
                             scenes, inputs)
     for a, b in zip(imgs_a, imgs_b):
         np.testing.assert_array_equal(a, b)
+
+
+def test_shardmap_texture_fold_matches_single_device():
+    """Round-5 texture-noise fold under H-sharded slabs: the vis-PASSED
+    megakernel path (bake_radiance_pallas + XLA noise channels via
+    bake_noise_channels_xla, whose low_res_world_positions reads the slab's
+    params.y0) ~= the same config single-device. Same bounded-equivalence
+    contract as the radiance-bake slab test (the bake's global-edge clamp
+    rows differ by its intrinsic approximation)."""
+    from volumetricrenderer_tpu import Medium
+    from volumetricrenderer_tpu.ops.noise import perlin_texture_3d
+    cfg = dataclasses.replace(CFG, material_impl="fused",
+                              raycast_shadow_subsample=2,
+                              scatter_bake="radiance")
+    renderer = VolumetricRenderer(cfg)
+    base = demo_scene(aspect=cfg.image_width / cfg.image_height)
+    fog = Medium.create(
+        scattering_color=(1.0, 0.9, 0.8), absorption=0.19, phase_g=0.3,
+        noise_tex=jnp.asarray(perlin_texture_3d()), noise_mode="texture",
+        noise_tiling=(0.05, 0.04, 0.05), noise_scroll=(3.0, 0.5, 0.0))
+    base = dataclasses.replace(base, media=(fog,))
+    scenes = [_move_cam(base, 0.4 * i) for i in range(2)]
+    inputs = [jax.jit(renderer.render_scene_inputs)(s) for s in scenes]
+
+    @jax.jit
+    def single(state, scene, t, sc, vd):
+        img, aux, new_state = renderer.render_frame(state, scene, t,
+                                                    scene_color=sc,
+                                                    view_depth=vd)
+        return img, new_state
+
+    # the single-device run must itself take the fused (foldable) path
+    _, aux, _ = renderer.render_frame(
+        renderer.init_state(base.dir_lights.count), scenes[0], 0.0,
+        scene_color=inputs[0][0], view_depth=inputs[0][1])
+    assert aux["scatter"] is None, "texture fold not engaged in this config"
+
+    imgs_ref, _ = _run_frames(single, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+
+    mesh = make_mesh(jax.devices()[:4], axis_name="y")
+    fn = make_shardmap_render(renderer, mesh)
+    imgs_sh, _ = _run_frames(fn, renderer.init_state(
+        base.dir_lights.count), scenes, inputs)
+    for i, (a, b) in enumerate(zip(imgs_sh, imgs_ref)):
+        assert np.isfinite(a).all()
+        err = np.abs(a - b) / max(np.abs(b).max(), 1e-6)
+        assert err.mean() < 5e-4, (i, err.mean())
+        assert err.max() < 0.02, (i, err.max())

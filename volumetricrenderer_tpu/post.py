@@ -584,8 +584,12 @@ def _ssr_p(planes, view_depth: jax.Array, cfg: PostConfig):
 
     outs = []
     for p in refl + [strength]:
-        for _ in range(n2):
-            p = _up2_p(p, min(p.shape[0] * 2, h), min(p.shape[1] * 2, w))
+        for i in range(n2):
+            # the last step edge-pads to the exact full size (odd dims
+            # floor through _down2_p, so doubling alone can land short)
+            th = h if i == n2 - 1 else min(p.shape[0] * 2, h)
+            tw = w if i == n2 - 1 else min(p.shape[1] * 2, w)
+            p = _up2_p(p, th, tw)
         outs.append(_blur3_p(p))
     return outs
 
@@ -1078,11 +1082,11 @@ def multi_scale_ao(view_depth: jax.Array, intensity: float,
     un = jnp.ones((h, w), view_depth.dtype)
     for lv in range(max(levels, 1)):
         occ = 1.0 - ambient_occlusion(d, 1.0, radius_px)
-        for _ in range(lv):
-            occ = _up2_p(occ, min(occ.shape[0] * 2, h),
-                         min(occ.shape[1] * 2, w))
-        if occ.shape != (h, w):
-            occ = _up2_p(occ, h, w)
+        for i in range(lv):
+            # last step edge-pads to the exact full size (odd-dim floors)
+            th = h if i == lv - 1 else min(occ.shape[0] * 2, h)
+            tw = w if i == lv - 1 else min(occ.shape[1] * 2, w)
+            occ = _up2_p(occ, th, tw)
         un = un * (1.0 - occ)
         d = _down2_p(d)
     total = _blur3_p(1.0 - un)
