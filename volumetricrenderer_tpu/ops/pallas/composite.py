@@ -58,8 +58,8 @@ def _cell_weights(py: int, px: int) -> np.ndarray:
     return _cell_weights_at(fy, fx)
 
 
-def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, d_blk: int,
-            w: int, chunk: int):
+def _kernel(wmat_ref, fz_ref, row_ref, out_ref, acc_s, *, d: int, d_blk: int,
+            w: int, chunk: int, nz: int):
     """Grid (h, cellpx/chunk, 9, D/d_blk): froxel row x pixel chunk x
     XY-corner x Z-block. row_ref is the dy- and zb-selected, x-pre-padded
     hi||lo row piece [1, W+2, d_blk, 2C]; the dx shift is a dynamic slice.
@@ -98,13 +98,23 @@ def _kernel(wmat_ref, fz_ref, row_ref, out_ref, *, d: int, d_blk: int,
     corner = a0 + frac * (a1 - a0)               # f32 z-lerp (partial in zb)
     contrib = corner * wrow.T[None]
 
+    # accumulate across the (k, zb) inner grid dims in PERSISTENT VMEM
+    # scratch and write the output block ONCE at the last step — avoids the
+    # read-modify-write of a revisited out_ref block, the pattern whose
+    # alternating double buffer flushed stale data in frame_fused (sh_last
+    # workaround). Verified equivalent to the RMW form here, kept as the
+    # robust shape.
     @pl.when((k == 0) & (zb == 0))
     def _():
-        out_ref[0, 0] = contrib
+        acc_s[...] = contrib
 
     @pl.when((k > 0) | (zb > 0))
     def _():
-        out_ref[0, 0] = out_ref[0, 0] + contrib
+        acc_s[...] = acc_s[...] + contrib
+
+    @pl.when((k == 8) & (zb == nz - 1))
+    def _():
+        out_ref[0, 0] = acc_s[...]
 
 
 def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
@@ -125,8 +135,17 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     fz_c = group(jnp.clip(fz_texel, 0.0, d - 1.0))
     acc_t = jnp.transpose(accumulation, (1, 2, 0, 3))   # [H, W, D, C] f32
     acc_t = jnp.concatenate([acc_t[:, :1], acc_t, acc_t[:, -1:]], axis=1)
-    acc_hi = acc_t.astype(jnp.bfloat16)
-    acc_lo = (acc_t - acc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # ROOT CAUSE of the long-standing ~2e-3 "MXU discrepancy" (PERF.md
+    # composite post-mortem): computing lo as acc_t - f32(bf16(acc_t)) lets
+    # XLA:TPU elide the bf16 round trip as a no-op under its
+    # excess-precision rules, so acc_lo compiled to ZEROS and only the hi
+    # half ever reached the kernel — a plain-bf16-sized error that was
+    # bit-identical across kernel restructures and exact in interpret mode
+    # (CPU XLA keeps the convert). lax.reduce_precision performs the bf16
+    # rounding un-elidably in f32.
+    acc_hi_f = jax.lax.reduce_precision(acc_t, 8, 7)
+    acc_hi = acc_hi_f.astype(jnp.bfloat16)             # exact convert
+    acc_lo = (acc_t - acc_hi_f).astype(jnp.bfloat16)
     acc_cat = jnp.concatenate([acc_hi, acc_lo], axis=-1)  # [H, W+2, D, 2C]
 
     # small chunks keep the unrolled s0/s1/iota temps inside Mosaic's 16 MB
@@ -139,7 +158,8 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
     nz = d // d_blk
     weights = jnp.asarray(_cell_weights(py, px)).reshape(9, nc, 1, chunk)
     fz_c = fz_c.reshape(h, w, nc, chunk).transpose(0, 2, 1, 3)  # [H,nc,W,chunk]
-    kernel = functools.partial(_kernel, d=d, d_blk=d_blk, w=w, chunk=chunk)
+    kernel = functools.partial(_kernel, d=d, d_blk=d_blk, w=w, chunk=chunk,
+                               nz=nz)
 
     out_c = pl.pallas_call(
         kernel,
@@ -163,6 +183,12 @@ def composite_pallas(accumulation: jax.Array, scene_color: jax.Array,
                                lambda i, jc, k, zb: (i, jc, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, nc, w, chunk, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((w, chunk, 4), jnp.float32)],
+        # the row block's 4-wide minor dim tile-pads to 128 lanes (32x VMEM,
+        # CLAUDE.md tiny-minor trap) — fine for this non-default kernel with
+        # the scoped limit raised (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(weights, fz_c, acc_cat)
 
