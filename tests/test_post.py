@@ -485,3 +485,92 @@ def test_multi_scale_ao():
         view_depth=valley))
     assert np.isfinite(b).all()
     assert not np.array_equal(a, b)
+
+
+def test_ssr_pallas_march_matches_xla():
+    """The VMEM-resident Pallas SSR march (ops/pallas/ssr.py, interpret
+    mode here) is tap-for-tap identical to the XLA shift-loop arm: same
+    static offsets (_ssr_offsets), same hit test, same accumulators."""
+    import volumetricrenderer_tpu.post as post_mod
+    from volumetricrenderer_tpu.post import PostConfig, _split, _ssr_p
+    from volumetricrenderer_tpu.ops.pallas import ssr as ssr_mod
+    color, depth, _ = _ssr_scene(128)
+    cfg = PostConfig(ssr_intensity=0.8, ssr_downsample=2, ssr_fov_y_deg=90.0,
+                     ssr_thickness=1.5, ssr_max_px=28, ssr_steps=12,
+                     ssr_dirs=8)
+
+    # XLA arm (SSR_PALLAS off)
+    post_mod.SSR_PALLAS = False
+    try:
+        a = jax.jit(lambda c, d: _ssr_p(_split(c), d, cfg))(color, depth)
+        a = [np.asarray(p) for p in a]
+    finally:
+        post_mod.SSR_PALLAS = True
+
+    # Pallas arm, interpret mode: monkeypatch-free — call through _ssr_p by
+    # faking the backend gate is not possible on CPU, so drive the kernel
+    # directly on the same geometry by re-running _ssr_p's XLA arm for the
+    # geometry and comparing the march outputs via ssr_march_pallas
+    import math
+    from volumetricrenderer_tpu.post import (_down2_p, _shift2_p,
+                                             _ssr_offsets)
+    h, w = depth.shape
+    dq = _down2_p(depth)
+    cq = [_down2_p(p) for p in _split(color)]
+    hq, wq = dq.shape
+    tan_y = math.tan(math.radians(cfg.ssr_fov_y_deg) / 2.0)
+    asp = w / h
+    xs = (jnp.arange(wq, dtype=jnp.float32) + 0.5) / wq * 2.0 - 1.0
+    ys = (jnp.arange(hq, dtype=jnp.float32) + 0.5) / hq * 2.0 - 1.0
+    gx = xs[None, :] * (tan_y * asp)
+    gy = ys[:, None] * tan_y
+    px_, py_, pz_ = gx * dq, gy * dq, dq
+    cdx = lambda p: (_shift2_p(p, 0, 1) - _shift2_p(p, 0, -1)) * 0.5
+    cdy = lambda p: (_shift2_p(p, 1, 0) - _shift2_p(p, -1, 0)) * 0.5
+    ax_, ay_, az_ = cdx(px_), cdx(py_), cdx(pz_)
+    bx_, by_, bz_ = cdy(px_), cdy(py_), cdy(pz_)
+    nx = ay_ * bz_ - az_ * by_
+    ny = az_ * bx_ - ax_ * bz_
+    nz = ax_ * by_ - ay_ * bx_
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-12)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    flip = jnp.where(nx * px_ + ny * py_ + nz * pz_ > 0.0, -1.0, 1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+    ilen = jax.lax.rsqrt(px_ * px_ + py_ * py_ + pz_ * pz_ + 1e-12)
+    vx, vy, vz = px_ * ilen, py_ * ilen, pz_ * ilen
+    vdn = vx * nx + vy * ny + vz * nz
+    rx = vx - 2.0 * vdn * nx
+    ry = vy - 2.0 * vdn * ny
+    rz = vz - 2.0 * vdn * nz
+    near = 0.05
+    step = jnp.clip(jnp.minimum(0.25 * dq, 0.9 * jnp.where(
+        rz < -1e-6, (pz_ - near) / (-rz + 1e-9), 1e9)), 1e-3, None)
+    qx, qy, qz = px_ + step * rx, py_ + step * ry, pz_ + step * rz
+    qz = jnp.maximum(qz, near)
+    du = (qx / (qz * tan_y * asp) - xs[None, :]) * (wq / 2.0)
+    dv = (qy / (qz * tan_y) - ys[:, None]) * (hq / 2.0)
+    mag = jnp.sqrt(du * du + dv * dv)
+    valid = (mag > 1e-3).astype(jnp.float32)
+    g = (1.0 / qz - 1.0 / pz_) / jnp.maximum(mag, 1e-3)
+    nb = cfg.ssr_dirs
+    ang = jnp.arctan2(dv, jnp.where(jnp.abs(du) < 1e-8, 1e-8, du))
+    bin_idx = jnp.mod(jnp.round(ang / (2.0 * jnp.pi / nb)),
+                      nb).astype(jnp.float32)
+    outs = ssr_mod.ssr_march_pallas(
+        dq, cq, 1.0 / pz_, g, bin_idx, valid, _ssr_offsets(cfg),
+        cfg.ssr_thickness, float(cfg.ssr_max_px), interpret=True)
+    # reconstruct the XLA arm's raw march outputs by re-running _ssr_p's
+    # loop pieces is redundant — instead compare via the FULL _ssr_p
+    # outputs: feed the Pallas march results through the same fres/fade
+    # math and compare against `a`
+    cosv = jnp.clip(-vdn, 0.0, 1.0)
+    fres = 0.25 + 0.75 * (1.0 - cosv) ** 5
+    fade = jnp.clip(1.0 - cfg.ssr_distance_fade * outs[4], 0.0, 1.0)
+    strength = cfg.ssr_intensity * fres * fade * outs[3]
+    from volumetricrenderer_tpu.post import _blur3_p, _up2_p
+    full = []
+    for p in list(outs[:3]) + [strength]:
+        p = _up2_p(p, h, w)
+        full.append(np.asarray(_blur3_p(p)))
+    for pa, pb in zip(a, full):
+        np.testing.assert_allclose(pa, pb, rtol=1e-5, atol=1e-6)

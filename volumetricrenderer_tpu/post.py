@@ -435,6 +435,45 @@ def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
     return _merge(_motion_blur_p(_split(rgb), velocity, strength))
 
 
+# SSR march impl knob. The Pallas VMEM-resident kernel (ops/pallas/ssr.py)
+# is tap-for-tap equivalent (tested, interpret mode) and would run the
+# march at VMEM bandwidth — but its 96-tap x 8-bin full-plane unroll takes
+# the remote Mosaic compiler past its practical budget (MEASURED: >580 s
+# for the standalone kernel at 1080p/ds=4; this repo's round-3 failure was
+# exactly a compile-time cliff). Default stays the XLA shift loop
+# (~1.2 ms marginal, PERF.md); flip for deployments that can pay the
+# one-time compile into a persistent cache.
+SSR_PALLAS = False
+
+
+def _ssr_offsets(cfg: PostConfig) -> tuple:
+    """Static per-bin (t_prev, t, oy, ox) march taps — log-spaced radii per
+    quantized direction, deduplicated per rounded pixel offset. Shared by
+    the XLA and Pallas marches so they are tap-for-tap identical."""
+    import math
+    nb = max(int(cfg.ssr_dirs), 1)
+    ks = max(int(cfg.ssr_steps), 1)
+    max_px = float(cfg.ssr_max_px)
+    radii = [2.0 * (max_px / 2.0) ** (k / max(ks - 1, 1)) for k in range(ks)]
+    bins = []
+    for b in range(nb):
+        theta = 2.0 * math.pi * b / nb
+        dirx, diry = math.cos(theta), math.sin(theta)
+        taps = []
+        seen = set()
+        t_prev = 0.0
+        for t in radii:
+            oy, ox = int(round(t * diry)), int(round(t * dirx))
+            if (oy, ox) in seen or (oy == 0 and ox == 0):
+                t_prev = t
+                continue
+            seen.add((oy, ox))
+            taps.append((t_prev, t, oy, ox))
+            t_prev = t
+        bins.append(tuple(taps))
+    return tuple(bins)
+
+
 def _ssr_p(planes, view_depth: jax.Array, cfg: PostConfig):
     """Screen-space reflections, TPU-shaped (round-5 probe-to-landing of the
     PARITY.md 'out of scope' claim).
@@ -519,61 +558,60 @@ def _ssr_p(planes, view_depth: jax.Array, cfg: PostConfig):
     g = (1.0 / qz - 1.0 / pz_) / jnp.maximum(mag, 1e-3)  # d(1/z)/px
 
     nb = max(int(cfg.ssr_dirs), 1)
-    ks = max(int(cfg.ssr_steps), 1)
     ang = jnp.arctan2(dv, jnp.where(jnp.abs(du) < 1e-8, 1e-8, du))
     bin_idx = jnp.mod(jnp.round(ang / (2.0 * jnp.pi / nb)), nb)
     max_px = float(cfg.ssr_max_px)
-    radii = [2.0 * (max_px / 2.0) ** (k / max(ks - 1, 1)) for k in range(ks)]
-    yy = jnp.arange(hq, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(wq, dtype=jnp.int32)[None, :]
+    offsets = _ssr_offsets(cfg)
 
-    refl = [jnp.zeros((hq, wq), f32) for _ in range(3)]
-    hitw = jnp.zeros((hq, wq), f32)
-    hitt = jnp.zeros((hq, wq), f32)
-    for b in range(nb):
-        theta = 2.0 * math.pi * b / nb
-        dirx, diry = math.cos(theta), math.sin(theta)
-        sel = (bin_idx == b).astype(f32) * valid
-        not_hit = jnp.ones((hq, wq), f32)
-        acc = [jnp.zeros((hq, wq), f32) for _ in range(3)]
-        aw = jnp.zeros((hq, wq), f32)
-        at = jnp.zeros((hq, wq), f32)
-        seen = set()
-        t_prev = 0.0
-        for t in radii:
-            oy, ox = int(round(t * diry)), int(round(t * dirx))
-            if (oy, ox) in seen or (oy == 0 and ox == 0):
-                t_prev = t
-                continue
-            seen.add((oy, ox))
-            zs = _shift2_p(dq, oy, ox)
-            invz = 1.0 / pz_ + g * t
-            z_ray = jnp.where(invz > 1e-4, 1.0 / jnp.maximum(invz, 1e-4),
-                              1e9)
-            # CROSSING test (the DDA hit condition, hlsl:199): the ray was
-            # in front of this depth at the previous radius (within the
-            # thickness slack) and is at-or-behind it now — robust to the
-            # log-spaced steps' growing z advance, where a fixed-thickness
-            # window would step straight over thin depth ranges.
-            invz_p = 1.0 / pz_ + g * t_prev
-            z_prev = jnp.where(invz_p > 1e-4,
-                               1.0 / jnp.maximum(invz_p, 1e-4), 1e9)
-            onscreen = ((yy + oy >= 0) & (yy + oy < hq)
-                        & (xx + ox >= 0) & (xx + ox < wq)).astype(f32)
-            hit = ((z_ray >= zs)
-                   & (z_prev <= zs + cfg.ssr_thickness)).astype(f32) \
-                * onscreen
-            t_prev = t
-            wgt = not_hit * hit
+    if SSR_PALLAS and jax.default_backend() == "tpu":
+        # VMEM-resident march kernel (ops/pallas/ssr.py): the whole
+        # quarter-res working set stays in VMEM; the ~384 shifted reads
+        # become static slices of edge-padded copies
+        from volumetricrenderer_tpu.ops.pallas.ssr import ssr_march_pallas
+        rr_, rg_, rb_, hitw, hitt = ssr_march_pallas(
+            dq, cq, 1.0 / pz_, g, bin_idx.astype(f32), valid, offsets,
+            cfg.ssr_thickness, max_px)
+        refl = [rr_, rg_, rb_]
+    else:
+        yy = jnp.arange(hq, dtype=jnp.int32)[:, None]
+        xx = jnp.arange(wq, dtype=jnp.int32)[None, :]
+        refl = [jnp.zeros((hq, wq), f32) for _ in range(3)]
+        hitw = jnp.zeros((hq, wq), f32)
+        hitt = jnp.zeros((hq, wq), f32)
+        for b, taps in enumerate(offsets):
+            sel = (bin_idx == b).astype(f32) * valid
+            not_hit = jnp.ones((hq, wq), f32)
+            acc = [jnp.zeros((hq, wq), f32) for _ in range(3)]
+            aw = jnp.zeros((hq, wq), f32)
+            at = jnp.zeros((hq, wq), f32)
+            for (t_prev, t, oy, ox) in taps:
+                zs = _shift2_p(dq, oy, ox)
+                invz = 1.0 / pz_ + g * t
+                z_ray = jnp.where(invz > 1e-4,
+                                  1.0 / jnp.maximum(invz, 1e-4), 1e9)
+                # CROSSING test (the DDA hit condition, hlsl:199): the ray
+                # was in front of this depth at the previous radius (within
+                # the thickness slack) and is at-or-behind it now — robust
+                # to the log-spaced steps' growing z advance, where a
+                # fixed-thickness window would step over thin depth ranges.
+                invz_p = 1.0 / pz_ + g * t_prev
+                z_prev = jnp.where(invz_p > 1e-4,
+                                   1.0 / jnp.maximum(invz_p, 1e-4), 1e9)
+                onscreen = ((yy + oy >= 0) & (yy + oy < hq)
+                            & (xx + ox >= 0) & (xx + ox < wq)).astype(f32)
+                hit = ((z_ray >= zs)
+                       & (z_prev <= zs + cfg.ssr_thickness)).astype(f32) \
+                    * onscreen
+                wgt = not_hit * hit
+                for c in range(3):
+                    acc[c] = acc[c] + wgt * _shift2_p(cq[c], oy, ox)
+                aw = aw + wgt
+                at = at + wgt * (t / max_px)
+                not_hit = not_hit * (1.0 - hit)
             for c in range(3):
-                acc[c] = acc[c] + wgt * _shift2_p(cq[c], oy, ox)
-            aw = aw + wgt
-            at = at + wgt * (t / max_px)
-            not_hit = not_hit * (1.0 - hit)
-        for c in range(3):
-            refl[c] = refl[c] + sel * acc[c]
-        hitw = hitw + sel * aw
-        hitt = hitt + sel * at
+                refl[c] = refl[c] + sel * acc[c]
+            hitw = hitw + sel * aw
+            hitt = hitt + sel * at
 
     # strength: fresnel (Schlick, f0 = 0.25 — no roughness G-buffer) x
     # distance fade (the reference's _DistanceFade) x hit mask
