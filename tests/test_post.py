@@ -574,3 +574,31 @@ def test_ssr_pallas_march_matches_xla():
         full.append(np.asarray(_blur3_p(p)))
     for pa, pb in zip(a, full):
         np.testing.assert_allclose(pa, pb, rtol=1e-5, atol=1e-6)
+
+
+def test_ssr_pallas_split_equals_full():
+    """The per-bin 'split' mode (8 kernels, bin-shifted index plane)
+    reassembles the full-offsets march exactly: bins mask disjointly."""
+    from volumetricrenderer_tpu.post import PostConfig, _ssr_offsets
+    from volumetricrenderer_tpu.ops.pallas.ssr import ssr_march_pallas
+    cfg = PostConfig(ssr_intensity=0.6, ssr_steps=8, ssr_max_px=24)
+    hq, wq = 64, 96
+    rng = np.random.RandomState(1)
+    dq = jnp.asarray((rng.rand(hq, wq) * 40 + 1).astype(np.float32))
+    cq = [jnp.asarray(rng.rand(hq, wq).astype(np.float32))
+          for _ in range(3)]
+    invz0 = 1.0 / dq
+    g = jnp.asarray((rng.rand(hq, wq) * -0.02).astype(np.float32))
+    bin_idx = jnp.asarray(rng.randint(0, 8, (hq, wq)).astype(np.float32))
+    valid = jnp.ones((hq, wq), jnp.float32)
+    offs = _ssr_offsets(cfg)
+    full = ssr_march_pallas(dq, cq, invz0, g, bin_idx, valid, offs,
+                            1.0, float(cfg.ssr_max_px), interpret=True)
+    split = None
+    for b in range(len(offs)):
+        o = ssr_march_pallas(dq, cq, invz0, g, bin_idx - float(b), valid,
+                             (offs[b],), 1.0, float(cfg.ssr_max_px),
+                             interpret=True)
+        split = o if split is None else [x + y for x, y in zip(split, o)]
+    for a, s in zip(full, split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(s))

@@ -436,13 +436,23 @@ def motion_blur(rgb: jax.Array, velocity: jax.Array, strength: float
 
 
 # SSR march impl knob. The Pallas VMEM-resident kernel (ops/pallas/ssr.py)
-# is tap-for-tap equivalent (tested, interpret mode) and would run the
-# march at VMEM bandwidth — but its 96-tap x 8-bin full-plane unroll takes
-# the remote Mosaic compiler past its practical budget (MEASURED: >580 s
-# for the standalone kernel at 1080p/ds=4; this repo's round-3 failure was
-# exactly a compile-time cliff). Default stays the XLA shift loop
-# (~1.2 ms marginal, PERF.md); flip for deployments that can pay the
-# one-time compile into a persistent cache.
+# is tap-for-tap equivalent to the XLA loop (tested, interpret mode) and
+# runs the march at VMEM bandwidth, but Mosaic's compile time is
+# SUPERLINEAR in the unroll: the full 96-tap x 8-bin kernel exceeds 580 s
+# through the remote helper (the round-3 compile-cliff failure mode) while
+# ONE bin's 12-tap kernel compiles in 29 s. Modes:
+#   "split" — one pallas_call per direction bin (8 distinct kernels; XLA
+#             compiles the sub-modules in parallel, ~1 min wall; per-bin
+#             sel via the bin-shifted index plane), summed in XLA.
+#             MEASURED 1.32 ms marginal — NO better than the XLA loop: the
+#             8 kernels refetch the 9 MB padded input set each (~72 MB),
+#             eating the VMEM win at quarter-res scale.
+#   "full"  — the single 8-bin kernel (compile-cliff; kept for the record).
+#   False   — the XLA shift loop (~1.2 ms marginal). THE DEFAULT: at
+#             quarter res the working set is small enough that XLA's
+#             pad/slice shifts are already near memory bound, and both
+#             Pallas forms lose (compile cliff / refetch tax) — the full
+#             measurement lineage is in PERF.md round 5.
 SSR_PALLAS = False
 
 
@@ -568,9 +578,23 @@ def _ssr_p(planes, view_depth: jax.Array, cfg: PostConfig):
         # quarter-res working set stays in VMEM; the ~384 shifted reads
         # become static slices of edge-padded copies
         from volumetricrenderer_tpu.ops.pallas.ssr import ssr_march_pallas
-        rr_, rg_, rb_, hitw, hitt = ssr_march_pallas(
-            dq, cq, 1.0 / pz_, g, bin_idx.astype(f32), valid, offsets,
-            cfg.ssr_thickness, max_px)
+        if SSR_PALLAS == "split":
+            # per-bin kernels (see the SSR_PALLAS comment): shifting the
+            # bin-index plane by -b makes each kernel's internal b=0
+            # selection pick THIS bin; the per-bin outputs are disjointly
+            # masked, so the XLA sum reassembles the full march exactly
+            outs = None
+            for b in range(len(offsets)):
+                o = ssr_march_pallas(
+                    dq, cq, 1.0 / pz_, g, bin_idx.astype(f32) - float(b),
+                    valid, (offsets[b],), cfg.ssr_thickness, max_px)
+                outs = o if outs is None else [x + y
+                                               for x, y in zip(outs, o)]
+            rr_, rg_, rb_, hitw, hitt = outs
+        else:
+            rr_, rg_, rb_, hitw, hitt = ssr_march_pallas(
+                dq, cq, 1.0 / pz_, g, bin_idx.astype(f32), valid, offsets,
+                cfg.ssr_thickness, max_px)
         refl = [rr_, rg_, rb_]
     else:
         yy = jnp.arange(hq, dtype=jnp.int32)[:, None]
